@@ -3,36 +3,48 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Implementation lives in ``big_data_player_analysis_spark``; this module
+just adapts the query registry to the driver's calling convention.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from big_data_player_analysis_spark.registry import all_queries  # noqa: E402
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the iterative heroic-score engine (reference exercise_4)
+    over events-derived duels at sf0.001 — converge the damped rank, return
+    the top-10 players (reference exercise_4.py:267-283)."""
+    from pyspark.sql import functions as F
+
+    from big_data_player_analysis_spark.plans.heroic import heroic_score
+    from big_data_player_analysis_spark.registry.common import duel_edges
+
+    result = heroic_score(duel_edges(spark, SMOKE_SF_DIR), alpha=0.1, tol=0.1, max_iter=30)
+    return result.scores.orderBy(F.desc("hs"), F.desc("player_id")).limit(10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: spec.fn for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twins of ``queries()`` (omitted entries are
+    non-SQL-expressible and take the driver's rows-only check)."""
+    return {
+        name: spec.sql for name, spec in all_queries().items() if spec.sql is not None
+    }

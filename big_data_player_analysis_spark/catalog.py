@@ -1,0 +1,67 @@
+"""Catalog: named parquet tables -> DataFrames / temp views.
+
+The reference treats a directory of text files as a table
+(reference emulator.py:165-186); here a table is a parquet file/dir with a
+fixed schema, read through the DataSource V2 parquet scan so Catalyst gets
+column pruning + predicate pushdown for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir}/{name}.parquet"
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = _read_parquet_nanos_safe(spark, table_path(sf_dir, name))
+    return _normalize_nanos_timestamps(df)
+
+
+def _read_parquet_nanos_safe(spark: SparkSession, path: str):
+    """Parquet TIMESTAMP(NANOS) columns (written by e.g. pandas with ns
+    precision) are unsupported by Spark's reader; read them as raw int64
+    nanos instead and convert below. The conf is a session SQL conf (only
+    affects TIMESTAMP(NANOS) parquet fields), safe to set at runtime before
+    the scan is planned."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(path)
+
+
+def _normalize_nanos_timestamps(df: DataFrame) -> DataFrame:
+    """int64-nanos `ts` columns -> microsecond timestamps (truncating, which
+    matches how DuckDB/Arrow narrow ns to us for positive epochs)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every table as a temp view (for the SQL entry points)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,129 @@
+"""Text-analysis functions for the LLM-data-pipeline tier (SURVEY.md §2.4):
+token counting, language ID, quality scoring, fingerprinting — all as
+built-in-function column expressions (codegen'd, no UDFs), designed so an
+ANSI-SQL oracle can reproduce them exactly.
+
+The reference has no text operators (its only string work is whitespace
+field splitting, reference exercise_1.py:41 etc.); this module is the
+mandated extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space symbol.
+# Kept to a regex subset with identical semantics in Java regex and RE2.
+BPE_TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# Stopword lists used for both language ID and quality scoring.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "und", "die", "das", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "una", "por"],
+}
+# Deterministic priority order for argmax ties.
+LANG_PRIORITY = ["en", "de", "fr", "es"]
+
+QUALITY_WEIGHTS = {"stop_ratio": 0.4, "alpha_ratio": 0.3, "len_score": 0.3}
+QUALITY_LEN_NORM = 100.0  # ws-token count at which len_score saturates
+
+
+def ws_token_count(text: Column) -> Column:
+    """Whitespace token count: size(split(trim(text), '\\s+'))."""
+    return F.size(F.split(F.trim(text), "\\s+"))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Token count under the BPE-ish pre-tokenizer regex."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_PATTERN), F.lit(0)))
+
+
+def stopword_hits(text: Column, word: str) -> Column:
+    """Occurrences of ``word`` as a whole whitespace-delimited token, via the
+    replace-length trick (portable to any SQL engine):
+    (len(padded) - len(replace(padded, ' w ', ''))) / len(' w ')
+    where padded = ' ' || lower(text) || ' '.
+    Counts non-overlapping matches left-to-right — identical semantics to
+    SQL replace()."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    pat = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit(""))))
+        / F.lit(len(pat))
+    ).cast("long")
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Per-language stopword-hit totals (n-gram-free heuristic language ID)."""
+    return {
+        lang: sum((stopword_hits(text, w) for w in words), F.lit(0))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+
+
+def predict_language(text: Column) -> Column:
+    """Argmax language with deterministic priority-order tie-break: the first
+    language in LANG_PRIORITY whose score is >= every later one wins."""
+    scores = language_scores(text)
+    expr = F.lit(LANG_PRIORITY[-1])
+    for lang in reversed(LANG_PRIORITY[:-1]):
+        later = LANG_PRIORITY[LANG_PRIORITY.index(lang) + 1 :]
+        cond = None
+        for other in later:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Composite document quality in [0, ~1]:
+    0.4 * english-stopword ratio + 0.3 * alphabetic-char ratio
+    + 0.3 * min(1, tokens/100), rounded to 6 decimals (rounding makes the
+    value robust to float accumulation-order differences vs the oracle)."""
+    n_tokens = ws_token_count(text).cast("double")
+    stop_hits = sum(
+        (stopword_hits(text, w) for w in LANG_STOPWORDS["en"]), F.lit(0)
+    ).cast("double")
+    alpha_chars = F.length(F.regexp_replace(text, "[^A-Za-z]", "")).cast("double")
+    n_chars = F.length(text).cast("double")
+    stop_ratio = stop_hits / n_tokens
+    alpha_ratio = alpha_chars / n_chars
+    len_score = F.least(F.lit(1.0), n_tokens / F.lit(QUALITY_LEN_NORM))
+    w = QUALITY_WEIGHTS
+    return F.round(
+        F.lit(w["stop_ratio"]) * stop_ratio
+        + F.lit(w["alpha_ratio"]) * alpha_ratio
+        + F.lit(w["len_score"]) * len_score,
+        6,
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alphanumerics,
+    collapse whitespace."""
+    t = F.lower(text)
+    t = F.regexp_replace(t, "[^a-z0-9 ]", "")
+    t = F.regexp_replace(t, " +", " ")
+    return F.trim(t)
+
+
+def md5_fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 hex digest of the normalized text."""
+    return F.md5(F.encode(normalize_text(text), "UTF-8"))
+
+
+def char_shingles(text: Column, k: int) -> Column:
+    """Distinct character k-shingles of the normalized text as an array —
+    the input to n-gram Jaccard / MinHash dedup. Pure expression:
+    transform(sequence(1, len-k+1), i -> substring(norm, i, k)); empty array
+    for texts shorter than k (sequence() would count down otherwise)."""
+    norm = normalize_text(text)
+    n = F.length(norm) - F.lit(k - 1)
+    shingles = F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+    )
+    return F.when(n >= 1, shingles).otherwise(F.array().cast("array<string>"))

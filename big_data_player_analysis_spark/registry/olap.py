@@ -1,0 +1,375 @@
+"""Registry tier B: general OLAP operators the reference lacks entirely
+(SURVEY.md §2.4 "declared absent") — windows, set ops, rollup/cube, date
+and JSON functions, percentiles, pivot, sessionization. All stock Catalyst
+plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from big_data_player_analysis_spark.operators.topk import top_k_per_group
+from big_data_player_analysis_spark.registry import query
+from big_data_player_analysis_spark.registry.common import t
+
+# ------------------------------------------------------------- aggregation
+
+
+@query(
+    "olap_tpch_q1_pricing_summary",
+    sql="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum(l_extendedprice) AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity) AS avg_qty,
+           avg(l_extendedprice) AS avg_price,
+           avg(l_discount) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("olap", "agg"),
+)
+def tpch_q1(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: multi-aggregate scan with a pushed-down date filter.
+    The filter and the 2-column grouping reach the parquet scan (verify via
+    explain: PushedFilters + pruned ReadSchema)."""
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_base_price"),
+        F.sum(disc_price).alias("sum_disc_price"),
+        F.sum(disc_price * (F.lit(1) + F.col("l_tax"))).alias("sum_charge"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.avg("l_extendedprice").alias("avg_price"),
+        F.avg("l_discount").alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+# ----------------------------------------------------------------- windows
+
+
+@query(
+    "olap_window_topk_per_group",
+    sql="""
+    SELECT c_nationkey, c_custkey, c_acctbal, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT c_nationkey, c_custkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer
+    ) WHERE rn <= 3
+    """,
+    tags=("olap", "window"),
+)
+def window_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 customers by balance per nation — row_number window; per-group
+    sort happens within shuffle partitions, no global sort."""
+    out = top_k_per_group(
+        t(spark, sf, "customer").select("c_nationkey", "c_custkey", "c_acctbal"),
+        ["c_nationkey"],
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        k=3,
+    )
+    return out.withColumn("rn", F.col("rn").cast("long"))
+
+
+@query(
+    "olap_window_running_sum",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           sum(o_totalprice) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS running_total
+    FROM orders
+    """,
+    tags=("olap", "window"),
+)
+def window_running(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-customer running order total — analytic frame the reference's
+    secondary-sort (F5) can only emulate inside one reducer."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t(spark, sf, "orders").select(
+        "o_custkey", "o_orderkey", F.sum("o_totalprice").over(w).alias("running_total")
+    )
+
+
+@query(
+    "olap_window_lag_delta",
+    sql="""
+    SELECT user_id, event_id,
+           value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS delta
+    FROM events
+    """,
+    tags=("olap", "window"),
+)
+def window_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user event-value delta via lag()."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+@query(
+    "olap_sessionization",
+    sql="""
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM g
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+    tags=("olap", "window", "sessionization"),
+)
+def sessionization(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization: lag-gap > 30 min starts a new session, cumsum
+    numbers sessions — the standard two-window pattern (streaming variant in
+    streaming/events.py uses session_window)."""
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    g = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap > 1800, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0).alias(
+            "new_session"
+        ),
+    )
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = g.select(
+        "user_id", "ts", F.sum("new_session").over(cum).alias("session_id")
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# --------------------------------------------------------- rollup / cube / pivot
+
+
+@query(
+    "olap_rollup",
+    sql="SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    tags=("olap", "agg"),
+)
+def rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets (absent in reference, SURVEY.md §2.4)."""
+    return (
+        t(spark, sf, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "olap_cube",
+    sql="SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty "
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)",
+    tags=("olap", "agg"),
+)
+def cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE grouping sets."""
+    return (
+        t(spark, sf, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+@query(
+    "olap_pivot",
+    sql="""
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS qty_O,
+           sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("olap", "agg"),
+)
+def pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot on linestatus with explicit values (explicit list avoids the
+    extra distinct-values job — required practice at scale)."""
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum("l_quantity"))
+        .withColumnRenamed("O", "qty_O")
+        .withColumnRenamed("F", "qty_F")
+    )
+
+
+# ----------------------------------------------------------------- set ops
+
+
+@query(
+    "olap_semi_join",
+    sql="SELECT c_custkey, c_name FROM customer c WHERE EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+        " AND o.o_orderstatus = 'F')",
+    tags=("olap", "join"),
+)
+def semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS)."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "olap_anti_join",
+    sql="SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)",
+    tags=("olap", "join"),
+)
+def anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers without orders."""
+    c = t(spark, sf, "customer")
+    o = t(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "olap_intersect",
+    sql="SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' "
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'",
+    tags=("olap", "setop"),
+)
+def intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT: customers with both open and finished orders."""
+    o = t(spark, sf, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.intersect(fin)
+
+
+@query(
+    "olap_except",
+    sql="SELECT o_custkey FROM orders WHERE o_orderstatus = 'O' "
+        "EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'",
+    tags=("olap", "setop"),
+)
+def except_(spark: SparkSession, sf: str) -> DataFrame:
+    """EXCEPT (set semantics): customers with open but no finished orders.
+    subtract() is Spark's EXCEPT DISTINCT; exceptAll() would be the bag
+    version (EXCEPT ALL), which has different semantics."""
+    o = t(spark, sf, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.subtract(fin)
+
+
+# ------------------------------------------------------- datetime / json
+
+
+@query(
+    "olap_month_agg",
+    sql="SELECT date_trunc('month', o_orderdate) AS order_month, "
+        "CAST(count(*) AS BIGINT) AS n_orders, sum(o_totalprice) AS total_price "
+        "FROM orders GROUP BY 1",
+    tags=("olap", "datetime"),
+)
+def month_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar-month rollup via date_trunc (reference never touches its
+    time field; SURVEY.md §2.4 date/time row)."""
+    return (
+        t(spark, sf, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("order_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("total_price"),
+        )
+    )
+
+
+@query(
+    "olap_json_extract",
+    sql="SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
+        "CAST(count(*) AS BIGINT) AS n, sum(value) AS total_value "
+        "FROM events GROUP BY 1",
+    tags=("olap", "json"),
+)
+def json_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON field extraction from events.props (semi-structured column)."""
+    ev = t(spark, sf, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("long")
+    )
+    return ev.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value")
+    )
+
+
+# ---------------------------------------------------- percentiles / approx
+
+
+@query(
+    "olap_percentiles",
+    sql="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("olap", "agg"),
+)
+def percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact continuous percentiles (median / p95) per group. Spark
+    percentile() and DuckDB quantile_cont() both linearly interpolate."""
+    return (
+        t(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
+        )
+    )
+
+
+@query("olap_approx_distinct", sql=None, tags=("olap", "agg", "approx"))
+def approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts (sketch values are
+    engine-specific — DuckDB's approx_count_distinct uses a different sketch,
+    so this entry is rows-only; the exact-count analog q08 is hash-checked)."""
+    li = t(spark, sf, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+    )

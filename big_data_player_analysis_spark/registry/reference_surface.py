@@ -1,0 +1,339 @@
+"""Registry tier A: the reference's operator surface (SURVEY.md §2.2,
+Q1-Q18) bound to the driver's synthetic tables. Each docstring cites the
+reference op it re-expresses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_player_analysis_spark.operators.aggregates import (
+    count_per_key,
+    global_argmax,
+    global_mean,
+    having_count_distinct,
+    smoothed_avg,
+    sum_affine,
+)
+from big_data_player_analysis_spark.operators.joins import (
+    domain_completion,
+    enrich,
+    keyed_squared_difference,
+    left_join_default,
+)
+from big_data_player_analysis_spark.operators.setops import distinct_pairs, rank_vector_init
+from big_data_player_analysis_spark.operators.topk import top_k
+from big_data_player_analysis_spark.plans.heroic import heroic_score
+from big_data_player_analysis_spark.registry import query
+from big_data_player_analysis_spark.registry.common import DUELS_CTE, duel_edges, t
+
+# ---------------------------------------------------------------- Q1 / Q2
+
+
+@query(
+    "q01_count_per_key",
+    sql="SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders "
+        "FROM orders GROUP BY o_custkey",
+    tags=("reference", "agg"),
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    """Q1 count-per-key (reference exercise_1.py:9-29): orders per customer."""
+    return count_per_key(t(spark, sf, "orders"), "o_custkey", alias="n_orders")
+
+
+@query(
+    "q02_count_per_derived_key",
+    sql="SELECT split_part(o_orderpriority, '-', 1) AS priority_code, "
+        "CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1",
+    tags=("reference", "agg"),
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    """Q2 count-per-derived-key (reference exercise_1.py:31-52: key parsed out
+    of the value): orders per priority code extracted from the text field."""
+    orders = t(spark, sf, "orders").withColumn(
+        "priority_code", F.split_part(F.col("o_orderpriority"), F.lit("-"), F.lit(1))
+    )
+    return count_per_key(orders, "priority_code", alias="n_orders")
+
+
+@query(
+    "q03_global_argmax",
+    sql="SELECT o_orderkey AS argmax_id, o_totalprice AS max_val "
+        "FROM orders ORDER BY max_val DESC, argmax_id DESC LIMIT 1",
+    tags=("reference", "agg"),
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    """Q3 global argmax (reference exercise_1.py:54-87): priciest order,
+    deterministic id tie-break; compiles to TakeOrderedAndProject."""
+    return global_argmax(t(spark, sf, "orders"), "o_orderkey", "o_totalprice")
+
+
+@query(
+    "q04_smoothed_avg",
+    sql="SELECT o_custkey, (sum(o_totalprice) + 1.0) / (count(*) + 1.0) "
+        "AS smoothed_avg FROM orders GROUP BY o_custkey",
+    tags=("reference", "agg"),
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    """Q4 add-one smoothed average (reference exercise_2.py:36,
+    exercise_4.py:30): per-customer smoothed avg order price."""
+    return smoothed_avg(t(spark, sf, "orders"), "o_custkey", "o_totalprice")
+
+
+@query(
+    "q05_domain_completion",
+    sql="""
+    SELECT c.c_custkey AS o_custkey,
+           coalesce(a.smoothed_avg, 1.0) AS smoothed_avg
+    FROM (SELECT DISTINCT c_custkey FROM customer) c
+    LEFT JOIN (
+      SELECT o_custkey, (sum(o_totalprice) + 1.0) / (count(*) + 1.0) AS smoothed_avg
+      FROM orders GROUP BY o_custkey
+    ) a ON a.o_custkey = c.c_custkey
+    """,
+    tags=("reference", "join"),
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    """Q5 domain completion (reference exercise_4.py:14: players who never
+    challenge get the smoothing prior 1.0): every customer gets a smoothed
+    avg, order-less customers get the prior."""
+    avg = smoothed_avg(t(spark, sf, "orders"), "o_custkey", "o_totalprice")
+    universe = t(spark, sf, "customer").select(F.col("c_custkey").alias("o_custkey"))
+    return domain_completion(avg, universe, "o_custkey", {"smoothed_avg": 1.0})
+
+
+@query(
+    "q06_distinct_pairs",
+    sql="SELECT DISTINCT l_partkey, l_suppkey FROM lineitem",
+    tags=("reference", "dedup"),
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    """Q6 distinct composite key (reference exercise_3.py:10-22)."""
+    return distinct_pairs(t(spark, sf, "lineitem"), ["l_partkey", "l_suppkey"])
+
+
+@query(
+    "q07_projection_reversal",
+    sql="SELECT DISTINCT l_suppkey, l_partkey FROM lineitem",
+    tags=("reference", "dedup"),
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    """Q7 dedup emitted reversed (reference exercise_4.py:49-62)."""
+    return distinct_pairs(
+        t(spark, sf, "lineitem"), ["l_partkey", "l_suppkey"], reverse=True
+    )
+
+
+@query(
+    "q08_having_count_distinct",
+    sql="SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts "
+        "FROM lineitem GROUP BY l_suppkey HAVING count(DISTINCT l_partkey) >= 100",
+    tags=("reference", "agg"),
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    """Q8 COUNT(DISTINCT)+HAVING (reference exercise_3.py:25-47, H via
+    params): suppliers shipping >= 100 distinct parts."""
+    return having_count_distinct(
+        t(spark, sf, "lineitem"), "l_suppkey", "l_partkey", 100, alias="n_parts"
+    )
+
+
+@query(
+    "q09_equi_join",
+    sql="SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_mktsegment "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey",
+    tags=("reference", "join"),
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    """Q9 equi-join (reference exercise_4.py:64-105 reduce-side tagged join
+    -> broadcast hash join here: customer is the small dimension)."""
+    orders = t(spark, sf, "orders")
+    cust = t(spark, sf, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    return enrich(orders, cust.select("o_custkey", "c_mktsegment"), on="o_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"
+    )
+
+
+@query(
+    "q10_join_chain",
+    sql="""
+    SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_orders,
+           sum(o.o_totalprice) AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("reference", "join"),
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    """Q10 chained equi-joins (reference exercise_4.py:107-123 second join
+    pass): orders -> customer -> nation -> region rollup. All three dims are
+    broadcast; the fact table never shuffles until the final aggregate."""
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    n = t(spark, sf, "nation")
+    r = t(spark, sf, "region")
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("total_price"),
+    )
+
+
+@query(
+    "q11_left_join_default",
+    sql="""
+    SELECT c.c_custkey, c.c_acctbal,
+           CAST(coalesce(n.n_orders, 0) AS BIGINT) AS n_orders
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) n
+      ON n.o_custkey = c.c_custkey
+    """,
+    tags=("reference", "join"),
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    """Q11 left join + default (reference exercise_4.py:126-165, default at
+    :152): customers with their order count, 0 when orderless."""
+    cust = t(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    counts = count_per_key(t(spark, sf, "orders"), "o_custkey", alias="n_orders")
+    out = left_join_default(
+        cust,
+        counts.withColumnRenamed("o_custkey", "c_custkey"),
+        on="c_custkey",
+        defaults={"n_orders": 0},
+    )
+    return out.withColumn("n_orders", F.col("n_orders").cast("long"))
+
+
+@query(
+    "q12_scalar_expression",
+    sql="SELECT l_orderkey, l_linenumber, "
+        "l_extendedprice * (1 - l_discount) AS revenue FROM lineitem",
+    tags=("reference", "scalar"),
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    """Q12 scalar expression map (reference exercise_4.py:168-171): per-row
+    revenue; a pure project, pipelined inside whole-stage codegen."""
+    return t(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@query(
+    "q13_sum_affine",
+    sql="SELECT l_orderkey, 0.1 * sum(l_extendedprice * (1 - l_discount)) + 0.9 "
+        "AS damped_revenue FROM lineitem GROUP BY l_orderkey",
+    tags=("reference", "agg"),
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    """Q13 per-key sum + affine transform (reference exercise_4.py:173-192:
+    the damped rank update alpha*sum + (1-alpha))."""
+    li = t(spark, sf, "lineitem").withColumn(
+        "revenue", F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    )
+    return sum_affine(li, "l_orderkey", "revenue", 0.1, 0.9, alias="damped_revenue")
+
+
+@query(
+    "q14_keyed_sqdiff",
+    sql="""
+    WITH o AS (
+      SELECT o_custkey, o_totalprice / 100000.0 AS price FROM orders
+    ), a AS (
+      SELECT o_custkey, (sum(price) + 1.0) / (count(*) + 1.0) AS v
+      FROM o GROUP BY o_custkey
+    ), b AS (
+      SELECT o_custkey, sum(price) / count(*) AS v
+      FROM o GROUP BY o_custkey
+    )
+    SELECT a.o_custkey, power(a.v - b.v, 2) AS sq_diff
+    FROM a JOIN b ON a.o_custkey = b.o_custkey
+    """,
+    tags=("reference", "join"),
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    """Q14 keyed squared difference of two score vectors (reference
+    exercise_4.py:194-210 sign-alternation trick -> join + pow here):
+    smoothed vs plain average of a unit-scaled price per customer. Prices
+    are scaled to O(1) first, the same magnitude regime as the reference's
+    rank vectors — this also keeps the squared difference well inside float
+    tolerance of the SQL oracle."""
+    orders = t(spark, sf, "orders").select(
+        "o_custkey", (F.col("o_totalprice") / F.lit(100000.0)).alias("price")
+    )
+    a = smoothed_avg(orders, "o_custkey", "price", alias="v")
+    b = orders.groupBy("o_custkey").agg(
+        (F.sum("price") / F.count(F.lit(1))).alias("v")
+    )
+    return keyed_squared_difference(a, b, "o_custkey", "v", alias="sq_diff")
+
+
+@query(
+    "q15_global_mean",
+    sql="SELECT avg(l_extendedprice) AS mean_val FROM lineitem",
+    tags=("reference", "agg"),
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    """Q15 global scalar mean (reference exercise_4.py:212-236)."""
+    return global_mean(t(spark, sf, "lineitem"), "l_extendedprice")
+
+
+@query("q16_heroic_iterative", sql=None, tags=("reference", "iterative"))
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    """Q16 the iterative heroic-score engine (reference exercise_4.py:267-283)
+    on events-derived duels. Not SQL-expressible as one statement (driver
+    rows-only check); correctness is pinned by tests/test_heroic.py against
+    hand-computed fixtures and convergence invariants."""
+    result = heroic_score(duel_edges(spark, sf), alpha=0.1, tol=0.1, max_iter=30)
+    return result.scores.select(
+        "player_id", F.round("hs", 6).alias("hs")
+    )
+
+
+@query(
+    "q17_top_k",
+    sql="SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10",
+    tags=("reference", "topk"),
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    """Q17 global top-k (reference exercise_4.py:238-265 single-group trick
+    -> TakeOrderedAndProject here)."""
+    return top_k(
+        t(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.desc("o_orderkey")],
+        k=10,
+    )
+
+
+@query(
+    "q18_rank_vector_init",
+    sql=f"""
+    WITH {DUELS_CTE.strip()}
+    SELECT id, 1.0 AS hs FROM (
+      SELECT challenger_id AS id FROM duels
+      UNION
+      SELECT challenged_id AS id FROM duels
+    )
+    """,
+    tags=("reference", "setop"),
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    """Q18 rank-vector init over the player universe (reference
+    exercise_4.py:36-47): union of both duel sides, hs=1.0."""
+    return rank_vector_init(
+        duel_edges(spark, sf),
+        ["challenger_id", "challenged_id"],
+        alias="id",
+        value=1.0,
+        value_alias="hs",
+    )

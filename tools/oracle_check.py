@@ -1,0 +1,102 @@
+"""Local stand-in for the driver's correctness gate: run every registry
+query on Spark AND its DuckDB oracle, compare row count, column names, and
+values (sorted order-insensitively, floats rounded to 6 significant-ish
+decimals). Usage:
+
+    python tools/oracle_check.py [sf_dir] [name_filter ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from big_data_player_analysis_spark.catalog import TABLES
+from big_data_player_analysis_spark.registry import all_queries
+from big_data_player_analysis_spark.session import get_spark
+
+
+def normalize(df, float_round=6):
+    """pandas DataFrame -> sorted list of row tuples with rounded floats."""
+    import pandas as pd
+
+    df = df[sorted(df.columns)]
+    rows = []
+    for row in df.itertuples(index=False):
+        out = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                out.append(None)
+            elif isinstance(v, float):
+                out.append(round(v, float_round) + 0.0)
+            elif isinstance(v, pd.Timestamp):
+                out.append(v.tz_localize(None) if v.tzinfo else v)
+            else:
+                out.append(v)
+        rows.append(tuple(out))
+    return sorted(rows, key=lambda r: tuple((x is None, str(x)) for x in r))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filters = sys.argv[2:]
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    specs = all_queries()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, spec in sorted(specs.items()):
+        if name_filters and not any(f in name for f in name_filters):
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if spec.sql is None:
+            print(f"rows-only {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+            n_rowsonly += 1
+            continue
+        try:
+            odf = con.execute(spec.sql).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(sdf) != len(odf):
+            problems.append(f"rowcount spark={len(sdf)} duckdb={len(odf)}")
+        if sorted(map(str.lower, sdf.columns)) != sorted(map(str.lower, odf.columns)):
+            problems.append(f"columns spark={sorted(sdf.columns)} duckdb={sorted(odf.columns)}")
+        if not problems:
+            s_rows, o_rows = normalize(sdf), normalize(odf)
+            if s_rows != o_rows:
+                diff = [
+                    (a, b) for a, b in zip(s_rows, o_rows) if a != b
+                ][:3]
+                problems.append(f"values differ, first diffs: {diff}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            n_fail += 1
+        else:
+            print(f"ok   {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
+            n_pass += 1
+
+    print(f"\n{n_pass} ok, {n_rowsonly} rows-only, {n_fail} FAIL")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
