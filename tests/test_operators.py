@@ -1,0 +1,136 @@
+"""Unit tests for the operator library on tiny inline DataFrames
+(SURVEY.md §5 strategy item 3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_player_analysis_spark.operators import (
+    count_per_key,
+    distinct_pairs,
+    domain_completion,
+    global_argmax,
+    global_mean,
+    having_count_distinct,
+    key_universe,
+    keyed_squared_difference,
+    left_join_default,
+    rank_vector_init,
+    smoothed_avg,
+    sum_affine,
+    top_k,
+    top_k_per_group,
+)
+from tests.conftest import rows_set
+
+
+@pytest.fixture(scope="module")
+def duels(spark):
+    # (challenger, challenged, score)
+    rows = [
+        (1, 2, 10),
+        (1, 2, 20),
+        (1, 3, 30),
+        (2, 1, 40),
+        (3, 4, 6),  # 4 never challenges
+    ]
+    return spark.createDataFrame(rows, "challenger long, challenged long, score long")
+
+
+def test_count_per_key(duels):
+    assert rows_set(count_per_key(duels, "challenger", alias="n")) == [
+        (1, 3),
+        (2, 1),
+        (3, 1),
+    ]
+
+
+def test_smoothed_avg_matches_reference_formula(duels):
+    # reference exercise_2.py:36: (sum+1)/(count+1)
+    got = rows_set(smoothed_avg(duels, "challenger", "score", alias="s"))
+    assert got == [
+        (1, (60 + 1) / (3 + 1)),
+        (2, (40 + 1) / (1 + 1)),
+        (3, (6 + 1) / (1 + 1)),
+    ]
+
+
+def test_global_argmax_tie_breaks_on_id(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 5.0), (3, 1.0)], "id long, v double")
+    assert rows_set(global_argmax(df, "id", "v")) == [(2, 5.0)]
+
+
+def test_having_count_distinct(duels):
+    got = rows_set(having_count_distinct(duels, "challenger", "challenged", 2, alias="n"))
+    assert got == [(1, 2)]  # challenger 1 faced {2, 3}
+
+
+def test_global_mean(duels):
+    assert rows_set(global_mean(duels, "score", alias="m")) == [(106 / 5,)]
+
+
+def test_sum_affine(duels):
+    got = rows_set(sum_affine(duels, "challenger", "score", 0.1, 0.9, alias="hs"))
+    assert got == [(1, 0.1 * 60 + 0.9), (2, 0.1 * 40 + 0.9), (3, 0.1 * 6 + 0.9)]
+
+
+def test_distinct_pairs_and_reversal(duels):
+    assert rows_set(distinct_pairs(duels, ["challenger", "challenged"])) == [
+        (1, 2),
+        (1, 3),
+        (2, 1),
+        (3, 4),
+    ]
+    assert rows_set(
+        distinct_pairs(duels, ["challenger", "challenged"], reverse=True)
+    ) == [(1, 2), (2, 1), (3, 1), (4, 3)]
+
+
+def test_key_universe_and_rank_init(duels):
+    got = rows_set(rank_vector_init(duels, ["challenger", "challenged"], "id", 1.0, "hs"))
+    assert got == [(1, 1.0), (2, 1.0), (3, 1.0), (4, 1.0)]
+
+
+def test_domain_completion(spark, duels):
+    avg = smoothed_avg(duels, "challenger", "score", alias="s").withColumnRenamed(
+        "challenger", "id"
+    )
+    universe = key_universe(duels, ["challenger", "challenged"], alias="id")
+    out = domain_completion(avg, universe, "id", {"s": 1.0})
+    got = dict((r.id, r.s) for r in out.collect())
+    assert got[4] == 1.0  # player 4 never challenges -> prior
+    assert got[1] == (60 + 1) / (3 + 1)
+    assert len(got) == 4
+
+
+def test_left_join_default(spark):
+    left = spark.createDataFrame([(1,), (2,)], "k long")
+    right = spark.createDataFrame([(1, 9.0)], "k long, v double")
+    out = left_join_default(left, right, "k", {"v": 0.5})
+    assert rows_set(out) == [(1, 9.0), (2, 0.5)]
+
+
+def test_keyed_squared_difference(spark):
+    a = spark.createDataFrame([(1, 3.0), (2, 1.0)], "k long, v double")
+    b = spark.createDataFrame([(1, 1.0), (2, 1.0), (3, 7.0)], "k long, v double")
+    # inner-join semantics: key 3 (missing in a) is dropped
+    assert rows_set(keyed_squared_difference(a, b, "k", "v", alias="d")) == [
+        (1, 4.0),
+        (2, 0.0),
+    ]
+
+
+def test_top_k(spark):
+    df = spark.createDataFrame([(i, float(i % 7)) for i in range(50)], "id long, v double")
+    got = top_k(df, [F.desc("v"), F.desc("id")], k=3).collect()
+    assert [(r.id, r.v) for r in got] == [(48, 6.0), (41, 6.0), (34, 6.0)]
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 3.0), ("b", 4, 9.0)],
+        "g string, id long, v double",
+    )
+    got = rows_set(top_k_per_group(df, ["g"], [F.desc("v"), F.asc("id")], k=2))
+    assert got == [("a", 2, 2.0, 2), ("a", 3, 3.0, 1), ("b", 4, 9.0, 1)]

@@ -1,0 +1,109 @@
+"""Golden-parity tests against the reference's committed run artifacts
+(SURVEY.md §5 strategy item 2). Skipped when /root/reference is absent.
+
+Float equality with the goldens is asserted to tolerances only: the
+reference accumulates floats in comparator-dependent order over randomly
+shuffled input (reference emulator.py:108-129, :171), and its committed
+iterative state depends on stale directories from prior runs (SURVEY.md
+§3.3) — the engine implements the intended semantics and converges to the
+same fixed point.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from big_data_player_analysis_spark.plans.heroic import (
+    edges_with_avgs,
+    heroic_score,
+    smoothed_avg_completed,
+)
+from big_data_player_analysis_spark.plans.pipelines import (
+    distinct_duel_pairs,
+    prolific_challengers,
+)
+
+REF = "/root/reference"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference repo not available"
+)
+
+
+@pytest.fixture(scope="module")
+def origin_duels(spark):
+    from big_data_player_analysis_spark.sources.text import read_duels_text
+
+    return read_duels_text(spark, f"{REF}/origin")
+
+
+def read_golden(path):
+    out = {}
+    with open(path, encoding="latin-1") as f:
+        for line in f:
+            if line.strip():
+                k, v = line.rstrip("\n").split("\t")
+                out[int(k)] = float(v)
+    return out
+
+
+def test_origin_cardinalities(origin_duels):
+    # BASELINE.md §A: 518 duels, 100 challengers, 112 players, 504 pairs
+    assert origin_duels.count() == 518
+    assert origin_duels.select("challenger_id").distinct().count() == 100
+    assert distinct_duel_pairs(origin_duels).count() == 504
+
+
+def test_smoothed_avg_golden(origin_duels):
+    golden = read_golden(f"{REF}/avg_challenger_score/output.txt")
+    got = {r.player_id: r.avg_score for r in smoothed_avg_completed(origin_duels).collect()}
+    assert len(golden) == 112
+    assert set(got) == set(golden)
+    for p, v in golden.items():
+        assert got[p] == pytest.approx(v, rel=1e-9), f"player {p}"
+
+
+def test_join_fanout_golden(origin_duels):
+    # every join stage preserves the 504 distinct pairs 1:1 (BASELINE.md)
+    assert edges_with_avgs(origin_duels).count() == 504
+
+
+def test_exercise3_expectation(origin_duels):
+    # BASELINE.md: with H=12, exactly 4 challengers pass
+    assert prolific_challengers(origin_duels, 12).count() == 4
+
+
+def test_heroic_converges_to_reference_fixed_point(origin_duels):
+    """The reference's committed heroic_score dir is (approximately) the
+    fixed point of the update map; converging tightly from hs=1.0 must land
+    on it. Also: with the reference's own threshold the loop converges and
+    the top-10 id ranking matches top_10/output.txt."""
+    golden = read_golden(f"{REF}/heroic_score/output.txt")
+    with open(f"{REF}/top_10/output.txt", encoding="latin-1") as f:
+        golden_top = [int(line.split("\t")[0]) for line in f if line.strip()]
+
+    result = heroic_score(origin_duels, alpha=0.1, tol=1e-8, max_iter=200)
+    got = {r.player_id: r.hs for r in result.scores.collect()}
+    assert result.converged
+    assert len(got) == 100 == len(golden)
+
+    # committed goldens sit within ~sqrt(final committed msd)=0.05 of the
+    # fixed point (their own run stopped at msd<=0.1 from stale state), so
+    # compare with a tolerance matching that distance
+    for p, v in golden.items():
+        assert got[p] == pytest.approx(v, rel=1e-2, abs=0.05), f"player {p}"
+
+    top10 = sorted(got.items(), key=lambda kv: (-kv[1], -kv[0]))[:10]
+    assert [p for p, _ in top10] == golden_top
+
+
+def test_heroic_reference_threshold_behavior(origin_duels):
+    # with the reference's tol=0.1 the loop converges quickly and MSD
+    # decreases monotonically (BASELINE.md: committed final MSD 0.0026)
+    result = heroic_score(origin_duels, alpha=0.1, tol=0.1, max_iter=50)
+    assert result.converged
+    assert result.msd_history[-1] <= 0.1
+    for a, b in zip(result.msd_history, result.msd_history[1:]):
+        assert b <= a * 1.0000001

@@ -1,0 +1,55 @@
+"""Registry-level checks: every query runs at sf0.001 and hash-matches its
+DuckDB oracle (the driver's t2 gate, run small and fast here; the full
+sf0.01 sweep is tools/oracle_check.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from big_data_player_analysis_spark.catalog import TABLES
+from big_data_player_analysis_spark.registry import all_queries
+from tools.oracle_check import normalize
+
+SPECS = all_queries()
+
+
+@pytest.fixture(scope="module")
+def oracle(sf_small):
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{sf_small}/{name}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_query_matches_oracle(spark, sf_small, oracle, name):
+    spec = SPECS[name]
+    sdf = spec.fn(spark, sf_small).toPandas()
+    if spec.sql is None:
+        assert len(sdf) >= 0  # rows-only contract: runs and has a schema
+        assert sdf.columns.tolist()
+        return
+    odf = oracle.execute(spec.sql).df()
+    assert len(sdf) == len(odf), f"rowcount spark={len(sdf)} duckdb={len(odf)}"
+    assert sorted(map(str.lower, sdf.columns)) == sorted(map(str.lower, odf.columns))
+    assert normalize(sdf) == normalize(odf)
+
+
+def test_entry_smoke(spark):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 10
+    assert df.schema.simpleString() == "struct<player_id:bigint,hs:double>"
+    # queries/oracle contract shape
+    q, o = mod.queries(), mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert all(callable(f) for f in q.values())
