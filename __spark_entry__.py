@@ -33,7 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from big_data_player_analysis_spark.plans.heroic import heroic_score
     from big_data_player_analysis_spark.registry.common import duel_edges
 
-    result = heroic_score(duel_edges(spark, SMOKE_SF_DIR), alpha=0.1, tol=0.1, max_iter=30)
+    result = heroic_score(duel_edges(spark, SMOKE_SF_DIR), alpha=0.1, tol=0.1, max_iter=10)
     return result.scores.orderBy(F.desc("hs"), F.desc("player_id")).limit(10)
 
 

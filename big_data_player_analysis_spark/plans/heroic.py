@@ -89,6 +89,7 @@ def heroic_score(
     tol: float = 0.1,
     max_iter: int = 50,
     num_partitions: int | None = None,
+    broadcast_scores: bool = True,
 ) -> HeroicResult:
     """Run the damped iterative rank to convergence (reference Q11-Q16).
 
@@ -96,6 +97,14 @@ def heroic_score(
     score at the init value 1.0 (the reference reads a stale directory but
     defaults missing scores to 1.0, exercise_4.py:152, which coincides with
     the init — SURVEY.md §3.3).
+
+    broadcast_scores=True broadcasts the per-iteration score vector into
+    the join against the persisted edge table, so iterations do a
+    broadcast-hash join over the cached edges with NO shuffle of the big
+    side (the localCheckpoint'd vector has no size stats, so Catalyst would
+    otherwise plan a sort-merge join). Set False only when the player
+    universe itself is too large for executor memory — then the join falls
+    back to shuffle, co-partitioned with the edges' pre-partitioning.
     """
     edges = edges_with_avgs(duels, num_partitions=num_partitions)
     edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -113,10 +122,14 @@ def heroic_score(
     for it in range(max_iter):
         # join current scores onto the challenged endpoint; players without a
         # score contribute the default 1.0 (reference exercise_4.py:152)
+        hs_by_challenged = hs.select(
+            F.col("player_id").alias("challenged_id"), F.col("hs").alias("hs_challenged")
+        )
+        if broadcast_scores:
+            hs_by_challenged = F.broadcast(hs_by_challenged)
         contrib = (
             edges.join(
-                hs.select(F.col("player_id").alias("challenged_id"),
-                          F.col("hs").alias("hs_challenged")),
+                hs_by_challenged,
                 on="challenged_id",
                 how="left",
             )
