@@ -1,0 +1,77 @@
+"""Multimodal column plumbing (SURVEY.md §2.4 extension tier).
+
+Media (image/audio/video) is modeled as an opaque ``binary`` payload column
+plus a typed metadata struct — the layout a 100 TB training-data lake uses
+(payload bytes inline in parquet or as object-store references; metadata
+queryable without touching bytes). Decode/feature-extraction runs as an
+Arrow-batched ``mapInPandas`` operator: one Python process per partition,
+whole column batches across the boundary, no per-row pickling.
+
+The actual codec step is STUBBED: image/audio libraries are not in this
+container, so ``decode_features`` computes deterministic pseudo-features
+from the raw bytes (and ``decode_image`` raises NotImplementedError where
+a real pillow/ffmpeg call would go). Everything around the stub — schema,
+binary handling, batch iteration, partitioning — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("fake_width", T.LongType(), False),
+        T.StructField("fake_height", T.LongType(), False),
+        T.StructField("fake_n_frames", T.LongType(), False),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Simulate a media table: utf-8 payload bytes + typed metadata struct.
+    (With real media the payload column would come straight from ingestion;
+    this derives one deterministically from text so tests have data.)"""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("source"),
+            F.length(F.col(text_col)).alias("n_chars"),
+            F.lit("application/octet-stream").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - documented stub
+    """Real codec hook. Container has no imaging libs; a deployment would
+    replace this with PIL.Image.open(io.BytesIO(payload)) etc."""
+    raise NotImplementedError("media codecs not available in this environment")
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Batch 'decode' via mapInPandas: deterministic pseudo-features from
+    the payload bytes (stands in for width/height/frame-count extraction).
+    The formulas are plain arithmetic on byte length so an ANSI-SQL oracle
+    can reproduce them."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = pdf["payload"].map(len).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": n,
+                    "fake_width": n % 640,
+                    "fake_height": (n * 7) % 480,
+                    "fake_n_frames": n % 30 + 1,
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)

@@ -1,0 +1,295 @@
+"""Deduplication operators for the LLM-data-pipeline tier (SURVEY.md §2.4):
+exact, n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine.
+
+Scale design (the whole point at 100 TB):
+  * Exact dedup is a hash aggregate on a fingerprint — shuffle O(distinct).
+  * N-gram Jaccard NEVER does an all-pairs comparison: candidate pairs come
+    from an inverted shingle index restricted to shingles with document
+    frequency <= max_df (a frequent shingle carries no discriminative
+    signal but would contribute df^2 candidate pairs); exact Jaccard is
+    then computed only for candidates. Both stages are joins/aggregates —
+    no driver-side loops.
+  * MinHash+LSH replaces the inverted index with banded signatures:
+    candidate volume is controlled by band collisions, independent of
+    shingle frequency skew. Candidates are verified with exact Jaccard, so
+    precision is 1 and recall is the LSH recall (~1 - (1-j^r)^b).
+  * SimHash uses bit-banding (pigeonhole: hamming <= bands-1 guarantees a
+    shared band) + popcount verification.
+
+The reference's only dedup is the exact composite-key distinct
+(reference exercise_3.py:10-22 / exercise_4.py:49-62) = dedup_exact here.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from big_data_player_analysis_spark.functions.text import char_shingles, md5_fingerprint
+from big_data_player_analysis_spark.functions.vectors import cosine_similarity
+
+# MinHash parameters: 64 hashes = 16 bands x 4 rows. Universal-hash
+# coefficients are fixed (seeded) so signatures are deterministic.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+N_HASHES = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_HASHES // N_BANDS
+_rng = random.Random(20240813)
+MINHASH_A = [_rng.randrange(1, MINHASH_PRIME) for _ in range(N_HASHES)]
+MINHASH_B = [_rng.randrange(0, MINHASH_PRIME) for _ in range(N_HASHES)]
+
+SIMHASH_BITS = 64
+# Pigeonhole: detecting hamming <= h needs h+1 bands. Nine bands over 64
+# bits (eight 7-bit + one 8-bit) guarantee a shared band for hamming <= 8 —
+# on short documents a single differing shingle flips several bits, so
+# near-dup pairs (j ~ 0.9) land at hamming 7-8, past an 8-band cutoff.
+SIMHASH_MAX_HAMMING = 8
+SIMHASH_BAND_BOUNDS = [(i * 7, 7) for i in range(8)] + [(56, 8)]
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by md5 fingerprint of normalized text: one
+    surviving id per group + the duplicate count. Hash-groupBy: shuffle is
+    O(distinct fingerprints)."""
+    return (
+        df.select(F.col(id_col), md5_fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """(id, shingle) — exploded distinct character k-shingles of the
+    normalized text. The inverted-index building block."""
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(char_shingles(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def _exact_jaccard_on_candidates(
+    cand: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs from the full
+    shingle table: |A∩B| via a two-sided join on the shingle, |A| and |B|
+    from per-doc sizes."""
+    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col("doc").alias("doc_a"), "shingle")
+    sb = shingles.select(F.col("doc").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+    return out.select("doc_a", "doc_b", "jaccard")
+
+
+def dedup_ngram_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold: float = 0.6,
+    max_df: int = 20,
+) -> DataFrame:
+    """Near-duplicate pairs by exact character-k-gram Jaccard >= threshold.
+
+    Candidates come from co-occurrence on *rare* shingles only
+    (df <= max_df); the Jaccard itself is exact over ALL shingles. A true
+    near-dup pair (j >= 0.6) shares hundreds of shingles, so requiring one
+    shared rare shingle loses nothing in practice while keeping candidate
+    generation linear-ish instead of df^2 on hot shingles."""
+    shingles = shingle_table(df, id_col, text_col, k)
+    rare = shingles.join(
+        shingles.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= F.lit(max_df))
+        .select("shingle"),
+        "shingle",
+    )
+    ra = rare.select(F.col("doc").alias("doc_a"), "shingle")
+    rb = rare.select(F.col("doc").alias("doc_b"), "shingle")
+    cand = (
+        ra.join(rb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return _exact_jaccard_on_candidates(cand, shingles, threshold)
+
+
+def _minhash_signature(shingle_arr: Column) -> Column:
+    """64-slot MinHash signature of an array<string> of shingles:
+    slot_j = min over shingles of (a_j * murmur3(shingle) + b_j) mod p.
+    Pure expression (transform + array_min), evaluated JVM-side."""
+    hashes = F.transform(shingle_arr, lambda s: F.abs(F.hash(s)).cast("long"))
+
+    def perm(a: int, b: int):
+        # closure factory: Spark inspects the lambda arity, so defaults
+        # like `lambda h, a=a: ...` are rejected as 3-arg lambdas
+        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
+
+    slots = [
+        F.array_min(F.transform(hashes, perm(a, b)))
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ]
+    return F.array(*slots)
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash signatures + banded LSH + exact
+    verification. Same output contract as dedup_ngram_jaccard; recall is
+    the LSH band-collision probability (>= 1 - (1-t^4)^16, ~0.9998 at
+    t=0.8), precision 1.0 because candidates are verified exactly."""
+    with_sh = df.select(
+        F.col(id_col).alias("doc"), char_shingles(F.col(text_col), k).alias("sh")
+    ).filter(F.size("sh") > 0)
+    sig = with_sh.select("doc", _minhash_signature(F.col("sh")).alias("sig"))
+    bands = sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(F.slice("sig", i * ROWS_PER_BAND + 1, ROWS_PER_BAND)).alias(
+                            "bucket"
+                        ),
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    ba = bands.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    bb = bands.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    cand = (
+        ba.join(bb, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    shingles = with_sh.select("doc", F.explode("sh").alias("shingle"))
+    return _exact_jaccard_on_candidates(cand, shingles, threshold)
+
+
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """(doc, sig): 64-bit SimHash over xxhash64(shingle) features — bit i
+    of the signature is 1 iff the count of features with bit i set exceeds
+    the count without. Explode + 64 conditional sums: the aggregate gets a
+    map-side partial combine and shuffles one 64-long row per doc."""
+    feats = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(char_shingles(F.col(text_col), k)).alias("shingle"),
+    ).select("doc", F.xxhash64("shingle").alias("h"))
+    counters = feats.groupBy("doc").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+                .cast("long")
+            ).alias(f"c{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    # assemble the long: bit 63 via the sign bit (1<<63 overflows a long)
+    bit_terms = [
+        F.when(
+            F.col(f"c{i}") > 0,
+            F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(SIMHASH_BITS)
+    ]
+    sig = bit_terms[0]
+    for term in bit_terms[1:]:
+        sig = sig.bitwiseOR(term)
+    return counters.select("doc", sig.alias("sig"))
+
+
+def dedup_simhash(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> DataFrame:
+    """Near-duplicate pairs with SimHash hamming distance <= max_hamming.
+    Candidates via 9 band buckets (pigeonhole exact for <= 8), verified
+    with bit_count(xor)."""
+    sigs = simhash_signatures(df, id_col, text_col, k)
+    bands = sigs.select(
+        "doc",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sig", off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bucket"),
+                    )
+                    for i, (off, width) in enumerate(SIMHASH_BAND_BOUNDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "sig", "bb.band", "bb.bucket")
+    ba = bands.select(F.col("doc").alias("doc_a"), F.col("sig").alias("sig_a"), "band", "bucket")
+    bb = bands.select(F.col("doc").alias("doc_b"), F.col("sig").alias("sig_b"), "band", "bucket")
+    return (
+        ba.join(bb, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sig_a", "sig_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).cast("long")
+        )
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def dedup_embedding_cosine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.45,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine >= threshold (brute-force
+    all-pairs — correctness baseline; the LSH-bucketed scale path is
+    operators/similarity.py:ann_lsh_buckets)."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

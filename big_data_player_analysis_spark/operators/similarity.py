@@ -1,0 +1,226 @@
+"""Similarity search over embedding columns (array<float>) — the ANN tier
+of the LLM-data-pipeline extensions (SURVEY.md §2.4).
+
+Three strategies, increasing scale:
+  * brute-force top-k: exact, one pass, O(n) dot products per query —
+    the correctness baseline and fine for one-off queries.
+  * IVF (inverted-file) probe: coarse-quantize vectors into cells (here
+    the pre-assigned ``label`` column plays the centroid-assignment role;
+    on unlabeled data the assignment would come from a k-means fit),
+    compute cell centroids, search only the closest n_probe cells —
+    the classic recall/throughput knob.
+  * random-hyperplane LSH buckets: signature-bucketed candidates for
+    all-pairs workloads, no centroids needed.
+
+Everything is built-in expressions (zip_with/aggregate); no UDF in the hot
+path. Vectors are upcast to double so an ANSI-SQL oracle matches exactly.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from big_data_player_analysis_spark.functions.vectors import cosine_similarity
+
+LSH_DIM = 64
+LSH_PLANES = 16
+_rng = random.Random(987654321)
+# fixed seeded hyperplanes (deterministic across runs)
+LSH_HYPERPLANES = [
+    [_rng.gauss(0.0, 1.0) for _ in range(LSH_DIM)] for _ in range(LSH_PLANES)
+]
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k of ``vectors`` for a single-row ``query``
+    DataFrame. The query side is broadcast; the big side streams through a
+    codegen'd dot product and a TakeOrderedAndProject."""
+    q = F.broadcast(
+        query.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    return (
+        vectors.select(F.col(id_col), F.col(vec_col))
+        .join(q, F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col(vec_col), F.col("qv")), 6))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "cosine")
+    )
+
+
+def knn_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """k-nearest-neighbor join: for every query row, the k most cosine-
+    similar vectors. Broadcast the query set (the small side by contract),
+    rank with a per-query window."""
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    scored = (
+        vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv"))
+        .join(q, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col("nv"), F.col("qv")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+def ivf_centroids(
+    vectors: DataFrame, cell_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cell centroid as the element-wise mean: posexplode -> avg per
+    (cell, position) -> re-assemble ordered array. All shuffles are
+    O(cells * dim)."""
+    return (
+        vectors.select(F.col(cell_col).alias("cell"), F.posexplode(vec_col))
+        .groupBy("cell", "pos")
+        .agg(F.avg(F.col("col").cast("double")).alias("m"))
+        .groupBy("cell")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("cell", F.transform("pm", lambda s: s.m).alias("centroid"))
+    )
+
+
+def ivf_probe_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    n_probe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """IVF search: rank cells by centroid cosine to the query, scan only
+    the best n_probe cells, exact-rank within them. At scale this reads
+    1/n_cells * n_probe of the data (cell-partitioned parquet would prune
+    at the scan)."""
+    cents = ivf_centroids(vectors, cell_col, vec_col)
+    q = F.broadcast(
+        query.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    best_cells = F.broadcast(
+        cents.crossJoin(q)
+        .withColumn("ccos", cosine_similarity(F.col("centroid"), F.col("qv")))
+        .orderBy(F.desc("ccos"), F.asc("cell"))
+        .limit(n_probe)
+        .select("cell")
+    )
+    return (
+        vectors.select(F.col(id_col), F.col(vec_col), F.col(cell_col).alias("cell"))
+        .join(best_cells, "cell")
+        .join(q, F.col(id_col) != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_similarity(F.col(vec_col), F.col("qv")), 6))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "cosine")
+    )
+
+
+def lsh_bucket_signature(vec_col):
+    """Random-hyperplane signature: bit i = sign(v . h_i). Returns a long
+    bucket id (0..2^16-1) as a pure expression over the fixed seeded
+    hyperplanes."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda v, h: v.cast("double") * h,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.shiftleft(F.lit(1).cast("long"), i),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, plane in enumerate(LSH_HYPERPLANES)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseOR(b)
+    return out
+
+
+ANN_LSH_BANDS = 5  # pigeonhole: hamming <= 4 over 16 bits => a shared band
+
+
+def ann_lsh_buckets(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.45,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """All-pairs near-neighbor search, LSH-bucketed: candidate pairs share
+    at least one of 5 bands of the 16-bit hyperplane signature (pigeonhole
+    guarantees this covers every pair with signature hamming <=
+    max_hamming=4), then are verified with the hamming bound AND exact
+    cosine >= threshold. The band join is a plain equi-join — shuffle on
+    (band, bits), never an n^2 cross product."""
+    bits_per_band = (LSH_PLANES + ANN_LSH_BANDS - 1) // ANN_LSH_BANDS
+    mask = (1 << bits_per_band) - 1
+    sigs = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        lsh_bucket_signature(F.col(vec_col)).alias("sig"),
+    )
+    bands = sigs.select(
+        "id",
+        "v",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright("sig", i * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    )
+                    for i in range(ANN_LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "v", "sig", "bb.band", "bb.bits")
+    a = bands.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("sig").alias("sig_a"),
+        "band", "bits",
+    )
+    b = bands.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("sig").alias("sig_b"),
+        "band", "bits",
+    )
+    cand = (
+        a.join(b, ["band", "bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= F.lit(max_hamming)
+        )
+        .select("id_a", "id_b", "va", "vb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,5 +1,378 @@
 """Registry tier C: LLM-data-pipeline operators (dedup, similarity search,
 multimodal columns, text analysis) — the mandated extension surface
-(SURVEY.md §2.4 last row). Filled in incrementally."""
+(SURVEY.md §2.4 last row).
+
+Oracle SQL is generated from the SAME constants (stopword lists, weights,
+shingle size, thresholds) as the Spark implementations, so both engines
+evaluate literally the same formulas. Entries whose Spark side depends on
+engine-specific hash functions (xxhash64 SimHash, murmur3 MinHash *bucket*
+assignment) either verify candidates exactly (MinHash -> same final answer
+as the exact SQL) or are rows-only (SimHash).
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from big_data_player_analysis_spark.functions.text import (
+    BPE_TOKEN_PATTERN,
+    LANG_PRIORITY,
+    LANG_STOPWORDS,
+    QUALITY_LEN_NORM,
+    QUALITY_WEIGHTS,
+    bpe_token_count,
+    language_scores,
+    md5_fingerprint,
+    predict_language,
+    quality_score,
+    ws_token_count,
+)
+from big_data_player_analysis_spark.operators.dedup import (
+    dedup_embedding_cosine,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from big_data_player_analysis_spark.operators.similarity import (
+    ann_lsh_buckets,
+    brute_force_topk,
+    ivf_probe_topk,
+    knn_join,
+)
+from big_data_player_analysis_spark.registry import query
+from big_data_player_analysis_spark.registry.common import t
+
+# ---------------------------------------------------------------- SQL bits
+
+SHINGLE_K = 8
+JACCARD_THRESHOLD = 0.6
+JACCARD_MAX_DF = 20
+COSINE_DUP_THRESHOLD = 0.45
+
+# normalized text (must mirror functions.text.normalize_text; DuckDB's
+# regexp_replace needs the 'g' flag to replace every match like Spark does)
+SQL_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+
+def _sql_hits(word: str) -> str:
+    """Whole-token occurrence count via the replace-length trick — the
+    exact SQL twin of functions.text.stopword_hits."""
+    pat = f" {word} "
+    return (
+        f"CAST((length(p) - length(replace(p, '{pat}', ''))) / {len(pat)} AS BIGINT)"
+    )
+
+
+def _sql_lang_score(lang: str) -> str:
+    return " + ".join(_sql_hits(w) for w in LANG_STOPWORDS[lang])
+
+
+def _sql_lang_case() -> str:
+    clauses = []
+    for i, lang in enumerate(LANG_PRIORITY[:-1]):
+        later = LANG_PRIORITY[i + 1 :]
+        cond = " AND ".join(f"s_{lang} >= s_{o}" for o in later)
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + f" ELSE '{LANG_PRIORITY[-1]}' END"
+
+
+SQL_SHINGLES_CTE = f"""
+d AS (SELECT doc_id, {SQL_NORM} AS norm FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, substr(norm, CAST(i AS INT), {SHINGLE_K}) AS shingle
+  FROM d, LATERAL (SELECT unnest(range(1, greatest(len(norm) - {SHINGLE_K - 2}, 1))) AS i) r
+),
+sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {JACCARD_MAX_DF}),
+occ AS (SELECT s.doc, s.shingle FROM sh s JOIN rare USING (shingle)),
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM occ a JOIN occ b USING (shingle) WHERE a.doc < b.doc
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN sh sa ON sa.doc = c.doc_a
+  JOIN sh sb ON sb.doc = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+"""
+
+SQL_JACCARD = f"""
+WITH {SQL_SHINGLES_CTE.strip()}
+SELECT i.doc_a, i.doc_b,
+       round(1.0 * n_common / (na.n + nb.n - n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc = i.doc_a
+JOIN sizes nb ON nb.doc = i.doc_b
+WHERE round(1.0 * n_common / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+"""
+
+SQL_VEC = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings"
+SQL_COS = (
+    "round(list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+# ------------------------------------------------------------ text analysis
+
+
+@query(
+    "text_token_counts",
+    sql=f"""
+    SELECT doc_id,
+           CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_PATTERN}')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish pre-tokenizer tokens."""
+    docs = t(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        ws_token_count(F.col("text")).cast("long").alias("ws_tokens"),
+        bpe_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+    )
+
+
+@query(
+    "text_language_id",
+    sql=f"""
+    WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+    s AS (SELECT doc_id,
+          {', '.join(f'{_sql_lang_score(lang)} AS s_{lang}' for lang in LANG_PRIORITY)}
+          FROM p)
+    SELECT doc_id, {_sql_lang_case()} AS pred_lang,
+           {', '.join(f's_{lang}' for lang in LANG_PRIORITY)}
+    FROM s
+    """,
+    tags=("llm", "text"),
+)
+def text_language_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-hit heuristic language ID with deterministic tie-break."""
+    docs = t(spark, sf, "documents")
+    scores = language_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        predict_language(F.col("text")).alias("pred_lang"),
+        *[scores[lang].cast("long").alias(f"s_{lang}") for lang in LANG_PRIORITY],
+    )
+
+
+@query(
+    "text_quality_score",
+    sql=f"""
+    WITH p AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents)
+    SELECT doc_id, round(
+        {QUALITY_WEIGHTS['stop_ratio']} * (CAST({_sql_lang_score('en')} AS DOUBLE)
+            / len(regexp_split_to_array(trim(text), '\\s+')))
+      + {QUALITY_WEIGHTS['alpha_ratio']} * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+            / length(text))
+      + {QUALITY_WEIGHTS['len_score']} * least(1.0,
+            len(regexp_split_to_array(trim(text), '\\s+')) / {QUALITY_LEN_NORM}),
+      6) AS quality
+    FROM p
+    """,
+    tags=("llm", "text"),
+)
+def text_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Composite quality: stopword ratio + alphabetic ratio + length."""
+    docs = t(spark, sf, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "text_fingerprint",
+    sql=f"SELECT doc_id, md5({SQL_NORM}) AS fp FROM documents",
+    tags=("llm", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-form md5 document fingerprint."""
+    docs = t(spark, sf, "documents")
+    return docs.select("doc_id", md5_fingerprint(F.col("text")).alias("fp"))
+
+
+# ------------------------------------------------------------------- dedup
+
+
+@query(
+    "dedup_exact",
+    sql=f"""
+    SELECT md5({SQL_NORM}) AS fp, min(doc_id) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint (hash groupBy)."""
+    return dedup_exact(t(spark, sf, "documents"), "doc_id", "text")
+
+
+@query("dedup_ngram_jaccard", sql=SQL_JACCARD, tags=("llm", "dedup"))
+def dedup_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs by exact 8-gram Jaccard >= 0.6 (inverted-index
+    candidates on rare shingles, exact verification)."""
+    return dedup_ngram_jaccard(
+        t(spark, sf, "documents"), "doc_id", "text",
+        k=SHINGLE_K, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF,
+    )
+
+
+@query("dedup_minhash_lsh", sql=SQL_JACCARD, tags=("llm", "dedup"))
+def dedup_minhash_q(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH candidates, exact-Jaccard verified. The
+    oracle is the exact-Jaccard SQL: verification makes precision 1.0 and
+    at threshold 0.6 the 16x4 band recall is ~1-(1-0.6^4)^16 > 0.89 per
+    pair and empirically 1.0 on this corpus (planted dups have j >= 0.8,
+    miss prob < 3e-4) — tests/test_llm_ops.py pins LSH == exact."""
+    return dedup_minhash_lsh(
+        t(spark, sf, "documents"), "doc_id", "text",
+        k=SHINGLE_K, threshold=JACCARD_THRESHOLD,
+    )
+
+
+@query("dedup_simhash", sql=None, tags=("llm", "dedup"))
+def dedup_simhash_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming <= 8 via band buckets +
+    popcount). Rows-only: signatures hinge on xxhash64, which the DuckDB
+    oracle cannot reproduce; parity with exact Jaccard dups is asserted in
+    tests/test_llm_ops.py instead."""
+    return dedup_simhash(t(spark, sf, "documents"), "doc_id", "text", k=SHINGLE_K)
+
+
+@query(
+    "dedup_embedding_cosine",
+    sql=f"""
+    WITH v AS ({SQL_VEC})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {SQL_COS.format(a='a.e', b='b.e')} AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {SQL_COS.format(a='a.e', b='b.e')} >= {COSINE_DUP_THRESHOLD}
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_cosine_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs, brute-force cosine >= 0.45 baseline."""
+    return dedup_embedding_cosine(
+        t(spark, sf, "embeddings"), "vec_id", "embedding", COSINE_DUP_THRESHOLD
+    )
+
+
+@query("ann_lsh_pairs", sql=None, tags=("llm", "similarity"))
+def ann_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Hyperplane-LSH bucketed near-neighbor pairs (the scale path for
+    dedup_embedding_cosine). Rows-only: the candidate set depends on the
+    seeded hyperplanes; subset-of-exact + recall are pinned in
+    tests/test_llm_ops.py."""
+    return ann_lsh_buckets(
+        t(spark, sf, "embeddings"), "vec_id", "embedding", COSINE_DUP_THRESHOLD
+    )
+
+
+# -------------------------------------------------------------- similarity
+
+
+@query(
+    "sim_bruteforce_topk",
+    sql=f"""
+    WITH v AS ({SQL_VEC}), q AS (SELECT e AS qv FROM v WHERE vec_id = 0)
+    SELECT v.vec_id, {SQL_COS.format(a='v.e', b='q.qv')} AS cosine
+    FROM v, q WHERE v.vec_id != 0
+    ORDER BY cosine DESC, v.vec_id ASC LIMIT 10
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_bruteforce_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-10 for the vec_id=0 query vector."""
+    emb = t(spark, sf, "embeddings")
+    return brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10)
+
+
+@query(
+    "sim_ivf_topk",
+    sql=f"""
+    WITH v AS ({SQL_VEC}),
+    q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id = 0),
+    cent AS (
+      SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+        SELECT label AS cell, CAST(i AS INT) AS pos, avg(e[CAST(i AS INT)]) AS m
+        FROM v, LATERAL (SELECT unnest(range(1, 65)) AS i) r
+        GROUP BY label, CAST(i AS INT)
+      ) GROUP BY cell
+    ),
+    best AS (
+      SELECT cell FROM cent, q
+      ORDER BY list_dot_product(centroid, qv)
+               / (sqrt(list_dot_product(centroid, centroid))
+                  * sqrt(list_dot_product(qv, qv))) DESC, cell ASC
+      LIMIT 2
+    )
+    SELECT v.vec_id, {SQL_COS.format(a='v.e', b='q.qv')} AS cosine
+    FROM v JOIN best ON v.label = best.cell, q
+    WHERE v.vec_id != q.query_id
+    ORDER BY cosine DESC, v.vec_id ASC LIMIT 10
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF probe: label-cell centroids, scan the 2 closest cells only."""
+    emb = t(spark, sf, "embeddings")
+    return ivf_probe_topk(
+        emb, emb.filter(F.col("vec_id") == 0), n_probe=2, k=10
+    )
+
+
+@query(
+    "sim_knn_join",
+    sql=f"""
+    WITH v AS ({SQL_VEC}), q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             {SQL_COS.format(a='v.e', b='q.qv')} AS cosine
+      FROM v, q WHERE v.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_knn_q(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN join: 3 nearest neighbors for each of the first 5 vectors."""
+    emb = t(spark, sf, "embeddings")
+    return knn_join(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+# -------------------------------------------------------------- multimodal
+
+
+@query(
+    "multimodal_features",
+    sql="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+           CAST((octet_length(encode(text)) * 7) % 480 AS BIGINT) AS fake_height,
+           CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS fake_n_frames
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-payload media plumbing: attach payload bytes + metadata, run
+    the Arrow-batched mapInPandas decode stub (big_data_player_analysis_spark.multimodal).
+    The oracle reproduces the stub's arithmetic on the utf-8 byte length."""
+    from big_data_player_analysis_spark.multimodal import attach_payload, decode_features
+
+    media = attach_payload(t(spark, sf, "documents"), "doc_id", "text")
+    return decode_features(media)

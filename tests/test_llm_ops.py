@@ -1,0 +1,305 @@
+"""LLM-data-pipeline operator tests: dedup family, similarity search,
+text analysis, multimodal plumbing — each checked against an independent
+plain-Python/NumPy implementation on the driver's synthetic tables."""
+
+from __future__ import annotations
+
+import itertools
+import re
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_player_analysis_spark.catalog import load_table
+from big_data_player_analysis_spark.operators.dedup import (
+    dedup_embedding_cosine,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+)
+from big_data_player_analysis_spark.operators.similarity import (
+    ann_lsh_buckets,
+    brute_force_topk,
+    ivf_probe_topk,
+    knn_join,
+)
+
+K = 8
+THRESHOLD = 0.6
+MAX_DF = 20
+
+
+def _norm(t: str) -> str:
+    t = re.sub(r"[^a-z0-9 ]", "", t.lower())
+    return re.sub(r" +", " ", t).strip()
+
+
+def _shingles(t: str) -> set[str]:
+    n = _norm(t)
+    return {n[i : i + K] for i in range(max(0, len(n) - K + 1))}
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_small):
+    return load_table(spark, sf_small, "documents")
+
+
+@pytest.fixture(scope="module")
+def doc_rows(docs):
+    return [(r.doc_id, r.text) for r in docs.select("doc_id", "text").collect()]
+
+
+@pytest.fixture(scope="module")
+def py_jaccard_pairs(doc_rows):
+    """Independent full-pairwise exact Jaccard (no candidate pruning)."""
+    sh = {d: _shingles(t) for d, t in doc_rows}
+    out = {}
+    for (a, sa), (b, sb) in itertools.combinations(sorted(sh.items()), 2):
+        if not sa or not sb:
+            continue
+        inter = len(sa & sb)
+        if inter:
+            j = inter / (len(sa) + len(sb) - inter)
+            if round(j, 6) >= THRESHOLD:
+                out[(a, b)] = round(j, 6)
+    return out
+
+
+def test_dedup_exact_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello world"), (3, "HELLO  world."), (4, "bye")],
+        "doc_id long, text string",
+    )
+    got = {r.keep_id: r.n_copies for r in dedup_exact(df, "doc_id", "text").collect()}
+    assert got == {1: 3, 4: 1}  # punctuation/case/whitespace variants collapse
+
+
+def test_ngram_jaccard_matches_python(docs, py_jaccard_pairs):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(docs, "doc_id", "text", K, THRESHOLD, MAX_DF).collect()
+    }
+    # candidate pruning on rare shingles loses nothing on this corpus:
+    # near-dup pairs share hundreds of shingles including rare ones
+    assert set(got) == set(py_jaccard_pairs)
+    for pair, j in py_jaccard_pairs.items():
+        assert got[pair] == pytest.approx(j, abs=2e-6)
+
+
+def test_minhash_lsh_equals_exact(docs, py_jaccard_pairs):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_minhash_lsh(docs, "doc_id", "text", K, THRESHOLD).collect()
+    }
+    # precision 1.0 by construction (exact verification); recall empirically
+    # 1.0 here (planted dups have j >= 0.8; band-miss probability < 3e-4)
+    assert set(got) == set(py_jaccard_pairs)
+
+
+def test_simhash_covers_exact_dups(docs, py_jaccard_pairs):
+    got = {(r.doc_a, r.doc_b) for r in dedup_simhash(docs, "doc_id", "text", K).collect()}
+    # SimHash is approximate: hamming<=7 reliably catches strong dups
+    # (j>=0.8) but pairs at the j~0.6 boundary can exceed 7 differing bits.
+    high = {p for p, j in py_jaccard_pairs.items() if j >= 0.8}
+    assert high <= got
+    recall = len(set(py_jaccard_pairs) & got) / max(1, len(py_jaccard_pairs))
+    assert recall >= 0.8
+    # and it should not degenerate into all-pairs
+    assert len(got) < 4 * max(1, len(py_jaccard_pairs))
+
+
+# ------------------------------------------------------------- embeddings
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_small):
+    return load_table(spark, sf_small, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    ids = np.array([r.vec_id for r in rows])
+    E = np.array([r.embedding for r in rows], dtype=np.float64)
+    labels = np.array([r.label for r in rows])
+    order = np.argsort(ids)
+    return ids[order], E[order], labels[order]
+
+
+def _cosine_matrix(E):
+    En = E / np.linalg.norm(E, axis=1, keepdims=True)
+    return En @ En.T
+
+
+def test_embedding_cosine_vs_numpy(emb, emb_np):
+    ids, E, _ = emb_np
+    S = _cosine_matrix(E)
+    want = {
+        (int(ids[i]), int(ids[j])): round(S[i, j], 6)
+        for i, j in zip(*np.triu_indices(len(ids), 1))
+        if round(S[i, j], 6) >= 0.45
+    }
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup_embedding_cosine(emb, "vec_id", "embedding", 0.45).collect()
+    }
+    assert set(got) == set(want)
+    for p, c in want.items():
+        assert got[p] == pytest.approx(c, abs=2e-6)
+
+
+def test_ann_lsh_subset_of_exact(emb, emb_np):
+    ids, E, _ = emb_np
+    S = _cosine_matrix(E)
+    exact = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(*np.triu_indices(len(ids), 1))
+        if round(S[i, j], 6) >= 0.45
+    }
+    got = {(r.id_a, r.id_b) for r in ann_lsh_buckets(emb, "vec_id", "embedding", 0.45).collect()}
+    assert got <= exact  # precision 1.0: every emitted pair is verified
+
+
+def test_bruteforce_topk_vs_numpy(emb, emb_np):
+    ids, E, _ = emb_np
+    S = _cosine_matrix(E)
+    q = int(np.where(ids == 0)[0][0])
+    sims = [
+        (round(S[q, i], 6), int(ids[i])) for i in range(len(ids)) if ids[i] != 0
+    ]
+    want = [vid for s, vid in sorted(sims, key=lambda x: (-x[0], x[1]))[:10]]
+    got = [
+        r.vec_id
+        for r in brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10).collect()
+    ]
+    assert got == want
+
+
+def test_ivf_probe_restricts_to_best_cells(emb, emb_np):
+    ids, E, labels = emb_np
+    S = _cosine_matrix(E)
+    q = int(np.where(ids == 0)[0][0])
+    qv = E[q]
+    # centroids per label cell, rank by cosine to query
+    cells = sorted(set(labels.tolist()))
+    cents = {c: E[labels == c].mean(axis=0) for c in cells}
+    ccos = {
+        c: float(v @ qv / (np.linalg.norm(v) * np.linalg.norm(qv)))
+        for c, v in cents.items()
+    }
+    best = sorted(cells, key=lambda c: (-ccos[c], c))[:2]
+    in_best = np.isin(labels, best) & (ids != 0)
+    sims = [(round(S[q, i], 6), int(ids[i])) for i in np.where(in_best)[0]]
+    want = [vid for s, vid in sorted(sims, key=lambda x: (-x[0], x[1]))[:10]]
+    got = [
+        r.vec_id
+        for r in ivf_probe_topk(
+            emb, emb.filter(F.col("vec_id") == 0), n_probe=2, k=10
+        ).collect()
+    ]
+    assert got == want
+
+
+def test_knn_join_vs_numpy(emb, emb_np):
+    ids, E, _ = emb_np
+    S = _cosine_matrix(E)
+    want = {}
+    for qi in range(len(ids)):
+        if ids[qi] >= 5:
+            continue
+        sims = [
+            (round(S[qi, i], 6), int(ids[i])) for i in range(len(ids)) if i != qi
+        ]
+        want[int(ids[qi])] = [
+            vid for s, vid in sorted(sims, key=lambda x: (-x[0], x[1]))[:3]
+        ]
+    rows = knn_join(emb, emb.filter(F.col("vec_id") < 5), k=3).collect()
+    got = {}
+    for r in sorted(rows, key=lambda r: (r.query_id, r.rn)):
+        got.setdefault(r.query_id, []).append(r.neighbor_id)
+    assert got == want
+
+
+# ------------------------------------------------------------- multimodal
+
+
+def test_multimodal_features_formulas(spark, sf_small):
+    from big_data_player_analysis_spark.multimodal import attach_payload, decode_features
+
+    docs = load_table(spark, sf_small, "documents")
+    media = attach_payload(docs, "doc_id", "text")
+    feats = {r.doc_id: r for r in decode_features(media).collect()}
+    for r in docs.select("doc_id", "text").limit(50).collect():
+        n = len(r.text.encode("utf-8"))
+        f = feats[r.doc_id]
+        assert (f.n_bytes, f.fake_width, f.fake_height, f.fake_n_frames) == (
+            n, n % 640, (n * 7) % 480, n % 30 + 1,
+        )
+
+
+def test_multimodal_metadata_struct(spark, sf_small):
+    from big_data_player_analysis_spark.multimodal import attach_payload
+
+    docs = load_table(spark, sf_small, "documents")
+    media = attach_payload(docs, "doc_id", "text")
+    row = media.filter(F.col("doc_id") == 0).first()
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.meta.n_chars == len(
+        docs.filter(F.col("doc_id") == 0).first().text
+    )
+
+
+def test_decode_image_is_declared_stub():
+    from big_data_player_analysis_spark.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+
+
+# ---------------------------------------------------------- text functions
+
+
+def test_token_counts_inline(spark):
+    from big_data_player_analysis_spark.functions.text import bpe_token_count, ws_token_count
+
+    df = spark.createDataFrame([("the cat, sat!",), ("a  b   c",)], "text string")
+    got = df.select(
+        ws_token_count(F.col("text")).alias("ws"),
+        bpe_token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    assert (got[0].ws, got[0].bpe) == (3, 5)  # the|cat|,|sat|!
+    assert (got[1].ws, got[1].bpe) == (3, 3)
+
+
+def test_language_id_inline(spark):
+    from big_data_player_analysis_spark.functions.text import predict_language
+
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of to in",),
+            ("der hund und die katze das nicht",),
+            ("le chat et la les des",),
+            ("xyzzy",),  # all-zero scores -> priority order -> en
+        ],
+        "text string",
+    )
+    got = [r.p for r in df.select(predict_language(F.col("text")).alias("p")).collect()]
+    assert got == ["en", "de", "fr", "en"]
+
+
+def test_quality_score_formula(spark):
+    from big_data_player_analysis_spark.functions.text import quality_score
+
+    text = "the cat sat on the mat"
+    df = spark.createDataFrame([(text,)], "text string")
+    got = df.select(quality_score(F.col("text")).alias("q")).first().q
+    n_tokens = 6
+    stop_hits = 2  # 'the' twice; other en stopwords absent
+    alpha = sum(c.isalpha() for c in text)
+    want = round(
+        0.4 * stop_hits / n_tokens + 0.3 * alpha / len(text) + 0.3 * min(1.0, n_tokens / 100),
+        6,
+    )
+    assert got == pytest.approx(want, abs=1e-9)
