@@ -44,6 +44,7 @@ def all_queries() -> dict[str, QuerySpec]:
         llm_ops,
         olap,
         reference_surface,
+        streaming_ops,
     )
 
     return dict(_REGISTRY)

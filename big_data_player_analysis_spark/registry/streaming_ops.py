@@ -1,0 +1,140 @@
+"""Registry tier D: Structured Streaming surface (extension — the reference
+is batch-only, SURVEY.md §2.4 "Streaming: absent").
+
+Each entry RUNS a real streaming query (file source over the events
+parquet, availableNow trigger, memory sink) and returns the sink table, so
+the driver's oracle gate checks actual streaming execution, not a batch
+stand-in. Determinism: complete-mode aggregations converge to the batch
+answer; the single-file source yields one micro-batch, so update-mode
+stateful output is one final row per key.
+
+The window/session oracle SQL re-derives Spark's epoch-aligned window
+arithmetic in DuckDB (make_timestamp on floor(epoch/width)); session
+windows use the lag/cumsum rewrite with the `>= gap` boundary matching
+session_window's no-merge-on-exact-gap semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from big_data_player_analysis_spark.catalog import table_path
+from big_data_player_analysis_spark.registry import query
+from big_data_player_analysis_spark.registry.common import t
+from big_data_player_analysis_spark.streaming import (
+    dedup_stream_by_id,
+    events_stream,
+    run_stream_to_table,
+    session_window_stats,
+    sliding_value_avg,
+    tumbling_event_stats,
+    user_running_stats,
+)
+
+TUMBLE_SEC = 600
+SLIDE_SEC = 600
+SLIDING_WIDTH_SEC = 1800
+SESSION_GAP_MIN = 30
+
+SQL_TUMBLING = f"""
+WITH w AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) / {TUMBLE_SEC}) AS BIGINT)
+                        * {TUMBLE_SEC} * 1000000) AS window_start, *
+  FROM events
+)
+SELECT window_start,
+       window_start + INTERVAL {TUMBLE_SEC} SECOND AS window_end,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(value) AS sum_value,
+       avg(value) AS avg_value
+FROM w GROUP BY window_start, event_type
+"""
+
+# every event falls in width/slide = 3 sliding windows: the epoch-aligned
+# bucket start minus k*slide for k in 0..2
+SQL_SLIDING = f"""
+WITH e AS (
+  SELECT make_timestamp((CAST(floor(epoch(ts) / {SLIDE_SEC}) AS BIGINT) * {SLIDE_SEC}
+                         - k.k * {SLIDE_SEC}) * 1000000) AS window_start, value
+  FROM events, (SELECT unnest(range(0, {SLIDING_WIDTH_SEC // SLIDE_SEC})) AS k) k
+)
+SELECT window_start,
+       window_start + INTERVAL {SLIDING_WIDTH_SEC} SECOND AS window_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       avg(value) AS avg_value
+FROM e GROUP BY window_start
+"""
+
+SQL_SESSION = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM g
+)
+SELECT min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       user_id,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def _events_sdf(spark: SparkSession, sf: str) -> DataFrame:
+    return events_stream(spark, table_path(sf, "events"))
+
+
+@query("stream_tumbling_counts", sql=SQL_TUMBLING, tags=("streaming", "window"))
+def stream_tumbling_q(spark: SparkSession, sf: str) -> DataFrame:
+    """10-min tumbling windows per event_type with a 1h watermark, executed
+    as a real streaming query (complete mode == batch answer)."""
+    return run_stream_to_table(tumbling_event_stats(_events_sdf(spark, sf)), "complete")
+
+
+@query("stream_sliding_avg", sql=SQL_SLIDING, tags=("streaming", "window"))
+def stream_sliding_q(spark: SparkSession, sf: str) -> DataFrame:
+    """30-min windows sliding every 10 min (3x fan-out), streaming complete
+    mode."""
+    return run_stream_to_table(sliding_value_avg(_events_sdf(spark, sf)), "complete")
+
+
+@query("stream_dedup_by_id", sql="SELECT * FROM events", tags=("streaming", "dedup"))
+def stream_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming first-arrival dedup on event_id (watermarked state). The
+    synthetic events are already unique by id, making the streaming output
+    deterministic: exactly the input set."""
+    return run_stream_to_table(dedup_stream_by_id(_events_sdf(spark, sf)), "append")
+
+
+@query(
+    "stream_stateful_user_stats",
+    sql="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS sum_value, max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    count/sum/last-ts. Single-file source -> one micro-batch -> the update
+    stream emits each user's final state exactly once."""
+    return run_stream_to_table(user_running_stats(_events_sdf(spark, sf)), "update")
+
+
+@query("olap_session_window", sql=SQL_SESSION, tags=("streaming", "window", "sessionization"))
+def session_window_q(spark: SparkSession, sf: str) -> DataFrame:
+    """session_window(gap=30min) per user — batch execution of the same
+    expression the streaming tier uses (streaming parity + watermark
+    withholding are pinned in tests/test_streaming.py; the oracle proves
+    session_window == the ANSI lag/cumsum sessionization)."""
+    return session_window_stats(t(spark, sf, "events"), gap=f"{SESSION_GAP_MIN} minutes")

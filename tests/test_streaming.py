@@ -1,0 +1,196 @@
+"""Structured Streaming tests: stream==batch parity for windowed
+aggregations, cross-micro-batch state (stateful operator + dedup), and
+watermark withholding semantics in append mode.
+
+Multi-batch runs stream a time-split copy of the events table with
+maxFilesPerTrigger=1, so state genuinely crosses micro-batch boundaries.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_player_analysis_spark.catalog import load_table
+from big_data_player_analysis_spark.streaming import (
+    dedup_stream_by_id,
+    events_stream,
+    run_stream_to_table,
+    session_window_stats,
+    sliding_value_avg,
+    tumbling_event_stats,
+    user_running_stats,
+)
+
+from tests.conftest import rows_set
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_small):
+    return load_table(spark, sf_small, "events")
+
+
+@pytest.fixture(scope="module")
+def events_sdf(spark, sf_small):
+    return events_stream(spark, f"{sf_small}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def split_events_dir(spark, events, tmp_path_factory):
+    """The events table written as 4 time-ordered parquet files (earliest
+    file first), so maxFilesPerTrigger=1 replays it as 4 micro-batches in
+    event-time order."""
+    base = tmp_path_factory.mktemp("events_split")
+    # store ts as int64 nanos like the driver's parquet, so events_stream's
+    # raw schema (LongType ts) reads these files too
+    raw = events.withColumn("ts", F.unix_micros("ts") * 1000)
+    n = events.count()
+    ordered = raw.orderBy("ts").collect()
+    per = (n + 3) // 4
+    for i in range(4):
+        chunk = ordered[i * per : (i + 1) * per]
+        if not chunk:
+            continue
+        spark.createDataFrame(chunk, raw.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(base / f"chunk_{i}"))
+    # flatten into one directory; the file source orders by modification
+    # time, which must follow event time or the watermark treats earlier
+    # chunks as late data — set explicit strictly-increasing mtimes
+    import os
+    import shutil
+    import time
+
+    flat = base / "flat"
+    flat.mkdir()
+    t0 = time.time()
+    k = 0
+    for i in range(4):
+        src = base / f"chunk_{i}"
+        if not src.exists():
+            continue
+        for j, f in enumerate(sorted(src.glob("*.parquet"))):
+            dst = flat / f"part_{i}_{j}.parquet"
+            shutil.copy(f, dst)
+            os.utime(dst, (t0 + 10 * k, t0 + 10 * k))
+            k += 1
+    return str(flat)
+
+
+def test_tumbling_stream_equals_batch(events, events_sdf):
+    got = run_stream_to_table(tumbling_event_stats(events_sdf), "complete")
+    want = tumbling_event_stats(events)
+    assert rows_set(got) == rows_set(want)
+
+
+def test_sliding_stream_equals_batch(events, events_sdf):
+    got = run_stream_to_table(sliding_value_avg(events_sdf), "complete")
+    want = sliding_value_avg(events)
+    assert rows_set(got) == rows_set(want)
+    # each event fans out to width/slide = 3 windows: total n_events
+    # across windows is exactly 3x the input
+    assert got.agg(F.sum("n_events")).first()[0] == 3 * events.count()
+
+
+def test_session_window_batch_matches_lag_rewrite(spark, events):
+    """session_window == the classic lag/cumsum sessionization (>= gap
+    starts a new session, end = last event + gap)."""
+    got = session_window_stats(events, gap="30 minutes")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    g = events.select(
+        "user_id",
+        "ts",
+        F.when(prev.isNull() | (F.col("ts").cast("long") - prev.cast("long") >= 1800), 1)
+        .otherwise(0)
+        .alias("new_session"),
+        "event_id",
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = g.select("user_id", "ts", F.sum("new_session").over(cum).alias("sid"))
+    want = (
+        s.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("session_start", "session_end", "user_id", "n_events")
+    )
+    assert rows_set(got) == rows_set(want)
+
+
+def test_stateful_crosses_micro_batches(spark, events, split_events_dir):
+    """applyInPandasWithState accumulates across 4 micro-batches; the last
+    emission per user equals the batch aggregate over everything."""
+    sdf = events_stream(spark, split_events_dir, max_files_per_trigger=1)
+    out = run_stream_to_table(user_running_stats(sdf), "update").collect()
+    # multiple batches -> most users emitted more than once
+    assert len(out) > events.select("user_id").distinct().count()
+    last = {}
+    for r in out:  # memory sink appends in batch order; max n_events = final
+        cur = last.get(r.user_id)
+        if cur is None or r.n_events > cur.n_events:
+            last[r.user_id] = r
+    want = {
+        r.user_id: r
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(last) == set(want)
+    for uid, got in last.items():
+        w = want[uid]
+        assert got.n_events == w.n_events
+        assert got.sum_value == pytest.approx(w.sum_value, rel=1e-12)
+        assert got.last_ts == w.last_ts
+
+
+def test_streaming_dedup_drops_cross_batch_duplicates(
+    spark, events, split_events_dir, tmp_path
+):
+    """Duplicate event_ids arriving in a LATER micro-batch are dropped by
+    the state store (within the watermark horizon)."""
+    import shutil
+    from pathlib import Path
+
+    d = tmp_path / "with_dups"
+    shutil.copytree(split_events_dir, d)
+    # replay the last chunk's rows again as an extra trailing file:
+    # same event ids, same timestamps -> inside the 1h watermark horizon
+    files = sorted(Path(d).glob("part_*.parquet"))
+    dup = d / "part_9_dup.parquet"
+    shutil.copy(files[-1], dup)
+    import os
+
+    last_mtime = max(f.stat().st_mtime for f in files)
+    os.utime(dup, (last_mtime + 10, last_mtime + 10))  # strictly last
+    sdf = events_stream(spark, str(d), max_files_per_trigger=1)
+    out = run_stream_to_table(dedup_stream_by_id(sdf), "append")
+    assert out.count() == events.count()
+    assert rows_set(out.select("event_id")) == rows_set(events.select("event_id"))
+
+
+def test_append_mode_watermark_withholds_tail_windows(spark, events, split_events_dir):
+    """Append-mode windowed agg emits only windows finalized by the
+    watermark: a window is emitted iff window_end <= max(ts) - delay, and
+    emitted windows match the batch answer exactly."""
+    sdf = events_stream(spark, split_events_dir, max_files_per_trigger=1)
+    got = run_stream_to_table(
+        tumbling_event_stats(sdf, watermark="1 hour"), "append"
+    )
+    want = tumbling_event_stats(events)
+    max_ts = events.agg(F.max("ts")).first()[0]
+    import datetime
+
+    horizon = max_ts - datetime.timedelta(hours=1)
+    finalized = want.filter(F.col("window_end") <= F.lit(horizon))
+    withheld = want.filter(F.col("window_end") > F.lit(horizon))
+    assert rows_set(got) == rows_set(finalized)
+    assert withheld.count() > 0  # the tail really was withheld
