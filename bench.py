@@ -22,8 +22,8 @@ from big_data_player_analysis_spark.registry import all_queries
 from big_data_player_analysis_spark.session import get_spark
 
 # Headline set: one per operator family (agg, dedup, join chain, scalar map,
-# TPC-H Q1, windows, sessionization, top-k, iterative flagship). Extension
-# (LLM-ops) queries are added as they land in the registry.
+# TPC-H Q1, windows, sessionization, top-k, iterative flagship) plus the
+# LLM-pipeline and streaming extension tiers.
 HEADLINE = [
     "q01_count_per_key",
     "q04_smoothed_avg",
@@ -36,6 +36,13 @@ HEADLINE = [
     "olap_sessionization",
     "q17_top_k",
     "q16_heroic_iterative",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_quality_score",
+    "sim_bruteforce_topk",
+    "stream_tumbling_counts",
+    "olap_session_window",
 ]
 
 

@@ -49,6 +49,18 @@ SIMHASH_MAX_HAMMING = 8
 SIMHASH_BAND_BOUNDS = [(i * 7, 7) for i in range(8)] + [(56, 8)]
 
 
+def _scatter(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism.
+    Shingling is CPU-bound; a compact input (one small parquet file -> one
+    partition) would otherwise pin the whole corpus to a single task. Only
+    repartitions when the scan yields fewer partitions than cores — a
+    100 TB input already has thousands of splits and skips the shuffle."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups by md5 fingerprint of normalized text: one
     surviving id per group + the duplicate count. Hash-groupBy: shuffle is
@@ -118,7 +130,7 @@ def dedup_ngram_jaccard(
     near-dup pair (j >= 0.6) shares hundreds of shingles, so requiring one
     shared rare shingle loses nothing in practice while keeping candidate
     generation linear-ish instead of df^2 on hot shingles."""
-    shingles = shingle_table(df, id_col, text_col, k)
+    shingles = shingle_table(_scatter(df), id_col, text_col, k)
     rare = shingles.join(
         shingles.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -137,22 +149,30 @@ def dedup_ngram_jaccard(
     return _exact_jaccard_on_candidates(cand, shingles, threshold)
 
 
-def _minhash_signature(shingle_arr: Column) -> Column:
-    """64-slot MinHash signature of an array<string> of shingles:
-    slot_j = min over shingles of (a_j * murmur3(shingle) + b_j) mod p.
-    Pure expression (transform + array_min), evaluated JVM-side."""
-    hashes = F.transform(shingle_arr, lambda s: F.abs(F.hash(s)).cast("long"))
+def minhash_signatures(with_sh: DataFrame) -> DataFrame:
+    """(doc, sig array<long>) from (doc, sh array<string>): slot_j = min
+    over shingles of (a_j * murmur3(shingle) + b_j) mod p.
 
-    def perm(a: int, b: int):
-        # closure factory: Spark inspects the lambda arity, so defaults
-        # like `lambda h, a=a: ...` are rejected as 3-arg lambdas
-        return lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MINHASH_PRIME)
-
-    slots = [
-        F.array_min(F.transform(hashes, perm(a, b)))
-        for a, b in zip(MINHASH_A, MINHASH_B)
-    ]
-    return F.array(*slots)
+    Computed as explode + one groupBy with 64 min-aggregates rather than 64
+    array traversals in a single projection: Spark does not CSE the shared
+    shingle-hash subexpression across 64 sibling transform() calls (it
+    would re-hash the array 64 times), while the aggregate form hashes each
+    shingle once and gets a map-side partial combine — shuffle is one
+    64-long row per doc."""
+    feats = with_sh.select("doc", F.explode("sh").alias("shingle")).select(
+        "doc", F.abs(F.hash("shingle")).cast("long").alias("h")
+    )
+    mins = feats.groupBy("doc").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"m{j}"
+            )
+            for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+        ]
+    )
+    return mins.select(
+        "doc", F.array(*[f"m{j}" for j in range(N_HASHES)]).alias("sig")
+    )
 
 
 def dedup_minhash_lsh(
@@ -166,10 +186,10 @@ def dedup_minhash_lsh(
     verification. Same output contract as dedup_ngram_jaccard; recall is
     the LSH band-collision probability (>= 1 - (1-t^4)^16, ~0.9998 at
     t=0.8), precision 1.0 because candidates are verified exactly."""
-    with_sh = df.select(
+    with_sh = _scatter(df).select(
         F.col(id_col).alias("doc"), char_shingles(F.col(text_col), k).alias("sh")
     ).filter(F.size("sh") > 0)
-    sig = with_sh.select("doc", _minhash_signature(F.col("sh")).alias("sig"))
+    sig = minhash_signatures(with_sh)
     bands = sig.select(
         "doc",
         F.explode(
@@ -205,7 +225,7 @@ def simhash_signatures(
     of the signature is 1 iff the count of features with bit i set exceeds
     the count without. Explode + 64 conditional sums: the aggregate gets a
     map-side partial combine and shuffles one 64-long row per doc."""
-    feats = df.select(
+    feats = _scatter(df).select(
         F.col(id_col).alias("doc"),
         F.explode(char_shingles(F.col(text_col), k)).alias("shingle"),
     ).select("doc", F.xxhash64("shingle").alias("h"))

@@ -46,6 +46,7 @@ class HeroicResult:
     msd_history: list = field(default_factory=list)
     iterations: int = 0
     converged: bool = False
+    diverged: bool = False     # aborted on monotonically growing msd
 
 
 def smoothed_avg_completed(duels: DataFrame) -> DataFrame:
@@ -90,6 +91,7 @@ def heroic_score(
     max_iter: int = 50,
     num_partitions: int | None = None,
     broadcast_scores: bool = True,
+    divergence_patience: int = 2,
 ) -> HeroicResult:
     """Run the damped iterative rank to convergence (reference Q11-Q16).
 
@@ -154,6 +156,17 @@ def heroic_score(
         result.iterations = it + 1
         if msd <= tol:
             result.converged = True
+            break
+        # The un-normalized update diverges on graphs where alpha * mean
+        # out-degree > 1 (the reference's 518-duel graph converges; dense
+        # graphs need not). The reference's `while msd > tol` driver loop
+        # (exercise_4.py:277) would spin forever there; abort instead once
+        # msd has grown `divergence_patience` consecutive iterations.
+        h = result.msd_history
+        if len(h) > divergence_patience and all(
+            h[-i] > h[-i - 1] for i in range(1, divergence_patience + 1)
+        ):
+            result.diverged = True
             break
 
     edges.unpersist()

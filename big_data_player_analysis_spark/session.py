@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # async block/broadcast cleanup: iterative plans (plans/heroic.py)
+        # retire a broadcast + checkpoint per iteration, and blocking
+        # ContextCleaner RPCs stall the first job submitted afterwards
+        .config("spark.cleaner.referenceTracking.blocking", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
