@@ -10,7 +10,7 @@ wanted at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -58,6 +58,104 @@ def domain_completion(
     for col_name, default in defaults.items():
         out = out.withColumn(col_name, F.coalesce(F.col(col_name), F.lit(default)))
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_tiebreak: list[str] | None = None,
+    tolerance_sec: float | None = None,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Backward as-of join (absent in both the reference and stock Spark,
+    SURVEY.md §2.4): for each left row, attach the right row with the
+    greatest right_ts <= left_ts in the same `on` group; unmatched left
+    rows keep nulls (left-join semantics).
+
+    Implementation is the union + last-carry trick, the scalable form: tag
+    both sides, sort within the key group by (ts, side) with right rows
+    first on ties, and carry the latest right payload forward with
+    last(ignorenulls) — ONE shuffle on the group key, no range cross
+    product, no per-key driver loop. A naive non-equi join would be a
+    BroadcastNestedLoopJoin (quadratic); this is O(n log n) per key.
+
+    right_tiebreak orders right rows that share (key, right_ts) so the
+    carried match is deterministic. tolerance_sec nulls out matches older
+    than left_ts - tolerance.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    rcols = [c for c in right.columns if c not in keys]
+    l = left.withColumn("_asof_t", F.col(left_ts)).withColumn("_asof_side", F.lit(1))
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_asof_t"),
+        F.lit(0).alias("_asof_side"),
+        F.struct(*rcols).alias("_asof_pay"),
+    )
+    u = l.unionByName(r, allowMissingColumns=True)
+    order = [F.col("_asof_t"), F.col("_asof_side")] + [
+        F.col(f"_asof_pay.{c}") for c in (right_tiebreak or [])
+    ]
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.withColumn("_asof_m", F.last("_asof_pay", ignorenulls=True).over(w))
+    out = matched.filter(F.col("_asof_side") == 1)
+    if tolerance_sec is not None:
+        too_old = (
+            F.unix_micros(F.col("_asof_t"))
+            - F.unix_micros(F.col(f"_asof_m.{right_ts}"))
+        ) > int(tolerance_sec * 1_000_000)
+        out = out.withColumn(
+            "_asof_m", F.when(too_old, F.lit(None)).otherwise(F.col("_asof_m"))
+        )
+    picks = [
+        F.col(f"_asof_m.{c}").alias(c + suffix if c in left.columns else c)
+        for c in rcols
+    ]
+    return out.select(*left.columns, *picks)
+
+
+def range_join(
+    fact: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    bucket_width: float = 1.0,
+) -> DataFrame:
+    """Interval containment join: fact rows matched to every [lo, hi)
+    interval containing fact[value_col].
+
+    Scale path: a raw non-equi join is a nested-loop; instead both sides
+    get a bucket key (floor(value / width); intervals explode to every
+    bucket they overlap), the join becomes an equi hash join on the bucket,
+    and the exact containment predicate filters within the bucket. Each
+    fact row carries exactly one bucket, so no dedup is needed. Choose
+    bucket_width ~ typical interval length: candidate volume is then
+    O(matches), independent of the value domain."""
+    fb = fact.withColumn(
+        "_rj_bucket", F.floor(F.col(value_col) / F.lit(bucket_width)).cast("long")
+    )
+    ib = intervals.withColumn(
+        "_rj_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
+                F.floor(F.col(hi_col) / F.lit(bucket_width)).cast("long"),
+            )
+        ),
+    )
+    return (
+        fb.join(ib, "_rj_bucket")
+        .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
+        .drop("_rj_bucket")
+    )
 
 
 def keyed_squared_difference(

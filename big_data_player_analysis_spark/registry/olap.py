@@ -373,3 +373,75 @@ def approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_suppkey").alias("approx_supps"),
     )
+
+
+# ------------------------------------------------------- as-of / range joins
+
+
+@query(
+    "olap_asof_join",
+    sql="""
+    WITH clicks AS (
+      SELECT user_id, ts, max(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           (SELECT max(c.ts) FROM clicks c
+             WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_ts,
+           (SELECT max_by(c.click_event_id, c.ts) FROM clicks c
+             WHERE c.user_id = p.user_id AND c.ts <= p.ts) AS click_event_id
+    FROM purchases p
+    """,
+    tags=("olap", "join", "asof"),
+)
+def asof_join_q(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click at
+    or before the purchase time (union + last-carry window, one shuffle —
+    operators/joins.py:asof_join). The right side is pre-aggregated to one
+    row per (user, ts) so the match is deterministic; the oracle re-derives
+    it with correlated max/max_by subqueries."""
+    from big_data_player_analysis_spark.operators.joins import asof_join
+
+    ev = t(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    out = asof_join(purchases, clicks, on="user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        "event_id", "user_id", "ts", "value",
+        F.col("ts_r").alias("click_ts"), "click_event_id",
+    )
+
+
+RANGE_BANDS = [(i, 50.0 * i, 50.0 * (i + 1)) for i in range(10)]  # covers value 0..500
+
+
+@query(
+    "olap_range_join",
+    sql=f"""
+    SELECT e.event_id, b.band_id, b.lo, b.hi
+    FROM events e
+    JOIN (VALUES {', '.join(f'({i}, {lo}, {hi})' for i, lo, hi in RANGE_BANDS)})
+         b(band_id, lo, hi)
+      ON e.value >= b.lo AND e.value < b.hi
+    """,
+    tags=("olap", "join", "range"),
+)
+def range_join_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval containment join of events against value bands via the
+    bucketed equi-join rewrite (operators/joins.py:range_join) — a hash
+    join on the bucket key instead of a nested loop."""
+    from big_data_player_analysis_spark.operators.joins import range_join
+
+    ev = t(spark, sf, "events").select("event_id", "value")
+    bands = spark.createDataFrame(RANGE_BANDS, "band_id int, lo double, hi double")
+    out = range_join(ev, bands, "value", "lo", "hi", bucket_width=50.0)
+    return out.select("event_id", "band_id", "lo", "hi")

@@ -134,3 +134,60 @@ def test_top_k_per_group(spark):
     )
     got = rows_set(top_k_per_group(df, ["g"], [F.desc("v"), F.asc("id")], k=2))
     assert got == [("a", 2, 2.0, 2), ("a", 3, 3.0, 1), ("b", 4, 9.0, 1)]
+
+
+# ------------------------------------------------------- as-of / range joins
+
+
+def test_asof_join_backward_semantics(spark):
+    from big_data_player_analysis_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 205, "p2"), (2, 50, "p3"), (3, 10, "p4")],
+        "uid long, t long, name string",
+    ).withColumn("t", F.timestamp_seconds("t"))
+    right = spark.createDataFrame(
+        [(1, 100, "a"), (1, 200, "b"), (1, 300, "c"), (2, 60, "d")],
+        "uid long, t long, tag string",
+    ).withColumn("t", F.timestamp_seconds("t"))
+    got = {
+        r.name: r.tag
+        for r in asof_join(left, right, on="uid", left_ts="t", right_ts="t").collect()
+    }
+    # p1: right at exactly t=100 matches (<=); p2: latest <=205 is t=200;
+    # p3: right t=60 > 50 -> no match; p4: uid 3 has no right rows
+    assert got == {"p1": "a", "p2": "b", "p3": None, "p4": None}
+
+
+def test_asof_join_tolerance(spark):
+    from big_data_player_analysis_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 1000, "x")], "uid long, t long, name string"
+        ).withColumn("t", F.timestamp_seconds("t"))
+    right = spark.createDataFrame([(1, 100, "old")], "uid long, t long, tag string"
+        ).withColumn("t", F.timestamp_seconds("t"))
+    with_tol = asof_join(left, right, on="uid", left_ts="t", right_ts="t",
+                         tolerance_sec=60).first()
+    without = asof_join(left, right, on="uid", left_ts="t", right_ts="t").first()
+    assert with_tol.tag is None and without.tag == "old"
+
+
+def test_range_join_matches_nonequi(spark):
+    from big_data_player_analysis_spark.operators.joins import range_join
+
+    fact = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0.0, 12.5, 25.0, 49.9, 50.0, 99.9, 777.0])],
+        "id long, v double",
+    )
+    # overlapping intervals and a gap: values in [25,50) match two bands
+    ivals = spark.createDataFrame(
+        [(0, 0.0, 50.0), (1, 25.0, 100.0)], "band long, lo double, hi double"
+    )
+    got = {(r.id, r.band) for r in range_join(fact, ivals, "v", bucket_width=10.0).collect()}
+    want = {
+        (i, b)
+        for i, v in enumerate([0.0, 12.5, 25.0, 49.9, 50.0, 99.9, 777.0])
+        for b, lo, hi in [(0, 0.0, 50.0), (1, 25.0, 100.0)]
+        if lo <= v < hi
+    }
+    assert got == want

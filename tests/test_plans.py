@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: pin the scale-critical plan properties
+(predicate pushdown, column pruning, broadcast joins, map-side partial
+aggregation, no nested-loop joins) so a refactor that silently degrades the
+plan fails CI even though results stay correct."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from big_data_player_analysis_spark.registry import all_queries
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_str(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def specs():
+    return all_queries()
+
+
+def test_tpch_q1_pushdown_and_pruning(spark, specs):
+    p = plan_str(specs["olap_tpch_q1_pricing_summary"].fn(spark, SF))
+    # the date predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # column pruning: the scan reads only the 7 referenced columns
+    assert "l_comment" not in p and "l_orderkey" not in p
+    # map-side combine before the shuffle
+    assert "partial_sum" in p and "Exchange" in p
+
+
+def test_join_chain_broadcasts_small_side(spark, specs):
+    p = plan_str(specs["q10_join_chain"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p  # the avg tables are small: no big shuffle
+
+
+def test_dedup_exact_partial_aggregation(spark, specs):
+    p = plan_str(specs["dedup_exact"].fn(spark, SF))
+    assert "partial_min" in p or "partial_count" in p
+
+
+def test_range_join_is_hash_not_nested_loop(spark, specs):
+    p = plan_str(specs["olap_range_join"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_asof_join_single_shuffle_no_cross_product(spark, specs):
+    p = plan_str(specs["olap_asof_join"].fn(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "Window" in p
+    # two shuffles total: the query's click pre-aggregation on
+    # (user_id, ts) and the asof carry-window on user_id — the asof
+    # operator itself contributes exactly one
+    assert p.count("+- Exchange") == 2  # tree lines only, not node details
+
+
+def test_topk_uses_ordered_limit_not_global_sort(spark, specs):
+    p = plan_str(specs["q17_top_k"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_heroic_flagship_broadcasts_score_vector(spark, specs):
+    # entry flagship: per-iteration join is broadcast, edges not re-shuffled
+    from big_data_player_analysis_spark.plans.heroic import edges_with_avgs
+    from big_data_player_analysis_spark.registry.common import duel_edges
+
+    p = plan_str(edges_with_avgs(duel_edges(spark, SF)))
+    assert "BroadcastHashJoin" in p
