@@ -22,3 +22,38 @@ def test_tab_text_roundtrip(spark, tmp_path):
     write_tab_text(df, str(out), single_file=True)
     df2 = read_duels_text(spark, str(out))
     assert sorted(tuple(r) for r in df2.collect()) == rows
+
+
+def test_format_roundtrips(spark, tmp_path):
+    """parquet/CSV/JSON round-trip with explicit schemas (sources/formats)."""
+    from big_data_player_analysis_spark.catalog import load_table
+    from big_data_player_analysis_spark.sources.formats import read_table, write_table
+    from tests.conftest import rows_set
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    for fmt in ("parquet", "csv", "json"):
+        p = str(tmp_path / f"ev_{fmt}")
+        write_table(ev, p, fmt=fmt)
+        back = read_table(spark, p, fmt=fmt, schema=ev.schema)
+        assert rows_set(back) == rows_set(ev), fmt
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """partition_by layout gives partition pruning: the pruned scan lists
+    only the matching directory."""
+    import contextlib
+    import io
+
+    from big_data_player_analysis_spark.catalog import load_table
+    from big_data_player_analysis_spark.sources.formats import read_table, write_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    p = str(tmp_path / "ev_part")
+    write_table(ev, p, fmt="parquet", partition_by=["event_type"])
+    back = read_table(spark, p, fmt="parquet").filter(F.col("event_type") == "click")
+    assert back.count() == ev.filter(F.col("event_type") == "click").count()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    assert "PartitionFilters: [isnotnull(event_type" in buf.getvalue()
