@@ -92,6 +92,7 @@ def heroic_score(
     num_partitions: int | None = None,
     broadcast_scores: bool = True,
     divergence_patience: int = 2,
+    vector_partitions: int | None = None,
 ) -> HeroicResult:
     """Run the damped iterative rank to convergence (reference Q11-Q16).
 
@@ -107,6 +108,12 @@ def heroic_score(
     otherwise plan a sort-merge join). Set False only when the player
     universe itself is too large for executor memory — then the join falls
     back to shuffle, co-partitioned with the edges' pre-partitioning.
+
+    vector_partitions coalesces the score vector before each checkpoint:
+    the groupBy leaves it at spark.sql.shuffle.partitions (sized for the
+    EDGE table), so every per-iteration job otherwise schedules that many
+    near-empty tasks. Size it to |players| / target-rows-per-partition;
+    None keeps the shuffle partitioning.
     """
     edges = edges_with_avgs(duels, num_partitions=num_partitions)
     edges.persist(StorageLevel.MEMORY_AND_DISK)
@@ -141,11 +148,12 @@ def heroic_score(
                 F.col("hs_challenged") * F.col("avg_challenger") / F.col("avg_challenged"),
             )
         )
-        new_hs = (
-            contrib.groupBy(F.col("challenger_id").alias("player_id"))
-            .agg((F.lit(alpha) * F.sum("contrib") + F.lit(1.0 - alpha)).alias("hs"))
-            .localCheckpoint()  # truncate lineage each iteration
+        new_hs = contrib.groupBy(F.col("challenger_id").alias("player_id")).agg(
+            (F.lit(alpha) * F.sum("contrib") + F.lit(1.0 - alpha)).alias("hs")
         )
+        if vector_partitions:
+            new_hs = new_hs.coalesce(vector_partitions)
+        new_hs = new_hs.localCheckpoint()  # truncate lineage each iteration
         msd = (
             keyed_squared_difference(hs, new_hs, "player_id", "hs")
             .agg(F.avg("sq_diff"))

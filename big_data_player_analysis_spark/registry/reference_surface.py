@@ -293,7 +293,9 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
     on events-derived duels. Not SQL-expressible as one statement (driver
     rows-only check); correctness is pinned by tests/test_heroic.py against
     hand-computed fixtures and convergence invariants."""
-    result = heroic_score(duel_edges(spark, sf), alpha=0.1, tol=0.1, max_iter=8)
+    result = heroic_score(
+        duel_edges(spark, sf), alpha=0.1, tol=0.1, max_iter=8, vector_partitions=4
+    )
     return result.scores.select(
         "player_id", F.round("hs", 6).alias("hs")
     )
