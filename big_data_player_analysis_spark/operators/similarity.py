@@ -85,6 +85,66 @@ def knn_join(
     )
 
 
+def knn_join_vectorized(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """knn_join's Arrow/numpy scale path: same contract and same output as
+    knn_join, but the per-(query, vector) cosine goes through ONE numpy
+    matmul per Arrow batch instead of a per-row expression tree — the right
+    trade once the query set stops being tiny (expression cost is
+    O(|queries| * dim) PER ROW; the matmul amortizes it across the batch
+    at BLAS speed).
+
+    Shape: the query matrix is collected (small by contract) and broadcast;
+    each corpus partition emits its LOCAL top-k per query (global top-k is
+    contained in the union of partition top-ks); a final per-query window
+    merges candidates — the same partial/final shape as
+    TakeOrderedAndProject, so the shuffle carries only
+    O(partitions * |queries| * k) rows."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bq = vectors.sparkSession.sparkContext.broadcast((q_ids, Qn))
+
+    def local_topk(batches):
+        qids, qn = bq.value
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            V = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            S = np.round(Vn @ qn.T, 6)  # corpus x queries; rounded like knn_join
+            for j, qid in enumerate(qids):
+                col = S[:, j]
+                keep = ids != qid  # exclude self-match
+                order = np.lexsort((ids[keep], -col[keep]))[: k]
+                kept_ids, kept_cos = ids[keep][order], col[keep][order]
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(kept_ids), qid, dtype=np.int64),
+                        "neighbor_id": kept_ids,
+                        "cosine": kept_cos,
+                    }
+                )
+
+    partial = vectors.select(id_col, vec_col).mapInPandas(
+        local_topk, "query_id long, neighbor_id long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine", F.col("rn").cast("long").alias("rn"))
+    )
+
+
 def ivf_centroids(
     vectors: DataFrame, cell_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:

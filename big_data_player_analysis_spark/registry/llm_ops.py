@@ -40,6 +40,7 @@ from big_data_player_analysis_spark.operators.similarity import (
     brute_force_topk,
     ivf_probe_topk,
     knn_join,
+    knn_join_vectorized,
 )
 from big_data_player_analysis_spark.registry import query
 from big_data_player_analysis_spark.registry.common import t
@@ -330,27 +331,35 @@ def sim_ivf_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "sim_knn_join",
-    sql=f"""
-    WITH v AS ({SQL_VEC}), q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 5),
-    scored AS (
-      SELECT q.query_id, v.vec_id AS neighbor_id,
-             {SQL_COS.format(a='v.e', b='q.qv')} AS cosine
-      FROM v, q WHERE v.vec_id != q.query_id
-    )
-    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn FROM (
-      SELECT *, row_number() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id ASC) AS rn
-      FROM scored
-    ) WHERE rn <= 3
-    """,
-    tags=("llm", "similarity"),
+SQL_KNN = f"""
+WITH v AS ({SQL_VEC}), q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         {SQL_COS.format(a='v.e', b='q.qv')} AS cosine
+  FROM v, q WHERE v.vec_id != q.query_id
 )
+SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+@query("sim_knn_join", sql=SQL_KNN, tags=("llm", "similarity"))
 def sim_knn_q(spark: SparkSession, sf: str) -> DataFrame:
     """kNN join: 3 nearest neighbors for each of the first 5 vectors."""
     emb = t(spark, sf, "embeddings")
     return knn_join(emb, emb.filter(F.col("vec_id") < 5), k=3)
+
+
+@query("sim_knn_join_vectorized", sql=SQL_KNN, tags=("llm", "similarity"))
+def sim_knn_vec_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Arrow/numpy kNN join (one matmul per batch, partition-local top-k +
+    global merge) — must hash-match the same oracle as the expression-based
+    sim_knn_join."""
+    emb = t(spark, sf, "embeddings")
+    return knn_join_vectorized(emb, emb.filter(F.col("vec_id") < 5), k=3)
 
 
 # -------------------------------------------------------------- multimodal

@@ -303,3 +303,16 @@ def test_quality_score_formula(spark):
         6,
     )
     assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_knn_join_vectorized_matches_expression_path(emb):
+    from big_data_player_analysis_spark.operators.similarity import knn_join_vectorized
+
+    got = sorted(
+        tuple(r)
+        for r in knn_join_vectorized(emb, emb.filter(F.col("vec_id") < 5), k=3).collect()
+    )
+    want = sorted(
+        tuple(r) for r in knn_join(emb, emb.filter(F.col("vec_id") < 5), k=3).collect()
+    )
+    assert got == want
