@@ -445,3 +445,103 @@ def range_join_q(spark: SparkSession, sf: str) -> DataFrame:
     bands = spark.createDataFrame(RANGE_BANDS, "band_id int, lo double, hi double")
     out = range_join(ev, bands, "value", "lo", "hi", bucket_width=50.0)
     return out.select("event_id", "band_id", "lo", "hi")
+
+
+# ------------------------------------------------- TPC-H-shaped multi-joins
+
+
+@query(
+    "olap_tpch_q3_shipping_priority",
+    sql="""
+    SELECT l_orderkey,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+    """,
+    tags=("olap", "join", "tpch"),
+)
+def tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter -> two-join funnel ->
+    aggregate -> top-10. Both dimension filters push to their scans; the
+    customer side broadcasts (it is the small post-filter side)."""
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    cust = t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = t(spark, sf, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = t(spark, sf, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "olap_tpch_q5_region_volume",
+    sql="""
+    SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("olap", "join", "tpch"),
+)
+def tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table snowflake join with a same-nation
+    constraint between customer and supplier. The nation/region funnel and
+    both entity dims broadcast; only fact-fact joins shuffle."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    asia_nations = (
+        t(spark, sf, "nation")
+        .join(
+            t(spark, sf, "region").filter(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("n_nationkey", "n_name")
+    )
+    supp = t(spark, sf, "supplier").join(
+        F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    orders = t(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    cust = t(spark, sf, "customer")
+    return (
+        t(spark, sf, "lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
