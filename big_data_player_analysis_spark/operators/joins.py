@@ -158,6 +158,33 @@ def range_join(
     )
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str | list[str],
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: the skewed side gets a deterministic salt
+    (row-content hash mod num_salts) appended to the join key; the other
+    side replicates each row across all salt values. A hot key's rows then
+    spread over num_salts shuffle partitions instead of one straggler task.
+
+    AQE's skew-join split handles most cases at runtime; explicit salting
+    remains for the cases AQE cannot fix — skew in a broadcast-ineligible
+    build side, or aggregation-after-join pipelines where the salt also
+    pre-spreads the groupBy. Result is identical to a plain join for
+    inner/left joins (each skewed-side row matches exactly its salt's
+    replica)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    salt_src = [F.col(c) for c in skewed.columns]
+    s = skewed.withColumn("_salt", F.pmod(F.xxhash64(*salt_src), F.lit(num_salts)))
+    o = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(num_salts)]))
+    )
+    return s.join(o, keys + ["_salt"], how).drop("_salt")
+
+
 def keyed_squared_difference(
     a: DataFrame,
     b: DataFrame,

@@ -545,3 +545,64 @@ def tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     )
+
+
+# --------------------------------------------------- pandas UDAF + salting
+
+
+@query(
+    "olap_udaf_geometric_mean",
+    sql="""
+    SELECT user_id, round(exp(avg(ln(value))), 6) AS geo_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("olap", "agg", "udaf"),
+)
+def udaf_geometric_mean(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (Arrow-batched UDAF): per-user geometric
+    mean of event values. The UDAF is the residue path for aggregates the
+    built-ins cannot express; here the oracle cross-checks it against the
+    exp(avg(ln)) identity."""
+    import pandas as pd
+
+    def _geo(v):
+        import numpy as np
+
+        return float(np.exp(np.log(v.to_numpy(dtype="float64")).mean()))
+
+    # `from __future__ import annotations` stringifies hints module-wide;
+    # pandas_udf infers the UDF kind from REAL annotation objects
+    _geo.__annotations__ = {"v": pd.Series, "return": float}
+    geo_mean = F.pandas_udf(_geo, "double")
+
+    ev = t(spark, sf, "events")
+    # grouped-agg pandas UDFs cannot mix with built-in aggregates in one
+    # agg() — the UDAF stands alone here
+    return ev.groupBy("user_id").agg(F.round(geo_mean("value"), 6).alias("geo_value"))
+
+
+@query(
+    "olap_salted_join",
+    sql="""
+    SELECT e.user_id, o.event_type, CAST(count(*) AS BIGINT) AS n,
+           sum(e.value) AS sum_value
+    FROM events e JOIN (SELECT DISTINCT event_type, 1 AS tag FROM events) o
+      ON e.event_type = o.event_type
+    GROUP BY e.user_id, o.event_type
+    """,
+    tags=("olap", "join", "skew"),
+)
+def salted_join_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Salted equi-join (operators/joins.py:salted_join): events joined to a
+    5-row event_type dim — a worst-case hot-key shape (every key is hot).
+    The salt spreads each event_type across 16 shuffle partitions; the
+    oracle is the plain join, which must match exactly."""
+    from big_data_player_analysis_spark.operators.joins import salted_join
+
+    ev = t(spark, sf, "events")
+    dim = ev.select("event_type").distinct().withColumn("tag", F.lit(1))
+    joined = salted_join(ev.select("user_id", "event_type", "value"), dim,
+                         on="event_type", num_salts=16)
+    return joined.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
+    )

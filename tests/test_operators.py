@@ -191,3 +191,16 @@ def test_range_join_matches_nonequi(spark):
         if lo <= v < hi
     }
     assert got == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    from big_data_player_analysis_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(k, i) for k in ("hot", "hot", "hot", "cold") for i in range(5)],
+        "k string, payload long",
+    )
+    dim = spark.createDataFrame([("hot", 1), ("cold", 2), ("unmatched", 3)], "k string, tag long")
+    got = rows_set(salted_join(big, dim, on="k", num_salts=4))
+    want = rows_set(big.join(dim, "k"))
+    assert got == want
