@@ -131,6 +131,40 @@ def stream_stateful_q(spark: SparkSession, sf: str) -> DataFrame:
     return run_stream_to_table(user_running_stats(_events_sdf(spark, sf)), "update")
 
 
+@query(
+    "stream_static_enrich",
+    sql="""
+    WITH dim AS (
+      SELECT event_type, avg(value) AS type_avg FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           round(dim.type_avg, 6) AS type_avg,
+           round(e.value / round(dim.type_avg, 6), 6) AS rel_value
+    FROM events e JOIN dim USING (event_type)
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment: the event stream broadcast-joined per
+    micro-batch to a batch-computed dimension (per-type value average) —
+    the standard streaming feature-enrichment pattern; the static side is
+    planned once and re-broadcast per batch."""
+    from pyspark.sql import functions as F
+
+    dim = (
+        t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.round(F.avg("value"), 6).alias("type_avg"))
+    )
+    sdf = _events_sdf(spark, sf)
+    enriched = (
+        sdf.join(F.broadcast(dim), "event_type")
+        .withColumn("rel_value", F.round(F.col("value") / F.col("type_avg"), 6))
+        .select("event_id", "user_id", "event_type", "value", "type_avg", "rel_value")
+    )
+    return run_stream_to_table(enriched, "append")
+
+
 @query("olap_session_window", sql=SQL_SESSION, tags=("streaming", "window", "sessionization"))
 def session_window_q(spark: SparkSession, sf: str) -> DataFrame:
     """session_window(gap=30min) per user — batch execution of the same

@@ -194,3 +194,27 @@ def test_append_mode_watermark_withholds_tail_windows(spark, events, split_event
     withheld = want.filter(F.col("window_end") > F.lit(horizon))
     assert rows_set(got) == rows_set(finalized)
     assert withheld.count() > 0  # the tail really was withheld
+
+
+def test_streaming_parquet_sink_roundtrip(spark, events, events_sdf, tmp_path):
+    """A real file sink with checkpointing: the streamed aggregate lands in
+    parquet and reads back equal to the batch answer."""
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        tumbling_event_stats(events_sdf)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    back = spark.read.parquet(out)
+    # append mode with watermark: finalized windows only, subset of batch
+    want = tumbling_event_stats(events)
+    assert 0 < back.count() < want.count()
+    assert rows_set(back) <= rows_set(want) or [
+        r for r in rows_set(back) if r in rows_set(want)
+    ] == rows_set(back)
