@@ -75,3 +75,34 @@ def decode_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(batches, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_no", T.LongType(), False),
+        T.StructField("frame_len", T.LongType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, stride: int = 5) -> DataFrame:
+    """Frame sampling: one output row per sampled frame index (0, stride,
+    2*stride, ... < n_frames) — the 1-to-N explode shape of video frame
+    extraction, Arrow-batched. The 'frame' is a deterministic byte slice
+    payload[frame_no::n_frames] standing in for a real decoder; its length
+    ceil((n - frame_no) / n_frames) is what the SQL oracle reproduces."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list[int]] = {"doc_id": [], "frame_no": [], "frame_len": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload)
+                nf = n % 30 + 1
+                for f0 in range(0, nf, stride):
+                    rows["doc_id"].append(int(did))
+                    rows["frame_no"].append(f0)
+                    rows["frame_len"].append(len(payload[f0::nf]))
+            yield pd.DataFrame(rows, dtype="int64")
+
+    return media.mapInPandas(batches, FRAME_SCHEMA)

@@ -385,3 +385,24 @@ def multimodal_q(spark: SparkSession, sf: str) -> DataFrame:
 
     media = attach_payload(t(spark, sf, "documents"), "doc_id", "text")
     return decode_features(media)
+
+
+@query(
+    "multimodal_frame_sample",
+    sql="""
+    WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    f AS (SELECT doc_id, n, n % 30 + 1 AS nf FROM m)
+    SELECT doc_id, CAST(u.fr AS BIGINT) AS frame_no,
+           CAST((n - u.fr + nf - 1) // nf AS BIGINT) AS frame_len
+    FROM f, LATERAL (SELECT unnest(range(0, nf, 5)) AS fr) u
+    """,
+    tags=("llm", "multimodal"),
+)
+def multimodal_frames_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame sampling (1-to-N mapInPandas explode): every 5th fake frame
+    per document with its slice length; the oracle re-derives the stride
+    arithmetic with a LATERAL range."""
+    from big_data_player_analysis_spark.multimodal import attach_payload, sample_frames
+
+    media = attach_payload(t(spark, sf, "documents"), "doc_id", "text")
+    return sample_frames(media, stride=5)
