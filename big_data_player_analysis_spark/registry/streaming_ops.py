@@ -17,6 +17,7 @@ session_window's no-merge-on-exact-gap semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from big_data_player_analysis_spark.catalog import table_path
 from big_data_player_analysis_spark.registry import query
@@ -24,6 +25,7 @@ from big_data_player_analysis_spark.registry.common import t
 from big_data_player_analysis_spark.streaming import (
     dedup_stream_by_id,
     events_stream,
+    interval_join,
     run_stream_to_table,
     session_window_stats,
     sliding_value_avg,
@@ -163,6 +165,36 @@ def stream_static_q(spark: SparkSession, sf: str) -> DataFrame:
         .select("event_id", "user_id", "event_type", "value", "type_avg", "rel_value")
     )
     return run_stream_to_table(enriched, "append")
+
+
+@query(
+    "stream_stream_interval_join",
+    sql="""
+    WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.user_id,
+           p.event_id AS l_event_id, p.ts AS l_ts,
+           c.event_id AS r_event_id, c.ts AS r_ts
+    FROM p JOIN c ON p.user_id = c.user_id
+      AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream interval join: every purchase matched to
+    the same user's clicks in the preceding 30 minutes, both sides real
+    streams (join state bounded by watermark + interval). Inner-join
+    matches emit eagerly, so availableNow converges to the batch answer."""
+    purchases = _events_sdf(spark, sf).filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "ts")
+    clicks = _events_sdf(spark, sf).filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = interval_join(purchases, clicks, on="user_id", lookback="30 minutes")
+    return run_stream_to_table(
+        joined.select("user_id", "l_event_id", "l_ts", "r_event_id", "r_ts"), "append"
+    )
 
 
 @query("olap_session_window", sql=SQL_SESSION, tags=("streaming", "window", "sessionization"))

@@ -23,6 +23,7 @@ from big_data_player_analysis_spark.streaming.stateful import (
     dedup_stream_by_id,
     user_running_stats,
 )
+from big_data_player_analysis_spark.streaming.joins import interval_join
 
 __all__ = [
     "events_stream",
@@ -32,4 +33,5 @@ __all__ = [
     "session_window_stats",
     "dedup_stream_by_id",
     "user_running_stats",
+    "interval_join",
 ]

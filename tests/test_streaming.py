@@ -218,3 +218,50 @@ def test_streaming_parquet_sink_roundtrip(spark, events, events_sdf, tmp_path):
     assert rows_set(back) <= rows_set(want) or [
         r for r in rows_set(back) if r in rows_set(want)
     ] == rows_set(back)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events, events_sdf, sf_small):
+    from big_data_player_analysis_spark.streaming import interval_join
+
+    def sides(src):
+        p = src.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+        c = src.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+        return p, c
+
+    sp, sc = sides(events_sdf)
+    got = run_stream_to_table(
+        interval_join(sp, sc, on="user_id", lookback="30 minutes"), "append"
+    )
+    bp, bc = sides(events)
+    want = interval_join(bp, bc, on="user_id", lookback="30 minutes")
+    assert rows_set(got) == rows_set(want)
+    assert got.count() > 0
+
+
+def test_foreach_batch_sink(spark, events, split_events_dir, tmp_path):
+    """foreachBatch: arbitrary per-micro-batch logic (here: write each batch
+    to its own parquet dir and record batch ids) — the escape hatch for
+    sinks Spark lacks natively (JDBC upserts, external indexes, ...)."""
+    from big_data_player_analysis_spark.streaming import events_stream
+
+    out = tmp_path / "fb"
+    out.mkdir()
+    seen = []
+
+    def handle(batch_df, batch_id):
+        seen.append(batch_id)
+        batch_df.write.mode("overwrite").parquet(str(out / f"b{batch_id}"))
+
+    sdf = events_stream(spark, split_events_dir, max_files_per_trigger=1)
+    q = (
+        sdf.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(seen) == 4  # one per split file
+    total = sum(
+        spark.read.parquet(str(out / f"b{b}")).count() for b in seen
+    )
+    assert total == events.count()
