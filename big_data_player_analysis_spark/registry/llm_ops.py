@@ -267,6 +267,22 @@ def dedup_cosine_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("sim_ivf_kmeans_topk", sql=None, tags=("llm", "similarity", "clustering"))
+def sim_ivf_kmeans_q(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF top-k with a FITTED coarse quantizer: DataFrame-native k-means
+    (operators/clustering.py, deterministic lowest-id init) assigns cells,
+    then the probe path scans the 2 closest. Rows-only: the iterative fit
+    is not one SQL statement; tests pin determinism and the
+    all-probes==brute-force degeneracy."""
+    from big_data_player_analysis_spark.operators.clustering import ivf_kmeans_topk
+
+    emb = t(spark, sf, "embeddings")
+    return ivf_kmeans_topk(
+        emb, emb.filter(F.col("vec_id") == 0),
+        k_clusters=8, n_probe=2, k=10, max_iter=5,
+    )
+
+
 @query("ann_lsh_pairs", sql=None, tags=("llm", "similarity"))
 def ann_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
     """Hyperplane-LSH bucketed near-neighbor pairs (the scale path for

@@ -316,3 +316,38 @@ def test_knn_join_vectorized_matches_expression_path(emb):
         tuple(r) for r in knn_join(emb, emb.filter(F.col("vec_id") < 5), k=3).collect()
     )
     assert got == want
+
+
+# -------------------------------------------------------------- clustering
+
+
+def test_kmeans_partitions_and_converges(emb, emb_np):
+    from big_data_player_analysis_spark.operators.clustering import kmeans_fit
+
+    ids, E, labels = emb_np
+    fit = kmeans_fit(emb, k=8, max_iter=10)
+    assign = {r.id: r.cluster for r in fit.assignments.collect()}
+    assert set(assign) == set(int(i) for i in ids)  # every vector assigned
+    assert 1 <= len(set(assign.values())) <= 8
+    assert fit.iterations >= 1
+    # determinism: a second fit gives the identical assignment
+    fit2 = kmeans_fit(emb, k=8, max_iter=10)
+    assert {r.id: r.cluster for r in fit2.assignments.collect()} == assign
+
+
+def test_ivf_kmeans_all_probes_equals_bruteforce(emb, emb_np):
+    """Probing every cell degenerates to the exact answer."""
+    from big_data_player_analysis_spark.operators.clustering import ivf_kmeans_topk
+
+    got = [
+        (r.vec_id, r.cosine)
+        for r in ivf_kmeans_topk(
+            emb, emb.filter(F.col("vec_id") == 0),
+            k_clusters=8, n_probe=8, k=10, max_iter=5,
+        ).collect()
+    ]
+    want = [
+        (r.vec_id, r.cosine)
+        for r in brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10).collect()
+    ]
+    assert got == want
