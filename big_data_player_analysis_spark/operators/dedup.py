@@ -296,6 +296,64 @@ def dedup_simhash(
     )
 
 
+def dedup_components(
+    pairs: DataFrame,
+    col_a: str = "doc_a",
+    col_b: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component): connected components over near-duplicate pairs —
+    the step that turns pairwise dedup output into canonical groups (keep
+    min-id per component, drop the rest).
+
+    Iterative min-label propagation: every node starts labeled with itself;
+    each sweep takes the min label over direct neighbors; converges in
+    O(graph diameter) sweeps — near-dup components are small quasi-cliques,
+    so typically 2-3. Per sweep: one join + one min-aggregate, both keyed
+    shuffles; labels are localCheckpoint'd to stop lineage growth (same
+    discipline as plans/heroic.py). Driver sees only the changed-count
+    scalar."""
+    edges = pairs.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+    edges = edges.union(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            edges.join(
+                labels.select(F.col("node").alias("b"), F.col("label").alias("nl")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nl").alias("nl"))
+            .select(F.col("a").alias("node"), "nl")
+        )
+        new_labels = (
+            labels.join(neigh_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("node", F.col("label").alias("old")), "node"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("component"))
+
+
 def dedup_embedding_cosine(
     df: DataFrame,
     id_col: str,

@@ -249,6 +249,41 @@ def dedup_simhash_q(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_simhash(t(spark, sf, "documents"), "doc_id", "text", k=SHINGLE_K)
 
 
+SQL_COMPONENTS = f"""
+WITH RECURSIVE {SQL_SHINGLES_CTE.strip()},
+jp AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes na ON na.doc = i.doc_a
+  JOIN sizes nb ON nb.doc = i.doc_b
+  WHERE round(1.0 * n_common / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+),
+und AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+)
+SELECT a AS node, CAST(least(a, min(b)) AS BIGINT) AS component
+FROM reach GROUP BY a
+"""
+
+
+@query("dedup_components", sql=SQL_COMPONENTS, tags=("llm", "dedup", "graph"))
+def dedup_components_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pairs via iterative
+    min-label propagation (operators/dedup.py:dedup_components) — pairwise
+    dedup -> canonical groups. The oracle computes the same components with
+    a recursive-CTE transitive closure over the exact-Jaccard pairs."""
+    from big_data_player_analysis_spark.operators.dedup import dedup_components
+
+    pairs = dedup_minhash_lsh(
+        t(spark, sf, "documents"), "doc_id", "text",
+        k=SHINGLE_K, threshold=JACCARD_THRESHOLD,
+    )
+    return dedup_components(pairs)
+
+
 @query(
     "dedup_embedding_cosine",
     sql=f"""

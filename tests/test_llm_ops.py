@@ -351,3 +351,42 @@ def test_ivf_kmeans_all_probes_equals_bruteforce(emb, emb_np):
         for r in brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=10).collect()
     ]
     assert got == want
+
+
+def test_dedup_components_chain_and_cliques(spark):
+    from big_data_player_analysis_spark.operators.dedup import dedup_components
+
+    # a chain (diameter > 1 forces multiple sweeps), a triangle, an isolated pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.node: r.component for r in dedup_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                   10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_components_on_jaccard_pairs(spark, docs, py_jaccard_pairs):
+    from big_data_player_analysis_spark.operators.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in py_jaccard_pairs], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.component for r in dedup_components(pairs).collect()}
+
+    # independent union-find
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    for a, b in py_jaccard_pairs:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
