@@ -284,6 +284,78 @@ def dedup_components_q(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_components(pairs)
 
 
+CURATION_MIN_QUALITY = 0.36
+
+SQL_CURATION = f"""
+WITH RECURSIVE {SQL_SHINGLES_CTE.strip()},
+jp AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes na ON na.doc = i.doc_a
+  JOIN sizes nb ON nb.doc = i.doc_b
+  WHERE round(1.0 * n_common / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+),
+und AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+noncanon AS (SELECT a AS node FROM reach GROUP BY a HAVING least(a, min(b)) <> a),
+p AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents),
+s AS (
+  SELECT doc_id,
+         {', '.join(f'{_sql_lang_score(lang)} AS s_{lang}' for lang in LANG_PRIORITY)},
+         round(
+           {QUALITY_WEIGHTS['stop_ratio']} * (CAST({_sql_lang_score('en')} AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\\s+')))
+         + {QUALITY_WEIGHTS['alpha_ratio']} * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text))
+         + {QUALITY_WEIGHTS['len_score']} * least(1.0,
+               len(regexp_split_to_array(trim(text), '\\s+')) / {QUALITY_LEN_NORM}),
+         6) AS quality
+  FROM p
+)
+SELECT doc_id, quality, {_sql_lang_case()} AS pred_lang
+FROM s
+WHERE quality >= {CURATION_MIN_QUALITY}
+  AND {_sql_lang_case()} = 'en'
+  AND doc_id NOT IN (SELECT node FROM noncanon)
+"""
+
+
+@query("llm_corpus_curation", sql=SQL_CURATION, tags=("llm", "pipeline"))
+def corpus_curation_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The composite training-data curation pipeline: language filter +
+    quality threshold + near-dup removal (keep the min-id doc per MinHash
+    component, anti-join the rest). One lazy plan end-to-end on the Spark
+    side; the oracle re-derives every stage including the recursive-CTE
+    component closure."""
+    from big_data_player_analysis_spark.operators.dedup import dedup_components
+
+    docs = t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("quality"),
+        predict_language(F.col("text")).alias("pred_lang"),
+    )
+    pairs = dedup_minhash_lsh(
+        docs, "doc_id", "text", k=SHINGLE_K, threshold=JACCARD_THRESHOLD
+    )
+    noncanon = (
+        dedup_components(pairs)
+        .filter(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        scored.filter(
+            (F.col("quality") >= CURATION_MIN_QUALITY) & (F.col("pred_lang") == "en")
+        )
+        .join(noncanon, "doc_id", "left_anti")
+        .select("doc_id", "quality", "pred_lang")
+    )
+
+
 @query(
     "dedup_embedding_cosine",
     sql=f"""
