@@ -606,3 +606,47 @@ def salted_join_q(spark: SparkSession, sf: str) -> DataFrame:
     return joined.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value")
     )
+
+
+@query(
+    "olap_apply_in_pandas_longest_run",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN value > lag(value) OVER w THEN 0 ELSE 1 END AS new_run
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+      SELECT user_id,
+             sum(new_run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+      FROM seq
+    )
+    SELECT user_id, CAST(max(run_len) AS BIGINT) AS longest_run
+    FROM (SELECT user_id, run_id, count(*) AS run_len FROM runs GROUP BY user_id, run_id)
+    GROUP BY user_id
+    """,
+    tags=("olap", "udf", "secondary-sort"),
+)
+def apply_in_pandas_longest_run(spark: SparkSession, sf: str) -> DataFrame:
+    """Arbitrary per-group reducer over SORTED group values — the Spark form
+    of the reference's secondary sort + reducer (reference emulator.py:108-129
+    fSortCmp + fReduce): groupBy().applyInPandas receives the whole group,
+    sorts by event time, and scans imperatively for the longest strictly
+    ascending value run. The oracle is the declarative gaps-and-islands
+    rewrite, proving both formulations agree."""
+    import pandas as pd
+
+    def longest_run(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        best = cur = 0
+        prev = None
+        for v in pdf["value"]:
+            cur = cur + 1 if prev is not None and v > prev else 1
+            best = max(best, cur)
+            prev = v
+        return pd.DataFrame({"user_id": [pdf["user_id"].iloc[0]], "longest_run": [best]})
+
+    ev = t(spark, sf, "events").select("user_id", "ts", "event_id", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        longest_run, "user_id long, longest_run long"
+    )
