@@ -84,35 +84,51 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> Data
     )
 
 
-def _exact_jaccard_on_candidates(
-    cand: DataFrame, shingles: DataFrame, threshold: float
+def _verify_jaccard(
+    cand: DataFrame,
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    threshold: float,
 ) -> DataFrame:
-    """Exact Jaccard for candidate (doc_a, doc_b) pairs from the full
-    shingle table: |A∩B| via a two-sided join on the shingle, |A| and |B|
-    from per-doc sizes."""
-    sizes = shingles.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    sa = shingles.select(F.col("doc").alias("doc_a"), "shingle")
-    sb = shingles.select(F.col("doc").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    """Exact Jaccard for candidate (doc_a, doc_b) pairs.
+
+    Scale shape: shingle arrays are (re)computed ONLY for docs that appear
+    in at least one candidate pair — at realistic dup rates that is a small
+    fraction of the corpus — then joined to each pair side and intersected
+    JVM-side with array_intersect. Compared to an exploded shingle-level
+    join this shuffles O(|candidate docs|) kilobyte-sized array rows instead
+    of O(|candidate pairs| x shingles/doc) rows. ``cand`` is expected to be
+    persisted by the caller (it is consumed twice: needed-ids + final join)."""
+    needed = (
+        cand.select(F.col("doc_a").alias("doc"))
+        .union(cand.select(F.col("doc_b").alias("doc")))
+        .distinct()
     )
-    out = (
-        inter.join(sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a")), "doc_a")
-        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b")), "doc_b")
+    docs = (
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))
+        .join(needed, "doc")
+        .select("doc", char_shingles(F.col("_text"), k).alias("sh"))
+        .persist()
+    )
+    a = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
                 F.col("n_common")
-                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
                 6,
             ),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("doc_a", "doc_b", "jaccard")
     )
-    return out.select("doc_a", "doc_b", "jaccard")
 
 
 def dedup_ngram_jaccard(
@@ -130,7 +146,10 @@ def dedup_ngram_jaccard(
     near-dup pair (j >= 0.6) shares hundreds of shingles, so requiring one
     shared rare shingle loses nothing in practice while keeping candidate
     generation linear-ish instead of df^2 on hot shingles."""
-    shingles = shingle_table(_scatter(df), id_col, text_col, k)
+    # Persisted: the exploded table feeds three consumers (df-count agg +
+    # both sides of the candidate self-join); without the cache each would
+    # re-shingle the whole corpus.
+    shingles = shingle_table(_scatter(df), id_col, text_col, k).persist()
     rare = shingles.join(
         shingles.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -145,20 +164,24 @@ def dedup_ngram_jaccard(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .persist()
     )
-    return _exact_jaccard_on_candidates(cand, shingles, threshold)
+    return _verify_jaccard(cand, df, id_col, text_col, k, threshold)
 
 
 def minhash_signatures(with_sh: DataFrame) -> DataFrame:
     """(doc, sig array<long>) from (doc, sh array<string>): slot_j = min
     over shingles of (a_j * murmur3(shingle) + b_j) mod p.
 
-    Computed as explode + one groupBy with 64 min-aggregates rather than 64
-    array traversals in a single projection: Spark does not CSE the shared
-    shingle-hash subexpression across 64 sibling transform() calls (it
-    would re-hash the array 64 times), while the aggregate form hashes each
-    shingle once and gets a map-side partial combine — shuffle is one
-    64-long row per doc."""
+    Computed as explode + one groupBy with 64 min-aggregates, NOT as 64
+    array_min(transform(...)) passes in a single projection: higher-order
+    array functions are evaluated interpreted (they never enter whole-stage
+    codegen), and the nested-lambda form measured ~1.1 ms/doc — ~6x slower
+    than this codegen'd aggregate. The explode also hashes each shingle
+    exactly once (Spark does not CSE the shared hash subexpression across
+    64 sibling expressions). Shingle rows are already doc-clustered, so the
+    map-side partial combine collapses everything locally and the shuffle
+    is one 64-long row per doc."""
     feats = with_sh.select("doc", F.explode("sh").alias("shingle")).select(
         "doc", F.abs(F.hash("shingle")).cast("long").alias("h")
     )
@@ -189,7 +212,10 @@ def dedup_minhash_lsh(
     with_sh = _scatter(df).select(
         F.col(id_col).alias("doc"), char_shingles(F.col(text_col), k).alias("sh")
     ).filter(F.size("sh") > 0)
-    sig = minhash_signatures(with_sh)
+    # Persisted: the signature table (one 64-long array per doc, ~0.5 KB) is
+    # read by both sides of the band self-join; recomputing it would
+    # re-shingle + re-hash the whole corpus twice.
+    sig = minhash_signatures(with_sh).persist()
     bands = sig.select(
         "doc",
         F.explode(
@@ -213,9 +239,9 @@ def dedup_minhash_lsh(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
+        .persist()
     )
-    shingles = with_sh.select("doc", F.explode("sh").alias("shingle"))
-    return _exact_jaccard_on_candidates(cand, shingles, threshold)
+    return _verify_jaccard(cand, df, id_col, text_col, k, threshold)
 
 
 def simhash_signatures(
@@ -263,7 +289,8 @@ def dedup_simhash(
     """Near-duplicate pairs with SimHash hamming distance <= max_hamming.
     Candidates via 9 band buckets (pigeonhole exact for <= 8), verified
     with bit_count(xor)."""
-    sigs = simhash_signatures(df, id_col, text_col, k)
+    # Persisted: one (doc, long) row per doc, read by both self-join sides.
+    sigs = simhash_signatures(df, id_col, text_col, k).persist()
     bands = sigs.select(
         "doc",
         "sig",

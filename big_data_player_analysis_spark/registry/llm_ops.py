@@ -529,3 +529,136 @@ def multimodal_frames_q(spark: SparkSession, sf: str) -> DataFrame:
 
     media = attach_payload(t(spark, sf, "documents"), "doc_id", "text")
     return sample_frames(media, stride=5)
+
+
+# ---------------------------------------------------------------- sampling
+
+
+@query(
+    "llm_sample_deterministic",
+    sql="""
+    SELECT doc_id, lang, source FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+    """,
+    tags=("llm", "sampling"),
+)
+def sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic ~10% corpus sample keyed on md5(doc_id) — reproducible
+    across runs/engines/partitionings, unlike df.sample. Pure narrow
+    filter, codegen'd, no shuffle (operators/sampling.py)."""
+    from big_data_player_analysis_spark.operators.sampling import deterministic_sample
+
+    return deterministic_sample(
+        t(spark, sf, "documents"), "doc_id", 0.1
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "llm_train_test_split",
+    sql="""
+    SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'c000'
+                THEN 'train' ELSE 'test' END AS split,
+           lang, CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+    tags=("llm", "sampling"),
+)
+def split_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 75/25 train/test assignment (leakage-free under
+    re-reads and repartitioning); per-(split, lang) counts."""
+    from big_data_player_analysis_spark.operators.sampling import train_test_split
+
+    return (
+        train_test_split(t(spark, sf, "documents"), "doc_id", 0.75)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "llm_stratified_sample",
+    sql="""
+    SELECT source, CAST(count(*) AS BIGINT) AS n_kept FROM documents
+    WHERE (source IN ('src0', 'src1') AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000')
+       OR (source IN ('src2', 'src3') AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000')
+       OR (source NOT IN ('src0', 'src1', 'src2', 'src3')
+           AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccd')
+    GROUP BY source
+    """,
+    tags=("llm", "sampling"),
+)
+def stratified_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source sampling rates (keep 50% of src0/1, 25% of src2/3, 5% of
+    the rest) as ONE codegen'd CASE predicate — the corpus-mixing knob of a
+    training-data pipeline, with no per-stratum scans."""
+    from big_data_player_analysis_spark.operators.sampling import stratified_sample
+
+    fractions = {f"src{i}": 0.05 for i in range(20)}
+    fractions.update({"src0": 0.5, "src1": 0.5, "src2": 0.25, "src3": 0.25})
+    return (
+        stratified_sample(t(spark, sf, "documents"), "doc_id", "source", fractions)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+# ------------------------------------------------------------------ tf-idf
+
+
+@query(
+    "llm_tfidf_top_terms",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(
+               regexp_replace(lower(text), '[^a-z]', ' ', 'g')), ' +')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks
+      WHERE length(term) >= 3 GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfreq FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tfidf FROM (
+      SELECT tf.doc_id, tf.term, round(tf.tf * ln(n.n_docs / dfq.dfreq), 6) AS tfidf,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf * ln(n.n_docs / dfq.dfreq) DESC, tf.term) AS rn
+      FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+    tags=("llm", "text"),
+)
+def tfidf_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 terms per document by tf-idf: tokenize (built-ins only) ->
+    per-(doc,term) tf -> document frequency -> idf = ln(N/df) -> window
+    top-k. The corpus-size scalar rides along as a broadcast cross join
+    (one row), so the whole plan stays lazy and distributed. The tf-df
+    join is left to AQE: at 100 TB the vocabulary is far past broadcast
+    size and both sides shuffle on term (same key as the df aggregate, so
+    the exchange is reused). Ties broken by term for a deterministic
+    oracle match."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), "[^a-z]", " ")), " +"
+            )
+        ).alias("term"),
+    ).filter(F.length("term") >= 3)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("raw", F.col("tf") * F.log(F.col("n_docs") / F.col("dfreq")))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("raw"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", F.round("raw", 6).alias("tfidf"))
+    )

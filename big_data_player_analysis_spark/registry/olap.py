@@ -650,3 +650,148 @@ def apply_in_pandas_longest_run(spark: SparkSession, sf: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         longest_run, "user_id long, longest_run long"
     )
+
+
+# ------------------------------------------------------- subquery shapes
+
+
+@query(
+    "olap_exists_correlated",
+    sql="""
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("olap", "subquery"),
+)
+def exists_correlated(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 shape: orders with at least one lineitem shipped >60 days
+    after the order date, counted per priority. The correlated EXISTS is a
+    LEFT SEMI join with a non-equi residual condition — one shuffle on the
+    order key, no fan-out duplication from multi-lineitem orders."""
+    o = t(spark, sf, "orders")
+    l = t(spark, sf, "lineitem")
+    qualified = o.join(
+        l,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return qualified.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@query(
+    "olap_scalar_correlated",
+    sql="""
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small, sum(l_extendedprice) AS total_value
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = l_partkey)
+    GROUP BY p_brand
+    """,
+    tags=("olap", "subquery"),
+)
+def scalar_correlated(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems below half their part's average quantity,
+    summarized per brand. Written as SQL with the correlated scalar
+    subquery intact so Catalyst performs the decorrelation (rewrite to an
+    aggregate + join on l_partkey) instead of us hand-rolling it."""
+    t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    t(spark, sf, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_brand, count(*) AS n_small, sum(l_extendedprice) AS total_value
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                            WHERE l2.l_partkey = l_partkey)
+        GROUP BY p_brand
+        """
+    )
+
+
+@query(
+    "olap_in_subquery",
+    sql="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+    """,
+    tags=("olap", "subquery"),
+)
+def in_subquery(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds 180
+    (~p90). The IN-subquery becomes a semi join against the HAVING
+    aggregate; quantities are integral so the sum is exact in fp and the
+    threshold is engine-stable."""
+    t(spark, sf, "orders").createOrReplaceTempView("orders")
+    t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                             GROUP BY l_orderkey HAVING sum(l_quantity) > 180)
+        """
+    )
+
+
+# ------------------------------------------------------- grouping sets
+
+
+@query(
+    "olap_grouping_sets",
+    sql="""
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           sum(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("olap", "agg"),
+)
+def grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS (detail + per-flag subtotal + grand total) —
+    the SQL surface beyond cube()/rollup(); one Expand + one aggregate,
+    not three scans."""
+    t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+               coalesce(l_linestatus, 'ALL') AS lstatus,
+               sum(l_quantity) AS sum_qty, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# --------------------------------------------------- descriptive statistics
+
+
+@query(
+    "olap_descriptive_stats",
+    sql="""
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("olap", "agg"),
+)
+def descriptive_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Column-profiling aggregates (stddev / correlation / covariance) —
+    single-pass partial-aggregable moments; rounded because the two
+    engines' co-moment accumulation orders differ in the last ulps."""
+    return t(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
+    )

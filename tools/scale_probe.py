@@ -1,0 +1,161 @@
+"""Scale probe: runs the heavy operators on synthetically scaled corpora
+(1x, 4x, 16x the sf0.1 documents/embeddings tables) and records wall time
+per scale into SCALE.md. Near-linear growth is the evidence that the
+candidate-generation designs (inverted index, LSH bands, partial top-k)
+hold as data grows; quadratic blow-up would show immediately at 16x.
+
+Scaled documents are rotated-alphabet rewrites of the originals, so the
+synthetic corpus does NOT add planted near-duplicates (which would change
+the workload semantics — duplicate density — not just its size).
+
+Usage: python tools/scale_probe.py [--scales 1,4,16]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from big_data_player_analysis_spark.catalog import load_table
+from big_data_player_analysis_spark.operators.dedup import (
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_simhash,
+)
+from big_data_player_analysis_spark.operators.similarity import knn_join_vectorized
+from big_data_player_analysis_spark.session import get_spark
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def scaled_docs(spark, base, factor: int):
+    """factor copies; copy i rewrites the text through a rotated-alphabet
+    substitution (translate), so copies of the same base doc share ZERO
+    shingles — duplicate density stays constant as the corpus scales
+    (a prefix-sharing scheme tried first planted sub-threshold near-dups
+    whose LSH-candidate volume grew quadratically in the factor). The same
+    translate pass applies at factor 1 (rotation 0 = identity) so every
+    scale has identical per-document workload."""
+    n = base.count()
+    copies = []
+    for i in range(factor):
+        r = (7 * i) % len(ALPHABET)
+        rotated = ALPHABET[r:] + ALPHABET[:r]
+        copies.append(
+            base.select(
+                (F.col("doc_id") + i * n).alias("doc_id"),
+                F.translate(F.lower("text"), ALPHABET, rotated).alias("text"),
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def scaled_embeddings(spark, base, factor: int):
+    if factor == 1:
+        return base
+    n = base.count()
+    copies = []
+    for i in range(factor):
+        copies.append(
+            base.select(
+                (F.col("vec_id") + i * n).alias("vec_id"),
+                F.transform(
+                    "embedding", lambda x: x + F.lit(0.01 * (i + 1))
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def timed(df) -> float:
+    t0 = time.time()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 2)
+
+
+def main():
+    scales = [1, 4, 16]
+    if len(sys.argv) > 2 and sys.argv[1] == "--scales":
+        scales = [int(x) for x in sys.argv[2].split(",")]
+    spark = get_spark("bdpa-scale-probe")
+    base_docs = load_table(spark, SF_DIR, "documents")
+    base_emb = load_table(spark, SF_DIR, "embeddings")
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    # Warmup: run every probe once untimed at 1x so the first timed scale
+    # doesn't absorb codegen/JIT/broadcast initialization.
+    wdocs = scaled_docs(spark, base_docs, 1).persist()
+    wemb = scaled_embeddings(spark, base_emb, 1).persist()
+    for df in (
+        dedup_exact(wdocs, "doc_id", "text"),
+        dedup_minhash_lsh(wdocs, "doc_id", "text", 8, 0.6),
+        dedup_simhash(wdocs, "doc_id", "text", 8),
+        knn_join_vectorized(wemb, wemb.filter(F.col("vec_id") < 5), k=3),
+    ):
+        timed(df)
+    wdocs.unpersist()
+    wemb.unpersist()
+    # The dedup operators persist internal intermediates (signatures,
+    # candidates); the factor-1 plans are identical to the warmup plans, so
+    # without a cache flush the 1x timings would be cache hits, not work.
+    spark.catalog.clearCache()
+
+    results: dict[str, dict[int, float]] = {}
+    rows: dict[int, int] = {}
+    for s in scales:
+        docs = scaled_docs(spark, base_docs, s).persist()
+        emb = scaled_embeddings(spark, base_emb, s).persist()
+        rows[s] = docs.count()
+        emb.count()
+        probes = {
+            "dedup_exact": dedup_exact(docs, "doc_id", "text"),
+            "dedup_minhash_lsh": dedup_minhash_lsh(docs, "doc_id", "text", 8, 0.6),
+            "dedup_simhash": dedup_simhash(docs, "doc_id", "text", 8),
+            "knn_join_vectorized": knn_join_vectorized(
+                emb, emb.filter(F.col("vec_id") < 5), k=3
+            ),
+        }
+        for name, df in probes.items():
+            results.setdefault(name, {})[s] = timed(df)
+        docs.unpersist()
+        emb.unpersist()
+        spark.catalog.clearCache()  # drop operator-internal persists
+
+    lines = [
+        "# SCALE — wall seconds per operator at synthetic corpus scales",
+        "",
+        f"Base: sf0.1 documents ({rows[scales[0]]} rows at 1x), local[32].",
+        "Composed-text copies: no planted near-dups (workload size grows,",
+        "semantics do not). Near-linear growth across the row = the",
+        "candidate-generation design holds; quadratic would explode at 16x.",
+        "",
+        "| operator | " + " | ".join(f"{s}x ({rows[s]} rows)" for s in scales) + " |",
+        "|---|" + "---|" * len(scales),
+    ]
+    for name, per in results.items():
+        lines.append(
+            f"| {name} | " + " | ".join(f"{per[s]}s" for s in scales) + " |"
+        )
+    text = "\n".join(lines) + "\n"
+    with open("/root/repo/SCALE.md", "w") as f:
+        f.write(text)
+    print(json.dumps({"rows": rows, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
