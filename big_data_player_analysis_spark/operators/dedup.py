@@ -381,6 +381,40 @@ def dedup_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: training documents that share at least
+    ``min_shared`` distinct character k-shingles with ANY eval-set
+    document, with the shared-shingle count — the standard n-gram-overlap
+    contamination check run before training on a scraped corpus.
+
+    Scale shape: the eval side (benchmark suites) is tiny and fixed while
+    the train side is the 100 TB corpus, so the eval shingle set is the
+    broadcast build side of a hash join — the corpus-side shingle stream
+    never shuffles on the shingle key; the only wide exchange is the final
+    per-doc count, which is partial-aggregated map-side first. No
+    reference analog (the reference has no text ops); mandated extension
+    tier.
+
+    Returns (train_id, n_shared) for contaminated docs only.
+    """
+    tr = shingle_table(_scatter(train), id_col, text_col, k)
+    ev = shingle_table(eval_df, id_col, text_col, k).select("shingle").distinct()
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= F.lit(min_shared))
+        .select(F.col("doc").alias("train_id"), "n_shared")
+    )
+
+
 def dedup_embedding_cosine(
     df: DataFrame,
     id_col: str,

@@ -29,6 +29,7 @@ from big_data_player_analysis_spark.functions.text import (
     ws_token_count,
 )
 from big_data_player_analysis_spark.operators.dedup import (
+    decontaminate,
     dedup_embedding_cosine,
     dedup_exact,
     dedup_minhash_lsh,
@@ -661,4 +662,46 @@ def tfidf_q(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", F.round("raw", 6).alias("tfidf"))
+    )
+
+
+# -------------------------------------------------------- decontamination
+
+DECONTAM_MIN_SHARED = 10
+
+SQL_DECONTAM = f"""
+WITH d AS (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS pfx,
+                  {SQL_NORM} AS norm
+           FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, pfx,
+         substr(norm, CAST(i AS INT), {SHINGLE_K}) AS shingle
+  FROM d, LATERAL (SELECT unnest(range(1, greatest(len(norm) - {SHINGLE_K - 2}, 1))) AS i) r
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE pfx = 'f')
+SELECT doc AS train_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM sh JOIN ev USING (shingle)
+WHERE pfx <> 'f'
+GROUP BY doc
+HAVING count(*) >= {DECONTAM_MIN_SHARED}
+"""
+
+
+@query("llm_decontaminate", sql=SQL_DECONTAM, tags=("llm", "dedup"))
+def decontaminate_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination over the documents corpus: a deterministic
+    ~6% eval slice (md5 prefix 'f' — same portable hash-split as the
+    sampling tier) stands in for a benchmark suite; training docs sharing
+    >= 10 distinct 8-gram shingles with it are flagged. The eval shingle
+    set is broadcast, so the corpus side is never shuffled on shingle
+    (operators/dedup.py:decontaminate)."""
+    docs = t(spark, sf, "documents")
+    pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return decontaminate(
+        docs.filter(pfx != "f"),
+        docs.filter(pfx == "f"),
+        "doc_id",
+        "text",
+        k=SHINGLE_K,
+        min_shared=DECONTAM_MIN_SHARED,
     )

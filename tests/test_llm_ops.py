@@ -390,3 +390,46 @@ def test_dedup_components_on_jaccard_pairs(spark, docs, py_jaccard_pairs):
         union(a, b)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+class TestDecontaminate:
+    def test_matches_python_ngram_overlap(self, spark, sf_small, docs, doc_rows):
+        import hashlib
+
+        from big_data_player_analysis_spark.operators.dedup import decontaminate
+
+        def pfx(doc_id):
+            return hashlib.md5(str(doc_id).encode()).hexdigest()[0]
+
+        ev_sh = set()
+        for d, t in doc_rows:
+            if pfx(d) == "f":
+                ev_sh |= _shingles(t)
+        expected = {}
+        for d, t in doc_rows:
+            if pfx(d) != "f":
+                n = len(_shingles(t) & ev_sh)
+                if n >= 3:
+                    expected[d] = n
+        assert ev_sh and expected, "fixture must exercise both sides"
+
+        col = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        out = decontaminate(
+            docs.filter(col != "f"),
+            docs.filter(col == "f"),
+            "doc_id",
+            "text",
+            k=K,
+            min_shared=3,
+        ).collect()
+        got = {r.train_id: r.n_shared for r in out}
+        assert got == expected
+
+    def test_eval_side_is_broadcast(self, spark, sf_small, docs):
+        from big_data_player_analysis_spark.operators.dedup import decontaminate
+
+        col = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        plan = decontaminate(
+            docs.filter(col != "f"), docs.filter(col == "f"), "doc_id", "text"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
