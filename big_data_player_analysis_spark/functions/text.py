@@ -116,6 +116,92 @@ def md5_fingerprint(text: Column) -> Column:
     return F.md5(F.encode(normalize_text(text), "UTF-8"))
 
 
+# Gopher/C4-style quality-filter ruleset (Rae et al. 2021 §A1.1, Raffel et
+# al. 2020 §2.2): repetition ratios + shape bounds. Bounds tuned so the
+# filter is actually exercised on the synthetic corpus (docs run 10-99
+# tokens with top-unigram shares up to 0.30).
+QUALITY_FILTER_RULES = {
+    "min_tokens": 20,
+    "max_tokens": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_dup_line_frac": 0.3,
+    "max_top_unigram_share": 0.12,
+    "max_top_bigram_share": 0.08,
+    "max_symbol_word_ratio": 0.1,
+}
+
+
+def ws_tokens_norm(text: Column) -> Column:
+    """Whitespace tokens of the normalized text as an array."""
+    return F.split(normalize_text(text), " ")
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Fraction of newline-delimited lines that are duplicates of another
+    line: 1 - distinct/total. 0.0 for single-line documents."""
+    lines = F.split(text, "\n")
+    return F.round(
+        (F.size(lines) - F.size(F.array_distinct(lines)))
+        / F.size(lines).cast("double"),
+        6,
+    )
+
+
+def _top_share(arr: Column) -> Column:
+    """Share of the array occupied by its most frequent element; 0.0 for
+    empty arrays. Evaluated as distinct x filter scans — O(distinct * n)
+    per row, fine for document-sized arrays (for book-length texts, the
+    explode + groupBy + window form is the right shape instead)."""
+    counts = F.transform(
+        F.array_distinct(arr), lambda g: F.size(F.filter(arr, lambda x: x == g))
+    )
+    return F.when(
+        F.size(arr) > 0,
+        F.round(F.array_max(counts) / F.size(arr).cast("double"), 6),
+    ).otherwise(F.lit(0.0))
+
+
+def top_unigram_share(text: Column) -> Column:
+    """Share of tokens taken by the most frequent normalized token."""
+    return _top_share(ws_tokens_norm(text))
+
+
+def top_bigram_share(text: Column) -> Column:
+    """Share of word 2-grams taken by the most frequent one — the Gopher
+    repetition signal that catches boilerplate loops exact-line dedup
+    misses. Sequence is guarded (sequence(1, 0) would count down)."""
+
+    def bigrams_of(toks: Column) -> Column:
+        n = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+        return F.when(n >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+    # let-bind the token array (same trick as char_shingles: inlining it
+    # would re-split the text for every lambda reference)
+    return _top_share(F.transform(F.array(ws_tokens_norm(text)), bigrams_of)[0])
+
+
+def symbol_word_ratio(text: Column) -> Column:
+    """Symbol characters (non-alphanumeric, non-whitespace) per whitespace
+    token of the raw text."""
+    symbols = F.length(F.regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+    return F.round(symbols / ws_token_count(text).cast("double"), 6)
+
+
+def mean_word_length(text: Column) -> Column:
+    """Mean normalized-token length, computed from the single-spaced
+    normalized form as (chars - separators) / tokens — no per-token pass."""
+    norm = normalize_text(text)
+    n = F.size(F.split(norm, " ")).cast("double")
+    return F.when(
+        F.length(norm) > 0, F.round((F.length(norm) - (n - 1)) / n, 6)
+    ).otherwise(F.lit(0.0))
+
+
 def char_shingles(text: Column, k: int) -> Column:
     """Distinct character k-shingles of the normalized text as an array —
     the input to n-gram Jaccard / MinHash dedup. Pure expression:

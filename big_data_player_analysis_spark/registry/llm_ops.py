@@ -19,14 +19,21 @@ from big_data_player_analysis_spark.functions.text import (
     BPE_TOKEN_PATTERN,
     LANG_PRIORITY,
     LANG_STOPWORDS,
+    QUALITY_FILTER_RULES,
     QUALITY_LEN_NORM,
     QUALITY_WEIGHTS,
     bpe_token_count,
+    dup_line_fraction,
     language_scores,
     md5_fingerprint,
+    mean_word_length,
     predict_language,
     quality_score,
+    symbol_word_ratio,
+    top_bigram_share,
+    top_unigram_share,
     ws_token_count,
+    ws_tokens_norm,
 )
 from big_data_player_analysis_spark.operators.dedup import (
     decontaminate,
@@ -199,6 +206,84 @@ def text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Canonical-form md5 document fingerprint."""
     docs = t(spark, sf, "documents")
     return docs.select("doc_id", md5_fingerprint(F.col("text")).alias("fp"))
+
+
+_R = QUALITY_FILTER_RULES
+
+SQL_QUALITY_FILTERS = f"""
+WITH d AS (SELECT doc_id, text, {SQL_NORM} AS norm FROM documents),
+tk AS (
+  SELECT doc_id, text, norm, string_split(norm, ' ') AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM d
+),
+bg AS (
+  SELECT *, CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                 ELSE list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+            END AS grams
+  FROM tk
+),
+m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CASE WHEN length(norm) > 0
+         THEN round((length(norm) - (len(toks) - 1)) * 1.0 / len(toks), 6)
+         ELSE 0.0 END AS mean_word_len,
+    round((len(lines) - len(list_distinct(lines))) * 1.0 / len(lines), 6)
+      AS dup_line_frac,
+    CASE WHEN len(toks) > 0
+         THEN round(list_max(list_transform(list_distinct(toks),
+                g -> len(list_filter(toks, x -> x = g)))) * 1.0 / len(toks), 6)
+         ELSE 0.0 END AS top_unigram_share,
+    CASE WHEN len(grams) > 0
+         THEN round(list_max(list_transform(list_distinct(grams),
+                g -> len(list_filter(grams, x -> x = g)))) * 1.0 / len(grams), 6)
+         ELSE 0.0 END AS top_bigram_share,
+    round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) * 1.0
+          / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS symbol_word_ratio
+  FROM bg
+)
+SELECT *, CAST(
+      n_tokens BETWEEN {_R['min_tokens']} AND {_R['max_tokens']}
+  AND mean_word_len BETWEEN {_R['min_mean_word_len']} AND {_R['max_mean_word_len']}
+  AND dup_line_frac <= {_R['max_dup_line_frac']}
+  AND top_unigram_share <= {_R['max_top_unigram_share']}
+  AND top_bigram_share <= {_R['max_top_bigram_share']}
+  AND symbol_word_ratio <= {_R['max_symbol_word_ratio']}
+  AS BIGINT) AS keep
+FROM m
+"""
+
+
+@query("llm_quality_filters", sql=SQL_QUALITY_FILTERS, tags=("llm", "text", "quality"))
+def quality_filters_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/C4-style repetition + shape quality filters (Rae et al. 2021
+    §A1.1): token-count bounds, mean word length, duplicate-line fraction,
+    top-unigram/top-bigram share, symbol-to-word ratio, and the composite
+    keep flag — the standard pre-training curation pass that runs before
+    dedup. Pure built-in array/regexp expressions (no UDFs); per-row work
+    only, so the plan is a single narrow projection that scales
+    embarrassingly. No reference analog (the reference has no text ops)."""
+    r = QUALITY_FILTER_RULES
+    text = F.col("text")
+    m = t(spark, sf, "documents").select(
+        "doc_id",
+        F.size(ws_tokens_norm(text)).cast("long").alias("n_tokens"),
+        mean_word_length(text).alias("mean_word_len"),
+        dup_line_fraction(text).alias("dup_line_frac"),
+        top_unigram_share(text).alias("top_unigram_share"),
+        top_bigram_share(text).alias("top_bigram_share"),
+        symbol_word_ratio(text).alias("symbol_word_ratio"),
+    )
+    keep = (
+        F.col("n_tokens").between(r["min_tokens"], r["max_tokens"])
+        & F.col("mean_word_len").between(r["min_mean_word_len"], r["max_mean_word_len"])
+        & (F.col("dup_line_frac") <= r["max_dup_line_frac"])
+        & (F.col("top_unigram_share") <= r["max_top_unigram_share"])
+        & (F.col("top_bigram_share") <= r["max_top_bigram_share"])
+        & (F.col("symbol_word_ratio") <= r["max_symbol_word_ratio"])
+    )
+    return m.withColumn("keep", keep.cast("long"))
 
 
 # ------------------------------------------------------------------- dedup

@@ -336,6 +336,33 @@ def json_extract(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "olap_month_json",
+    sql="""
+    SELECT date_trunc('month', ts) AS event_month,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n, round(sum(value), 6) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("olap", "datetime", "json"),
+)
+def month_json(spark: SparkSession, sf: str) -> DataFrame:
+    """Calendar-month x JSON-field rollup over the semi-structured events
+    table — the date/time (date_trunc) and JSON (get_json_object) surfaces
+    in one plan; olap_month_agg / olap_json_extract cover each in
+    isolation. Sum rounded: the two engines accumulate the doubles in
+    different orders."""
+    ev = t(spark, sf, "events").select(
+        F.date_trunc("month", "ts").alias("event_month"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        "value",
+    )
+    return ev.groupBy("event_month", "k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+
+
 # ---------------------------------------------------- percentiles / approx
 
 
@@ -779,19 +806,25 @@ def grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
            round(avg(l_extendedprice), 6) AS avg_price,
            round(stddev_samp(l_extendedprice), 4) AS sd_price,
            round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov,
+           round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("olap", "agg"),
 )
 def descriptive_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Column-profiling aggregates (stddev / correlation / covariance) —
-    single-pass partial-aggregable moments; rounded because the two
-    engines' co-moment accumulation orders differ in the last ulps."""
+    """Column-profiling aggregates (stddev / correlation / covariance +
+    exact interpolated percentiles) — the descriptive-stats and percentile
+    categories in one single-pass plan (olap_percentiles keeps the
+    percentile-only shape). Moments rounded because the two engines'
+    co-moment accumulation orders differ in the last ulps."""
     return t(spark, sf, "lineitem").groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("qty_price_cov"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
     )

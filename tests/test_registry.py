@@ -37,6 +37,28 @@ def test_query_matches_oracle(spark, sf_small, oracle, name):
     assert normalize(sdf) == normalize(odf)
 
 
+def test_primary_window():
+    """The driver records correctness rows for the first 50 entries only;
+    the reference surface, every engine-scope category representative, the
+    mandated LLM ops, and the streaming tier must all land inside that
+    window (round-1 lesson: 27 entries incl. all of q01-q18 fell outside)."""
+    from big_data_player_analysis_spark.registry import PRIMARY_ORDER
+
+    names = list(SPECS)
+    assert len(PRIMARY_ORDER) == 50
+    assert names[:50] == list(PRIMARY_ORDER)
+    window = set(PRIMARY_ORDER)
+    assert {f"q{i:02d}" for i in range(1, 19)} <= {n[:3] for n in window}
+    assert sum(n.startswith("stream_") or n == "olap_session_window" for n in window) == 7
+    assert {
+        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_embedding_cosine", "sim_bruteforce_topk", "sim_ivf_topk",
+        "multimodal_features", "multimodal_frame_sample", "llm_quality_filters",
+        "text_token_counts", "text_language_id", "text_quality_score",
+        "text_fingerprint",
+    } <= window
+
+
 def test_entry_smoke(spark):
     import importlib.util
 
