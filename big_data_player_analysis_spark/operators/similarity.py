@@ -222,7 +222,13 @@ def lsh_bucket_signature(vec_col):
     return out
 
 
-ANN_LSH_BANDS = 5  # pigeonhole: hamming <= 4 over 16 bits => a shared band
+# Pigeonhole: hamming <= 4 over 16 bits => at least one of 5 bands is
+# identical. Explicit (offset, width) bounds that exactly tile the 16 bits
+# (4+3+3+3+3) — computing widths as ceil(16/5)=4 would make the 5th band
+# read bits 16-19 of a 16-bit value, i.e. a constant-0 band every row
+# collides on, silently degenerating the equi-join into an n^2/2 self-join
+# (round-1 ADVICE finding; non-degeneracy is pinned in tests/test_llm_ops.py).
+ANN_LSH_BAND_BOUNDS = [(0, 4), (4, 3), (7, 3), (10, 3), (13, 3)]
 
 
 def ann_lsh_buckets(
@@ -238,8 +244,6 @@ def ann_lsh_buckets(
     max_hamming=4), then are verified with the hamming bound AND exact
     cosine >= threshold. The band join is a plain equi-join — shuffle on
     (band, bits), never an n^2 cross product."""
-    bits_per_band = (LSH_PLANES + ANN_LSH_BANDS - 1) // ANN_LSH_BANDS
-    mask = (1 << bits_per_band) - 1
     sigs = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         lsh_bucket_signature(F.col(vec_col)).alias("sig"),
@@ -253,11 +257,11 @@ def ann_lsh_buckets(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright("sig", i * bits_per_band)
-                        .bitwiseAND(F.lit(mask))
+                        F.shiftright("sig", off)
+                        .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("bits"),
                     )
-                    for i in range(ANN_LSH_BANDS)
+                    for i, (off, width) in enumerate(ANN_LSH_BAND_BOUNDS)
                 ]
             )
         ).alias("bb"),

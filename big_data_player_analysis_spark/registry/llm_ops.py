@@ -454,7 +454,10 @@ def corpus_curation_q(spark: SparkSession, sf: str) -> DataFrame:
     tags=("llm", "dedup"),
 )
 def dedup_cosine_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding near-dup pairs, brute-force cosine >= 0.45 baseline."""
+    """Embedding near-dup pairs, cosine >= 0.45, EXACT via blocked GEMM
+    (block-replicated applyInPandas matmul + JVM-expression verify — no
+    nested-loop join; plan pinned in tests/test_plans.py). The oracle is
+    the brute-force SQL; outputs are bit-identical."""
     return dedup_embedding_cosine(
         t(spark, sf, "embeddings"), "vec_id", "embedding", COSINE_DUP_THRESHOLD
     )
@@ -478,10 +481,12 @@ def sim_ivf_kmeans_q(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("ann_lsh_pairs", sql=None, tags=("llm", "similarity"))
 def ann_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Hyperplane-LSH bucketed near-neighbor pairs (the scale path for
-    dedup_embedding_cosine). Rows-only: the candidate set depends on the
-    seeded hyperplanes; subset-of-exact + recall are pinned in
-    tests/test_llm_ops.py."""
+    """Hyperplane-LSH bucketed near-neighbor pairs — the approximate scale
+    path when recall < 1 is acceptable (the exact product entry is
+    dedup_embedding_cosine's blocked-GEMM path). Rows-only: the candidate
+    set depends on the seeded hyperplanes; tests/test_llm_ops.py pins
+    exact parity with a deterministic numpy twin (precision AND recall),
+    band non-degeneracy, and pigeonhole completeness for hamming <= 4."""
     return ann_lsh_buckets(
         t(spark, sf, "embeddings"), "vec_id", "embedding", COSINE_DUP_THRESHOLD
     )

@@ -151,17 +151,22 @@ def window_lag(spark: SparkSession, sf: str) -> DataFrame:
 def sessionization(spark: SparkSession, sf: str) -> DataFrame:
     """Batch sessionization: lag-gap > 30 min starts a new session, cumsum
     numbers sessions — the standard two-window pattern (streaming variant in
-    streaming/events.py uses session_window)."""
+    streaming/events.py uses session_window). The gap compares at
+    MICROSECOND precision (unix_micros) to match the oracle's interval
+    semantics exactly — casting ts to long floors to whole seconds, so a
+    true gap of e.g. 1800.5s would not split while the oracle splits
+    (round-1 ADVICE finding)."""
     ev = t(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
     g = ev.select(
         "user_id",
         "ts",
         "event_id",
-        F.when(gap > 1800, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0).alias(
-            "new_session"
-        ),
+        F.when(gap > 1800 * 1_000_000, 1)
+        .when(F.lag("ts").over(w).isNull(), 1)
+        .otherwise(0)
+        .alias("new_session"),
     )
     cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

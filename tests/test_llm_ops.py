@@ -150,16 +150,116 @@ def test_embedding_cosine_vs_numpy(emb, emb_np):
         assert got[p] == pytest.approx(c, abs=2e-6)
 
 
-def test_ann_lsh_subset_of_exact(emb, emb_np):
+def _lsh_reference(ids, E, threshold=0.45, max_hamming=4):
+    """Numpy twin of ann_lsh_buckets: deterministic signatures from the
+    fixed hyperplanes -> band buckets -> candidates -> hamming + cosine
+    verify. Returns (expected pair set, band bucket maps, signature ints)."""
+    from big_data_player_analysis_spark.operators.similarity import (
+        ANN_LSH_BAND_BOUNDS,
+        LSH_HYPERPLANES,
+    )
+
+    H = np.array(LSH_HYPERPLANES, dtype=np.float64)
+    bits = (E @ H.T) > 0  # n x 16
+    sigs = (bits.astype(np.int64) << np.arange(16)).sum(axis=1)
+    buckets = []
+    cand = set()
+    for off, width in ANN_LSH_BAND_BOUNDS:
+        vals = (sigs >> off) & ((1 << width) - 1)
+        bucket: dict[int, list[int]] = {}
+        for i, v in enumerate(vals):
+            bucket.setdefault(int(v), []).append(i)
+        buckets.append(bucket)
+        for members in bucket.values():
+            for a in range(len(members)):
+                for b in range(a + 1, len(members)):
+                    i, j = members[a], members[b]
+                    cand.add((min(i, j), max(i, j)))
+    S = _cosine_matrix(E)
+    expected = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in cand
+        if bin(int(sigs[i]) ^ int(sigs[j])).count("1") <= max_hamming
+        and round(S[i, j], 6) >= threshold
+    }
+    return expected, buckets, sigs
+
+
+def test_embedding_cosine_blocked_equals_bruteforce(emb):
+    """The blocked-GEMM product path must match the theta-join baseline
+    bit-for-bit (same ids, same rounded cosines), across block counts that
+    exercise empty and diagonal-only groups."""
+    from big_data_player_analysis_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        dedup_embedding_cosine_bruteforce,
+    )
+
+    want = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup_embedding_cosine_bruteforce(
+            emb, "vec_id", "embedding", 0.45
+        ).collect()
+    }
+    for n_blocks in (1, 3, 8):
+        got = {
+            (r.id_a, r.id_b): r.cosine
+            for r in dedup_embedding_cosine(
+                emb, "vec_id", "embedding", 0.45, n_blocks=n_blocks
+            ).collect()
+        }
+        assert got == want, f"n_blocks={n_blocks}"
+
+
+def test_ann_lsh_matches_reference(emb, emb_np):
+    """The operator's output equals the deterministic numpy twin exactly —
+    pins precision AND recall of the banded path (a banding regression that
+    drops or floods candidates fails here, unlike the old subset-only
+    check; round-1 ADVICE findings #1/#4)."""
     ids, E, _ = emb_np
+    expected, buckets, sigs = _lsh_reference(ids, E)
+    got = {(r.id_a, r.id_b) for r in ann_lsh_buckets(emb, "vec_id", "embedding", 0.45).collect()}
+    assert got == expected
+    # precision direction is implied but keep the cheap explicit guard too
     S = _cosine_matrix(E)
     exact = {
         (int(ids[i]), int(ids[j]))
         for i, j in zip(*np.triu_indices(len(ids), 1))
         if round(S[i, j], 6) >= 0.45
     }
+    assert got <= exact
+
+
+def test_ann_lsh_bands_not_degenerate(emb_np):
+    """No band may be constant across the corpus (the round-1 bug: band 4
+    read bits 16-19 of a 16-bit signature, so every row collided in one
+    bucket and the equi-join degenerated to n^2/2). Every band must split
+    the corpus, and no bucket may hold more than half of it."""
+    ids, E, _ = emb_np
+    _, buckets, _ = _lsh_reference(ids, E)
+    n = len(ids)
+    for band_no, bucket in enumerate(buckets):
+        assert len(bucket) > 1, f"band {band_no} is constant"
+        assert max(len(m) for m in bucket.values()) <= n / 2, (
+            f"band {band_no} has a degenerate bucket"
+        )
+
+
+def test_ann_lsh_pigeonhole_complete(emb, emb_np):
+    """Every qualifying pair with signature hamming <= 4 MUST be found
+    (pigeonhole over the 5 exact-tiling bands) — the deterministic recall
+    contract of the operator."""
+    ids, E, _ = emb_np
+    _, _, sigs = _lsh_reference(ids, E)
+    S = _cosine_matrix(E)
+    must_find = {
+        (int(ids[i]), int(ids[j]))
+        for i, j in zip(*np.triu_indices(len(ids), 1))
+        if round(S[i, j], 6) >= 0.45
+        and bin(int(sigs[i]) ^ int(sigs[j])).count("1") <= 4
+    }
+    assert must_find, "fixture lost its low-hamming qualifying pairs"
     got = {(r.id_a, r.id_b) for r in ann_lsh_buckets(emb, "vec_id", "embedding", 0.45).collect()}
-    assert got <= exact  # precision 1.0: every emitted pair is verified
+    assert must_find <= got
 
 
 def test_bruteforce_topk_vs_numpy(emb, emb_np):
@@ -364,6 +464,26 @@ def test_dedup_components_chain_and_cliques(spark):
     got = {r.node: r.component for r in dedup_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
                    10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_components_nonconvergence_raises(spark):
+    """A chain whose diameter exceeds the sweep budget must raise rather
+    than silently return split components (round-1 ADVICE finding); with
+    strict=False the partial labeling is returned instead."""
+    from big_data_player_analysis_spark.operators.dedup import dedup_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(chain, max_iter=2)
+    partial = {
+        r.node: r.component
+        for r in dedup_components(chain, max_iter=2, strict=False).collect()
+    }
+    assert len(set(partial.values())) > 1  # genuinely un-converged
+    full = {r.node: r.component for r in dedup_components(chain, max_iter=8).collect()}
+    assert set(full.values()) == {1}
 
 
 def test_dedup_components_on_jaccard_pairs(spark, docs, py_jaccard_pairs):

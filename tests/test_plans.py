@@ -69,6 +69,15 @@ def test_topk_uses_ordered_limit_not_global_sort(spark, specs):
     assert "TakeOrderedAndProject" in p
 
 
+def test_embedding_cosine_no_cross_product(spark, specs):
+    """The registered embedding-dedup entry must be the blocked-GEMM path:
+    no theta-join nested loop anywhere in the plan (round-1 verdict: the
+    all-pairs a.id < b.id join planned as BroadcastNestedLoopJoin)."""
+    p = plan_str(specs["dedup_embedding_cosine"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "FlatMapGroupsInPandas" in p  # the GEMM stage is really there
+
+
 def test_heroic_flagship_broadcasts_score_vector(spark, specs):
     # entry flagship: per-iteration join is broadcast, edges not re-shuffled
     from big_data_player_analysis_spark.plans.heroic import edges_with_avgs
