@@ -65,7 +65,16 @@ def main() -> None:
         n for n in sorted(specs) if n not in HEADLINE and "bench" in specs[n].tags
     ]
 
-    # warmup: tiny action to pay session/codegen startup once
+    # Warmup: scan every benched table once (count forces footer reads +
+    # fills the FileSystem/codec caches) and pay the noop-writer + codegen
+    # setup. A spark.range() warmup never touches parquet, so the first
+    # timed query used to absorb ~6 s of first-scan cost (round-1 verdict).
+    # Goes through catalog.load_table: events.parquet is TIMESTAMP(NANOS),
+    # which the raw parquet reader rejects.
+    from big_data_player_analysis_spark.catalog import TABLES, load_table
+
+    for table in TABLES:
+        load_table(spark, sf_dir, table).count()
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}

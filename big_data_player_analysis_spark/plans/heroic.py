@@ -84,6 +84,32 @@ def edges_with_avgs(duels: DataFrame, num_partitions: int | None = None) -> Data
     return out
 
 
+def iteration_step(
+    edges: DataFrame, hs: DataFrame, alpha: float, broadcast_scores: bool = True
+) -> DataFrame:
+    """One damped update: hs'(c) = alpha * SUM_{c->d} hs(d)*avg(c)/avg(d)
+    + (1-alpha), with hs(d) defaulting to 1.0 (reference exercise_4.py:152,
+    :180-184). Exposed as a named step so tests can pin its physical plan:
+    a BroadcastHashJoin of the small score vector onto the persisted edge
+    table (the big side never re-shuffles), then a partial-aggregated sum."""
+    hs_by_challenged = hs.select(
+        F.col("player_id").alias("challenged_id"), F.col("hs").alias("hs_challenged")
+    )
+    if broadcast_scores:
+        hs_by_challenged = F.broadcast(hs_by_challenged)
+    contrib = (
+        edges.join(hs_by_challenged, on="challenged_id", how="left")
+        .withColumn("hs_challenged", F.coalesce("hs_challenged", F.lit(1.0)))
+        .withColumn(
+            "contrib",
+            F.col("hs_challenged") * F.col("avg_challenger") / F.col("avg_challenged"),
+        )
+    )
+    return contrib.groupBy(F.col("challenger_id").alias("player_id")).agg(
+        (F.lit(alpha) * F.sum("contrib") + F.lit(1.0 - alpha)).alias("hs")
+    )
+
+
 def heroic_score(
     duels: DataFrame,
     alpha: float = 0.1,
@@ -131,26 +157,7 @@ def heroic_score(
     for it in range(max_iter):
         # join current scores onto the challenged endpoint; players without a
         # score contribute the default 1.0 (reference exercise_4.py:152)
-        hs_by_challenged = hs.select(
-            F.col("player_id").alias("challenged_id"), F.col("hs").alias("hs_challenged")
-        )
-        if broadcast_scores:
-            hs_by_challenged = F.broadcast(hs_by_challenged)
-        contrib = (
-            edges.join(
-                hs_by_challenged,
-                on="challenged_id",
-                how="left",
-            )
-            .withColumn("hs_challenged", F.coalesce("hs_challenged", F.lit(1.0)))
-            .withColumn(
-                "contrib",
-                F.col("hs_challenged") * F.col("avg_challenger") / F.col("avg_challenged"),
-            )
-        )
-        new_hs = contrib.groupBy(F.col("challenger_id").alias("player_id")).agg(
-            (F.lit(alpha) * F.sum("contrib") + F.lit(1.0 - alpha)).alias("hs")
-        )
+        new_hs = iteration_step(edges, hs, alpha, broadcast_scores)
         if vector_partitions:
             new_hs = new_hs.coalesce(vector_partitions)
         new_hs = new_hs.localCheckpoint()  # truncate lineage each iteration

@@ -85,3 +85,41 @@ def test_heroic_flagship_broadcasts_score_vector(spark, specs):
 
     p = plan_str(edges_with_avgs(duel_edges(spark, SF)))
     assert "BroadcastHashJoin" in p
+
+
+def test_heroic_iteration_plan_shape_and_no_growth(spark, specs):
+    """Pin the per-iteration plan (round-1 verdict item 6): the score-vector
+    join must be a BroadcastHashJoin probing the PERSISTED edge table (an
+    InMemoryTableScan — the big side is read from cache, never re-shuffled),
+    and because the vector is localCheckpoint'd each sweep the plan must NOT
+    grow from one iteration to the next (lineage truncation really works)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from big_data_player_analysis_spark.plans.heroic import (
+        edges_with_avgs,
+        iteration_step,
+    )
+    from big_data_player_analysis_spark.registry.common import duel_edges
+
+    edges = edges_with_avgs(duel_edges(spark, SF)).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        edges.count()  # materialize the cache so the plan shows the scan
+        hs0 = (
+            edges.select("challenger_id")
+            .distinct()
+            .selectExpr("challenger_id as player_id", "1.0d as hs")
+            .localCheckpoint()
+        )
+        p1 = plan_str(iteration_step(edges, hs0, alpha=0.1))
+        assert "BroadcastHashJoin" in p1
+        assert "InMemoryTableScan" in p1  # probes the cache, not a re-scan
+        assert "SortMergeJoin" not in p1  # the vector never shuffles the edges
+
+        hs1 = iteration_step(edges, hs0, alpha=0.1).localCheckpoint()
+        hs2 = iteration_step(edges, hs1, alpha=0.1).localCheckpoint()
+        p2 = plan_str(iteration_step(edges, hs1, alpha=0.1))
+        p3 = plan_str(iteration_step(edges, hs2, alpha=0.1))
+        # identical node counts iteration-over-iteration = no lineage growth
+        assert p2.count("\n") == p3.count("\n")
+    finally:
+        edges.unpersist()

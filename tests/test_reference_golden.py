@@ -65,6 +65,27 @@ def test_smoothed_avg_golden(origin_duels):
         assert got[p] == pytest.approx(v, rel=1e-9), f"player {p}"
 
 
+def test_domain_completion_golden(origin_duels):
+    """Q5 parity made explicit (round-1 verdict item 7): of the 112-player
+    universe, exactly 12 never appear as challenger — domain completion must
+    add precisely those 12 with the smoothing prior (0+1)/(0+1) = 1.0, and
+    every completed player must carry golden value 1.0 too."""
+    golden = read_golden(f"{REF}/avg_challenger_score/output.txt")
+    challengers = {
+        r.challenger_id
+        for r in origin_duels.select("challenger_id").distinct().collect()
+    }
+    completed_ids = set(golden) - challengers
+    assert len(completed_ids) == 12
+    got = {
+        r.player_id: r.avg_score
+        for r in smoothed_avg_completed(origin_duels).collect()
+    }
+    for p in completed_ids:
+        assert got[p] == 1.0, f"completed player {p}"
+        assert golden[p] == 1.0, f"golden for completed player {p}"
+
+
 def test_join_fanout_golden(origin_duels):
     # every join stage preserves the 504 distinct pairs 1:1 (BASELINE.md)
     assert edges_with_avgs(origin_duels).count() == 504
