@@ -1,0 +1,60 @@
+"""Document chunking for the LLM-data-pipeline tier: split documents into
+fixed-size overlapping character windows — the standard pre-tokenization
+step for context-window-bound training and for embedding passage corpora.
+
+Scale design: chunking is a narrow per-row transform (sequence + explode +
+substring, all whole-stage-codegen'd) — NO shuffle, no UDF. Chunk rows
+inherit the parent document's partitioning, so a 100 TB corpus chunks at
+scan speed and downstream per-chunk work (embedding, token counting) stays
+co-located with the source split.
+
+The reference has no text operators (its string work is whitespace field
+splitting, reference exercise_1.py:41); this is extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CHUNK_SIZE = 200  # characters per chunk
+CHUNK_STRIDE = 150  # start-to-start distance => 50-char overlap
+
+
+def n_chunks_expr(text_len, size: int, stride: int):
+    """Chunk count for a document of ``text_len`` chars: one window if the
+    text fits, else 1 + ceil((len - size) / stride) so the last window
+    starts before the text ends (no chunk is a strict suffix of the
+    previous one)."""
+    extra = F.ceil((text_len - F.lit(size)).cast("double") / F.lit(stride))
+    return F.when(text_len <= size, F.lit(1)).otherwise(1 + extra).cast("long")
+
+
+def chunk_fixed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = CHUNK_SIZE,
+    stride: int = CHUNK_STRIDE,
+) -> DataFrame:
+    """(doc_id, chunk_id, n_chunks, chunk_text, chunk_len): overlapping
+    char windows [i*stride, i*stride + size) over the raw text. Empty
+    texts yield one empty chunk (the document is preserved — curation
+    filters, not the chunker, decide to drop it)."""
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    n = n_chunks_expr(F.length(F.col(text_col)), size, stride)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        n.alias("n_chunks"),
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("chunk_id"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_chunks",
+        F.expr(f"substring(_text, chunk_id * {stride} + 1, {size})").alias(
+            "chunk_text"
+        ),
+    ).withColumn("chunk_len", F.length("chunk_text").cast("long"))

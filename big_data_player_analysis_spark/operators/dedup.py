@@ -24,15 +24,26 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from big_data_player_analysis_spark.functions.text import char_shingles, md5_fingerprint
+from big_data_player_analysis_spark.functions.text import (
+    char_shingles,
+    md5_fingerprint,
+    normalize_text,
+)
 from big_data_player_analysis_spark.functions.vectors import cosine_similarity
 
 # MinHash parameters: 64 hashes = 16 bands x 4 rows. Universal-hash
 # coefficients are fixed (seeded) so signatures are deterministic.
+# 4-row bands are deliberate: on this corpus every document shares a small
+# vocabulary, so background pair similarity is non-trivial everywhere —
+# 2-row bands (collision prob 1-(1-s^2)^16) were measured to admit 247k
+# candidate pairs at sf0.1 where 4-row bands (1-(1-s^4)^16) admit 500, a
+# 500x verification blow-up that dwarfs any signature-width saving.
 MINHASH_PRIME = 2147483647  # 2^31 - 1
+MINHASH_SHINGLE_BASE = 31  # polynomial rolling-hash base for k-gram bytes
 N_HASHES = 64
 N_BANDS = 16
 ROWS_PER_BAND = N_HASHES // N_BANDS
@@ -169,33 +180,47 @@ def dedup_ngram_jaccard(
     return _verify_jaccard(cand, df, id_col, text_col, k, threshold)
 
 
-def minhash_signatures(with_sh: DataFrame) -> DataFrame:
-    """(doc, sig array<long>) from (doc, sh array<string>): slot_j = min
-    over shingles of (a_j * murmur3(shingle) + b_j) mod p.
+def minhash_signatures(with_norm: DataFrame, k: int = 8) -> DataFrame:
+    """(doc, sig array<long>) from (doc, norm string): slot_j = min over
+    k-shingle hashes h of (a_j * h + b_j) mod p.
 
-    Computed as explode + one groupBy with 64 min-aggregates, NOT as 64
-    array_min(transform(...)) passes in a single projection: higher-order
-    array functions are evaluated interpreted (they never enter whole-stage
-    codegen), and the nested-lambda form measured ~1.1 ms/doc — ~6x slower
-    than this codegen'd aggregate. The explode also hashes each shingle
-    exactly once (Spark does not CSE the shared hash subexpression across
-    64 sibling expressions). Shingle rows are already doc-clustered, so the
-    map-side partial combine collapses everything locally and the shuffle
-    is one 64-long row per doc."""
-    feats = with_sh.select("doc", F.explode("sh").alias("shingle")).select(
-        "doc", F.abs(F.hash("shingle")).cast("long").alias("h")
-    )
-    mins = feats.groupBy("doc").agg(
-        *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
-                f"m{j}"
-            )
-            for j, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
-        ]
-    )
-    return mins.select(
-        "doc", F.array(*[f"m{j}" for j in range(N_HASHES)]).alias("sig")
-    )
+    The whole shingle -> hash -> min pipeline runs inside ONE Arrow
+    pandas_udf per row (round 1 measured the explode + 64-min-aggregate
+    form as the bench's dominant cost, and the JVM char_shingles transform
+    alone at ~0.8 ms/doc): sliding_window_view over the normalized text's
+    bytes gives the k-gram matrix with zero copies, a base-31 polynomial
+    dot product hashes every position vectorized, and a single
+    (N_HASHES, n) broadcast computes every slot. MinHash over the position
+    multiset equals minhash over the distinct-shingle set (a duplicate
+    never wins a min), so no dedup pass is needed. The plan is a pure
+    narrow projection: no explode, no groupBy, NO shuffle — each scan
+    split signs its documents independently. int64 is safe throughout:
+    poly hash <= 122 * (31^8-1)/30 ~ 3.5e12, then reduced mod p < 2^31
+    before the (a*h+b) step, whose products stay < 2^62.
+
+    Exact verification downstream uses JVM char_shingles independently, so
+    the signature hash needs no cross-engine twin — only determinism."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _sigs(norm: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.asarray(MINHASH_A, dtype=np.int64)[:, None]
+        B = np.asarray(MINHASH_B, dtype=np.int64)[:, None]
+        powers = MINHASH_SHINGLE_BASE ** np.arange(k, dtype=np.int64)
+        out = []
+        for s in norm:
+            raw = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+            if raw.size < k:  # upstream filter excludes these; defensive
+                out.append(None)
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(raw, k).astype(np.int64)
+            h = (win @ powers) % MINHASH_PRIME
+            out.append(((A * h[None, :] + B) % MINHASH_PRIME).min(axis=1))
+        return pd.Series(out)
+
+    return with_norm.select("doc", _sigs("norm").alias("sig"))
 
 
 def dedup_minhash_lsh(
@@ -209,13 +234,13 @@ def dedup_minhash_lsh(
     verification. Same output contract as dedup_ngram_jaccard; recall is
     the LSH band-collision probability (>= 1 - (1-t^4)^16, ~0.9998 at
     t=0.8), precision 1.0 because candidates are verified exactly."""
-    with_sh = _scatter(df).select(
-        F.col(id_col).alias("doc"), char_shingles(F.col(text_col), k).alias("sh")
-    ).filter(F.size("sh") > 0)
+    with_norm = _scatter(df).select(
+        F.col(id_col).alias("doc"), normalize_text(F.col(text_col)).alias("norm")
+    ).filter(F.length("norm") >= k)  # same docs as size(shingles) > 0
     # Persisted: the signature table (one 64-long array per doc, ~0.5 KB) is
     # read by both sides of the band self-join; recomputing it would
     # re-shingle + re-hash the whole corpus twice.
-    sig = minhash_signatures(with_sh).persist()
+    sig = minhash_signatures(with_norm, k).persist()
     bands = sig.select(
         "doc",
         F.explode(

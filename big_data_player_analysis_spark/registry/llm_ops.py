@@ -315,11 +315,14 @@ def dedup_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("dedup_minhash_lsh", sql=SQL_JACCARD, tags=("llm", "dedup"))
 def dedup_minhash_q(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash(64) + 16-band LSH candidates, exact-Jaccard verified. The
-    oracle is the exact-Jaccard SQL: verification makes precision 1.0 and
-    at threshold 0.6 the 16x4 band recall is ~1-(1-0.6^4)^16 > 0.89 per
-    pair and empirically 1.0 on this corpus (planted dups have j >= 0.8,
-    miss prob < 3e-4) — tests/test_llm_ops.py pins LSH == exact."""
+    """MinHash(64) + 16-band x 4-row LSH candidates, exact-Jaccard
+    verified (signatures via a vectorized Arrow pandas_udf — no explode,
+    no shuffle). The oracle is the rare-shingle exact-Jaccard SQL, which
+    at sf0.01 equals the TRUE all-pairs exact answer (checked directly —
+    no pair >= 0.6 hides behind frequent-only shingles there; at sf0.1 LSH
+    finds 3 such extra true pairs the inverted index cannot). Verification
+    makes precision 1.0; planted dups have j >= 0.8 where band recall is
+    1-(1-0.8^4)^16 ~ 0.9998 — tests/test_llm_ops.py pins LSH == exact."""
     return dedup_minhash_lsh(
         t(spark, sf, "documents"), "doc_id", "text",
         k=SHINGLE_K, threshold=JACCARD_THRESHOLD,
