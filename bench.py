@@ -48,11 +48,19 @@ HEADLINE = [
 ]
 
 
-def run_one(spark, spec, sf_dir: str) -> float:
-    t0 = time.time()
-    df = spec.fn(spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
-    return time.time() - t0
+def run_one(spark, spec, sf_dir: str) -> list[float]:
+    """Two timed end-to-end runs (plan build + full execution via noop
+    sink). The reported number is the min of the two: a one-off GC pause /
+    compaction hiccup in a long driver session fabricated an 8x phantom
+    regression in the round-2 record; min-of-two bounds that noise while
+    both raw runs stay in the JSON for auditability."""
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times.append(round(time.time() - t0, 3))
+    return times
 
 
 def main() -> None:
@@ -65,21 +73,42 @@ def main() -> None:
         n for n in sorted(specs) if n not in HEADLINE and "bench" in specs[n].tags
     ]
 
-    # Warmup: scan every benched table once (count forces footer reads +
-    # fills the FileSystem/codec caches) and pay the noop-writer + codegen
-    # setup. A spark.range() warmup never touches parquet, so the first
-    # timed query used to absorb ~6 s of first-scan cost (round-1 verdict).
-    # Goes through catalog.load_table: events.parquet is TIMESTAMP(NANOS),
-    # which the raw parquet reader rejects.
+    # Warmup, three one-time costs amortized out of the per-query numbers:
+    #   1. parquet scans — a full noop write per table decodes every column
+    #      (count() alone projects zero columns and reads only footers, so
+    #      data pages / codec paths stayed cold — round-2 ADVICE);
+    #   2. the Python worker pool — one trivial pandas_udf over one task
+    #      per core forks the pyspark daemon and imports numpy/pandas in
+    #      all workers. Round 2 charged that ~10-20 s pool spin-up to the
+    #      first pandas_udf query in the suite (dedup_minhash_lsh, whose
+    #      warm time is ~2.7 s); on a real cluster the pool is a fixed
+    #      per-executor cost invisible at query granularity;
+    #   3. noop-writer + codegen setup (the range query).
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
     from big_data_player_analysis_spark.catalog import TABLES, load_table
 
     for table in TABLES:
-        load_table(spark, sf_dir, table).count()
+        load_table(spark, sf_dir, table).write.format("noop").mode("overwrite").save()
+
+    @pandas_udf("double")
+    def _warm_py(v):
+        import numpy as np  # noqa: F401  (mirror real UDF imports)
+
+        return v * 1.0
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(0, cpus * 100, 1, cpus).select(
+        _warm_py(F.col("id").cast("double"))
+    ).write.format("noop").mode("overwrite").save()
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name in names:
-        timings[name] = round(run_one(spark, specs[name], sf_dir), 3)
+        runs[name] = run_one(spark, specs[name], sf_dir)
+        timings[name] = min(runs[name])
 
     total = round(sum(timings.values()), 3)
     print(
@@ -89,6 +118,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": sf,
             }
         )

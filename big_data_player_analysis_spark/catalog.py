@@ -44,14 +44,23 @@ def _read_parquet_nanos_safe(spark: SparkSession, path: str):
 
 
 def _normalize_nanos_timestamps(df: DataFrame) -> DataFrame:
-    """int64-nanos `ts` columns -> microsecond timestamps (truncating, which
-    matches how DuckDB/Arrow narrow ns to us for positive epochs)."""
+    """Normalize the `ts` column to a session-zone TIMESTAMP regardless of
+    the parquet physical type the generator used:
+      * int64 TIMESTAMP(NANOS) (pandas ns precision + nanosAsLong conf) ->
+        microsecond timestamps (truncating, which matches how DuckDB/Arrow
+        narrow ns to us for positive epochs);
+      * timestamp[us] without timezone -> Spark reads TIMESTAMP_NTZ, which
+        time functions like unix_micros reject; the session zone is pinned
+        UTC (session.py), so the NTZ->TIMESTAMP cast maps wall-clock
+        identically to what DuckDB reads from the same file."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

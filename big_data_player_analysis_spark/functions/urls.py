@@ -18,10 +18,15 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Query params that never identify content. Anchored prefix regex shared
-# (textually) with the SQL twin in registry/llm_ops.py.
-TRACKING_PARAM_PATTERN = "^(utm_|ref=|fbclid=)"
-DEFAULT_PORT_PATTERN = ":(443|80)$"
+# Query params that never identify content: any utm_* (with or without a
+# value), and valueless or valued ref/fbclid. Shared semantically with the
+# SQL oracle twin in registry/llm_ops.py (llm_url_canonical_dedup).
+TRACKING_PARAM_PATTERN = "^(utm_[^=]*|ref|fbclid)(=|$)"
+# Default-port stripping is scheme-aware: :80 is only a default for http,
+# :443 only for https — stripping cross-scheme would conflate distinct
+# resources (http://h:443 is NOT http://h).
+HTTP_PORT_PATTERN = "^(http://[^/]*):80$"
+HTTPS_PORT_PATTERN = "^(https://[^/]*):443$"
 URL_PREFIX_PATTERN = "^([a-zA-Z][a-zA-Z0-9+.-]*://[^/]+)"
 
 
@@ -35,7 +40,11 @@ def canonicalize_url(url: Column) -> Column:
     # scheme://host[:port] prefix is case-insensitive per RFC 3986; the
     # path after it is not and passes through untouched
     prefix = F.regexp_extract(base, URL_PREFIX_PATTERN, 1)
-    prefix_lc = F.regexp_replace(F.lower(prefix), DEFAULT_PORT_PATTERN, "")
+    prefix_lc = F.regexp_replace(
+        F.regexp_replace(F.lower(prefix), HTTP_PORT_PATTERN, "$1"),
+        HTTPS_PORT_PATTERN,
+        "$1",
+    )
     path = F.substring(base, F.length(prefix) + 1, F.length(base))
     params = F.filter(
         F.split(qs, "&"),

@@ -43,10 +43,14 @@ def chunk_fixed(
     filters, not the chunker, decide to drop it)."""
     if stride <= 0 or size <= 0 or stride > size:
         raise ValueError("need 0 < stride <= size")
-    n = n_chunks_expr(F.length(F.col(text_col)), size, stride)
+    # NULL text is treated as empty: without the coalesce, length(NULL)
+    # makes n_chunks NULL and explode(sequence(0, NULL-1)) silently DROPS
+    # the document, contradicting the preserved-document contract.
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n = n_chunks_expr(F.length(text), size, stride)
     out = df.select(
         F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("_text"),
+        text.alias("_text"),
         n.alias("n_chunks"),
         F.explode(F.sequence(F.lit(0), n - 1)).alias("chunk_id"),
     )

@@ -63,11 +63,17 @@ SIMHASH_BAND_BOUNDS = [(i * 7, 7) for i in range(8)] + [(56, 8)]
 def _scatter(df: DataFrame) -> DataFrame:
     """Round-robin repartition up to the session's default parallelism.
     Shingling is CPU-bound; a compact input (one small parquet file -> one
-    partition) would otherwise pin the whole corpus to a single task. Only
-    repartitions when the scan yields fewer partitions than cores — a
-    100 TB input already has thousands of splits and skips the shuffle."""
+    partition) would otherwise pin the whole corpus to a single task. The
+    heuristic reads the scan's file list driver-side (cheap catalog
+    metadata — no `.rdd` conversion of the analyzed plan): a 100 TB input
+    already has thousands of splits and skips the shuffle; a small or
+    non-file input (in-memory test frames report zero files) is scattered."""
     par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:
+        n_files = 0
+    if n_files < par:
         return df.repartition(par)
     return df
 

@@ -37,15 +37,26 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # shadow batch rows). Everything else stays registered — appended after the
 # window — and is still covered by the local DuckDB oracle gate in
 # tests/test_registry.py.
+#
+# Rotation policy (round-2 verdict): any entry whose implementation changed
+# since its last driver row — or that never had one — is promoted into the
+# next window, displacing entries that (a) already hold a green driver row
+# on unchanged code and (b) most overlap another windowed entry. Round 3
+# promoted dedup_components + olap_sessionization (code changed in r2 on
+# stale r01 evidence) and the newly wired llm_chunk_fixed +
+# llm_url_canonical_dedup, displacing q07_projection_reversal (column-order
+# twin of q06), sim_ivf_topk (overlaps sim_bruteforce_topk),
+# text_fingerprint (md5 path equally exercised by dedup_exact) and
+# stream_sliding_avg (parameter twin of stream_tumbling_counts) — all four
+# keep green r01/r02 rows on byte-identical code, plus the local oracle gate.
 PRIMARY_ORDER: tuple[str, ...] = (
-    # §2.2 reference surface (18)
+    # §2.2 reference surface (17; q07 rotated out, green r02 row)
     "q01_count_per_key",
     "q02_count_per_derived_key",
     "q03_global_argmax",
     "q04_smoothed_avg",
     "q05_domain_completion",
     "q06_distinct_pairs",
-    "q07_projection_reversal",
     "q08_having_count_distinct",
     "q09_equi_join",
     "q10_join_chain",
@@ -57,7 +68,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "q16_heroic_iterative",
     "q17_top_k",
     "q18_rank_vector_init",
-    # §2.4 engine-scope representatives (11)
+    # §2.4 engine-scope representatives (12)
     "olap_asof_join",
     "olap_semi_join",
     "olap_grouping_sets",
@@ -69,24 +80,25 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "olap_tpch_q5_region_volume",
     "olap_salted_join",
     "olap_apply_in_pandas_longest_run",
-    # LLM-data-pipeline tier (14)
+    "olap_sessionization",
+    # LLM-data-pipeline tier (15)
     "text_token_counts",
     "text_language_id",
     "text_quality_score",
-    "text_fingerprint",
     "llm_quality_filters",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_components",
+    "llm_chunk_fixed",
+    "llm_url_canonical_dedup",
     "sim_bruteforce_topk",
-    "sim_ivf_topk",
     "multimodal_features",
     "multimodal_frame_sample",
-    # streaming tier (7)
+    # streaming tier (6)
     "stream_tumbling_counts",
-    "stream_sliding_avg",
     "stream_dedup_by_id",
     "stream_stateful_user_stats",
     "stream_static_enrich",
@@ -96,14 +108,17 @@ PRIMARY_ORDER: tuple[str, ...] = (
 
 # Preferred order for entries BEYOND the driver's 50-row window (highest
 # value first, should the window ever widen); unlisted entries follow in
-# registration order.
+# registration order. The four round-3 rotations lead: they hold green
+# r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
-    "dedup_components",
+    "q07_projection_reversal",
+    "sim_ivf_topk",
+    "text_fingerprint",
+    "stream_sliding_avg",
     "llm_decontaminate",
     "llm_corpus_curation",
     "olap_range_join",
     "olap_tpch_q1_pricing_summary",
-    "olap_sessionization",
     "llm_stratified_sample",
     "llm_tfidf_top_terms",
     "sim_knn_join_vectorized",

@@ -798,3 +798,131 @@ def decontaminate_q(spark: SparkSession, sf: str) -> DataFrame:
         k=SHINGLE_K,
         min_shared=DECONTAM_MIN_SHARED,
     )
+
+
+# ------------------------------------------------------ chunking + URLs
+
+from big_data_player_analysis_spark.functions.urls import (  # noqa: E402
+    HTTP_PORT_PATTERN,
+    HTTPS_PORT_PATTERN,
+    TRACKING_PARAM_PATTERN,
+    URL_PREFIX_PATTERN,
+    canonicalize_url,
+)
+from big_data_player_analysis_spark.operators.chunking import (  # noqa: E402
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    chunk_fixed,
+)
+
+SQL_CHUNKS = f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+n AS (
+  SELECT doc_id, t,
+         CASE WHEN length(t) <= {CHUNK_SIZE} THEN 1
+              ELSE 1 + CAST(ceil((length(t) - {CHUNK_SIZE}) / {CHUNK_STRIDE}.0) AS BIGINT)
+         END AS n_chunks
+  FROM d),
+c AS (
+  SELECT doc_id, t, n_chunks,
+         CAST(unnest(generate_series(0, n_chunks - 1)) AS BIGINT) AS chunk_id
+  FROM n)
+SELECT doc_id, chunk_id, n_chunks,
+       substr(t, CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_SIZE}) AS chunk_text,
+       CAST(length(substr(t, CAST(chunk_id * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_SIZE}))
+            AS BIGINT) AS chunk_len
+FROM c
+"""
+
+
+@query("llm_chunk_fixed", sql=SQL_CHUNKS, tags=("llm", "chunking", "bench"))
+def chunk_fixed_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-size overlapping character chunks (size 200, stride 150) over
+    every document — the standard pre-embedding/pre-tokenization step
+    (operators/chunking.py:chunk_fixed). Narrow sequence+explode+substring
+    plan: no shuffle, chunks stay co-located with their source split."""
+    return chunk_fixed(
+        t(spark, sf, "documents"), "doc_id", "text",
+        size=CHUNK_SIZE, stride=CHUNK_STRIDE,
+    )
+
+
+# Synthetic crawl URLs derived deterministically from (doc_id, source):
+# four variants covering the canonicalization surface — host/scheme case,
+# scheme-default ports, tracking params (valued utm_* and valueless
+# fbclid), parameter order, and fragments. Variants 0/1 and 2/3 are
+# distinct raw strings canonicalizing to the same resource.
+_URL_VARIANTS = (
+    ("HTTP://WWW.Example.com:80/", "/page/", "?utm_campaign=x&b=2&a=1"),
+    ("http://www.example.com/", "/page/", "?a=1&fbclid&b=2#top"),
+    ("HTTPS://Cdn.Example.org:443/", "/p/", "#sec"),
+    ("https://cdn.example.org/", "/p/", "?ref=home"),
+)
+
+SQL_URL_CANON = f"""
+WITH u AS (
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN '{_URL_VARIANTS[0][0]}' || source || '{_URL_VARIANTS[0][1]}' || CAST(doc_id % 50 AS VARCHAR) || '{_URL_VARIANTS[0][2]}'
+      WHEN 1 THEN '{_URL_VARIANTS[1][0]}' || source || '{_URL_VARIANTS[1][1]}' || CAST(doc_id % 50 AS VARCHAR) || '{_URL_VARIANTS[1][2]}'
+      WHEN 2 THEN '{_URL_VARIANTS[2][0]}' || source || '{_URL_VARIANTS[2][1]}' || CAST(doc_id % 50 AS VARCHAR) || '{_URL_VARIANTS[2][2]}'
+      ELSE        '{_URL_VARIANTS[3][0]}' || source || '{_URL_VARIANTS[3][1]}' || CAST(doc_id % 50 AS VARCHAR) || '{_URL_VARIANTS[3][2]}'
+    END AS url
+  FROM documents),
+nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS no_frag FROM u),
+sp AS (SELECT doc_id,
+         CASE WHEN strpos(no_frag, '?') > 0
+              THEN substr(no_frag, 1, strpos(no_frag, '?') - 1) ELSE no_frag END AS base,
+         CASE WHEN strpos(no_frag, '?') > 0
+              THEN substr(no_frag, strpos(no_frag, '?') + 1) ELSE '' END AS qs
+       FROM nf),
+pr AS (SELECT doc_id, base, qs,
+         regexp_extract(base, '{URL_PREFIX_PATTERN}', 1) AS prefix
+       FROM sp),
+qp AS (SELECT doc_id, base, prefix,
+         coalesce(array_to_string(list_sort(list_filter(string_split(qs, '&'),
+           x -> x <> '' AND NOT regexp_matches(x, '{TRACKING_PARAM_PATTERN}'))), '&'),
+                  '') AS q
+       FROM pr),
+cn AS (SELECT doc_id,
+         regexp_replace(regexp_replace(lower(prefix), '{HTTP_PORT_PATTERN}', '\\1'),
+                        '{HTTPS_PORT_PATTERN}', '\\1')
+         || substr(base, length(prefix) + 1)
+         || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+       FROM qp)
+SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS keep_doc,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM cn GROUP BY canonical_url
+"""
+
+
+@query("llm_url_canonical_dedup", sql=SQL_URL_CANON, tags=("llm", "dedup", "urls"))
+def url_canonical_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Web-corpus URL dedup: canonicalize crawl URLs (case, default ports,
+    tracking params, param order, fragments — functions/urls.py), then
+    exact-dedup on the canonical form (hash groupBy, shuffle O(distinct)).
+    URLs are synthesized deterministically from (doc_id, source) with the
+    SAME construction on both engines; the canonicalization itself is the
+    operator under test. Pure codegen'd built-ins — no UDF."""
+    docs = t(spark, sf, "documents")
+    m = F.pmod(F.col("doc_id"), F.lit(4))
+    page = F.pmod(F.col("doc_id"), F.lit(50)).cast("string")
+
+    def variant(i: int) -> F.Column:
+        pre, mid, suf = _URL_VARIANTS[i]
+        return F.concat(F.lit(pre), F.col("source"), F.lit(mid), page, F.lit(suf))
+
+    url = (
+        F.when(m == 0, variant(0))
+        .when(m == 1, variant(1))
+        .when(m == 2, variant(2))
+        .otherwise(variant(3))
+    )
+    return (
+        docs.select(canonicalize_url(url).alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

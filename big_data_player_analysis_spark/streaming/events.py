@@ -6,9 +6,14 @@ micro-batch (bounded by maxFilesPerTrigger for backpressure). Locally the
 driver's single events.parquet is one micro-batch; tests split it into
 several files to exercise cross-batch state.
 
-The events parquet carries TIMESTAMP(NANOS) (unsupported by Spark's reader):
-like catalog.load_table, `ts` is read as int64 nanos
-(spark.sql.legacy.parquet.nanosAsLong) and truncated to microseconds.
+Timestamp precision is generator-dependent (catalog.py handles the same
+variants for batch): pandas-ns parquet carries TIMESTAMP(NANOS), which
+Spark's reader rejects — `ts` is then read as int64 nanos
+(spark.sql.legacy.parquet.nanosAsLong) and truncated to microseconds;
+timestamp[us]-without-zone parquet reads as TIMESTAMP_NTZ and is cast to
+the session-zone (UTC) TIMESTAMP. A streaming source needs its schema
+declared up front, so the file footer is probed with a cheap batch
+schema-only read first.
 """
 
 from __future__ import annotations
@@ -19,16 +24,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # int64 nanos (see module doc)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_raw_schema(spark: SparkSession, path: str) -> T.StructType:
+    """Probe the parquet footer (schema-only batch read — no data scan)
+    for the physical type of `ts`; every other column is fixed."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_type: T.DataType = T.LongType()
+    for f in spark.read.parquet(path).schema.fields:
+        if f.name == "ts":
+            ts_type = f.dataType
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def events_stream(
@@ -38,8 +52,8 @@ def events_stream(
 ) -> DataFrame:
     """Streaming DataFrame over an events parquet file/directory with `ts`
     converted to a proper event-time timestamp column."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    schema = _events_raw_schema(spark, path)
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if path.endswith(".parquet"):
@@ -50,7 +64,12 @@ def events_stream(
         # matching exactly this file.
         path = f"{path[:-1]}[{path[-1]}]"
     sdf = reader.parquet(path)
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):  # int64 nanos
+        return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return sdf.withColumn("ts", F.col("ts").cast("timestamp"))
+    return sdf
 
 
 def run_stream_to_table(

@@ -553,3 +553,129 @@ class TestDecontaminate:
             docs.filter(col != "f"), docs.filter(col == "f"), "doc_id", "text"
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+# ------------------------------------------------------ chunking + URLs
+
+
+class TestChunkFixed:
+    def _chunks(self, spark, texts, size=10, stride=7):
+        from big_data_player_analysis_spark.operators.chunking import chunk_fixed
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return chunk_fixed(df, "doc_id", "text", size=size, stride=stride)
+
+    def test_short_text_single_chunk(self, spark):
+        out = self._chunks(spark, ["abc"]).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r.chunk_id, r.n_chunks, r.chunk_text, r.chunk_len) == (0, 1, "abc", 3)
+
+    def test_exact_fit_single_chunk(self, spark):
+        out = self._chunks(spark, ["x" * 10]).collect()
+        assert len(out) == 1 and out[0].n_chunks == 1
+
+    def test_exact_multiple_of_stride(self, spark):
+        # len 17 = size + stride: windows [0,10) and [7,17) exactly
+        out = sorted(self._chunks(spark, ["abcdefghijklmnopq"]).collect(),
+                     key=lambda r: r.chunk_id)
+        assert [r.chunk_text for r in out] == ["abcdefghij", "hijklmnopq"]
+        assert all(r.n_chunks == 2 for r in out)
+
+    def test_stride_overlap_and_tail(self, spark):
+        # len 20: windows start at 0,7,14 -> last is a 6-char tail
+        out = sorted(self._chunks(spark, ["a" * 20]).collect(),
+                     key=lambda r: r.chunk_id)
+        assert [r.chunk_len for r in out] == [10, 10, 6]
+        # overlap: consecutive windows share size - stride = 3 chars
+        assert all(r.n_chunks == 3 for r in out)
+
+    def test_null_and_empty_text_preserved(self, spark):
+        df = spark.createDataFrame(
+            [(1, None), (2, "")], "doc_id long, text string"
+        )
+        from big_data_player_analysis_spark.operators.chunking import chunk_fixed
+
+        out = chunk_fixed(df, "doc_id", "text", size=10, stride=7).collect()
+        assert sorted(r.doc_id for r in out) == [1, 2]
+        assert all(r.chunk_text == "" and r.n_chunks == 1 for r in out)
+
+    def test_coverage_no_gaps(self, spark):
+        # every char position is covered by at least one window
+        text = "".join(chr(97 + i % 26) for i in range(53))
+        out = sorted(self._chunks(spark, [text]).collect(), key=lambda r: r.chunk_id)
+        covered = set()
+        for r in out:
+            start = r.chunk_id * 7
+            covered.update(range(start, start + r.chunk_len))
+        assert covered == set(range(53))
+
+    def test_invalid_params_raise(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            self._chunks(spark, ["abc"], size=5, stride=6)
+        with _pytest.raises(ValueError):
+            self._chunks(spark, ["abc"], size=0, stride=0)
+
+
+class TestCanonicalizeUrl:
+    def _canon(self, spark, urls):
+        from pyspark.sql import functions as F
+
+        from big_data_player_analysis_spark.functions.urls import canonicalize_url
+
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        return [r.c for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+
+    def test_fragment_dropped(self, spark):
+        assert self._canon(spark, ["http://a.com/x#frag"]) == ["http://a.com/x"]
+
+    def test_scheme_host_lowercased_path_untouched(self, spark):
+        assert self._canon(spark, ["HTTP://WWW.A.COM/CaseSensitive/Path"]) == [
+            "http://www.a.com/CaseSensitive/Path"
+        ]
+
+    def test_default_port_scheme_aware(self, spark):
+        got = self._canon(
+            spark,
+            [
+                "http://a.com:80/x",    # default -> stripped
+                "https://a.com:443/x",  # default -> stripped
+                "http://a.com:443/x",   # NOT default for http -> kept
+                "https://a.com:80/x",   # NOT default for https -> kept
+                "http://a.com:8080/x",  # non-default -> kept
+            ],
+        )
+        assert got == [
+            "http://a.com/x",
+            "https://a.com/x",
+            "http://a.com:443/x",
+            "https://a.com:80/x",
+            "http://a.com:8080/x",
+        ]
+
+    def test_tracking_params_dropped_valued_and_valueless(self, spark):
+        got = self._canon(
+            spark,
+            [
+                "http://a.com/x?utm_source=t&b=2&a=1",
+                "http://a.com/x?a=1&ref&b=2",
+                "http://a.com/x?fbclid=abc&a=1&b=2",
+                "http://a.com/x?utm_campaign&b=2&a=1",
+                # 'refresh=1' must NOT be dropped (anchored ref needs = or end)
+                "http://a.com/x?refresh=1&a=1",
+            ],
+        )
+        assert got[:4] == ["http://a.com/x?a=1&b=2"] * 4
+        assert got[4] == "http://a.com/x?a=1&refresh=1"
+
+    def test_param_order_canonicalized(self, spark):
+        assert self._canon(
+            spark, ["http://a.com/x?b=2&a=1", "http://a.com/x?a=1&b=2"]
+        ) == ["http://a.com/x?a=1&b=2"] * 2
+
+    def test_all_params_tracking_drops_query(self, spark):
+        assert self._canon(spark, ["http://a.com/x?utm_a=1&ref"]) == ["http://a.com/x"]

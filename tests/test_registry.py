@@ -48,14 +48,17 @@ def test_primary_window():
     assert len(PRIMARY_ORDER) == 50
     assert names[:50] == list(PRIMARY_ORDER)
     window = set(PRIMARY_ORDER)
-    assert {f"q{i:02d}" for i in range(1, 19)} <= {n[:3] for n in window}
-    assert sum(n.startswith("stream_") or n == "olap_session_window" for n in window) == 7
+    # full reference surface except q07 (rotated out in r3 with a green r02
+    # row; it is a column-order twin of q06 which stays in the window)
+    assert {f"q{i:02d}" for i in range(1, 19) if i != 7} <= {n[:3] for n in window}
+    assert sum(n.startswith("stream_") or n == "olap_session_window" for n in window) == 6
     assert {
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-        "dedup_embedding_cosine", "sim_bruteforce_topk", "sim_ivf_topk",
+        "dedup_embedding_cosine", "dedup_components", "sim_bruteforce_topk",
+        "llm_chunk_fixed", "llm_url_canonical_dedup",
         "multimodal_features", "multimodal_frame_sample", "llm_quality_filters",
         "text_token_counts", "text_language_id", "text_quality_score",
-        "text_fingerprint",
+        "olap_sessionization",
     } <= window
 
 
