@@ -106,3 +106,98 @@ def sample_frames(media: DataFrame, stride: int = 5) -> DataFrame:
             yield pd.DataFrame(rows, dtype="int64")
 
     return media.mapInPandas(batches, FRAME_SCHEMA)
+
+
+# ----------------------------------------------------- real audio decode
+
+AUDIO_SAMPLE_RATE = 16000
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sample_rate", T.LongType(), False),
+        T.StructField("n_channels", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), False),
+        T.StructField("rms", T.DoubleType(), False),
+    ]
+)
+
+
+def _wav_params(doc_id: int) -> tuple[int, int]:
+    """(n_samples, amplitude) for the synthesized payload — closed-form in
+    doc_id so the decode output has an exact ANSI-SQL oracle."""
+    return 100 + doc_id % 400, 1000 + (doc_id % 8) * 1000
+
+
+def synth_wav_payload(doc_id: int) -> bytes:
+    """A REAL RIFF/WAVE container: 16-bit mono PCM square wave (+A, -A
+    alternating) — RMS is exactly A, so the decoded features are
+    relationally derivable while the bytes still exercise a genuine codec
+    container format."""
+    import io
+    import wave as _wave
+
+    import numpy as np
+
+    n, amp = _wav_params(doc_id)
+    samples = np.empty(n, dtype="<i2")
+    samples[0::2] = amp
+    samples[1::2] = -amp
+    buf = io.BytesIO()
+    with _wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(AUDIO_SAMPLE_RATE)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
+def attach_wav_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Simulate audio ingestion: one WAV payload per row, synthesized
+    deterministically from the id (real ingestion lands the bytes from the
+    object store; the downstream decode operator is identical). Arrow
+    pandas_udf so payload generation is batch-at-a-time, not per-row
+    pickled."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_wav_payload(int(i)))
+
+    return df.select(F.col(id_col).alias("doc_id"), _synth(id_col).alias("payload"))
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """REAL codec decode via mapInPandas: parse each payload's RIFF/WAVE
+    header and PCM frames with the stdlib ``wave`` module (no external
+    codec needed), then compute sample stats with numpy. This is the one
+    decode path the environment can run end-to-end — images/video keep the
+    documented decode_image stub. Scale shape: narrow per-partition map,
+    Arrow-batched; payload bytes never shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import math
+        import wave as _wave
+
+        import numpy as np
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "sample_rate": [], "n_channels": [],
+                "n_samples": [], "rms": [],
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                with _wave.open(io.BytesIO(payload), "rb") as w:
+                    sr = w.getframerate()
+                    nch = w.getnchannels()
+                    nf = w.getnframes()
+                    pcm = np.frombuffer(w.readframes(nf), dtype="<i2")
+                rows["doc_id"].append(int(did))
+                rows["sample_rate"].append(sr)
+                rows["n_channels"].append(nch)
+                rows["n_samples"].append(nf)
+                rows["rms"].append(math.sqrt(float(np.mean(pcm.astype(np.float64) ** 2))))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)

@@ -488,6 +488,33 @@ def dedup_embedding_cosine_bruteforce(
 _GEMM_MARGIN = 1e-4
 
 
+def _block_routes(n_blocks: int) -> list[tuple[int, int, int, str]]:
+    """(block -> block-pair, role) routing table for the blocked all-pairs
+    GEMM: each source block b is replicated to every unordered block pair
+    it participates in — as role 'a' of pairs (b, j), j >= b, and role 'b'
+    of pairs (i, b), i <= b. Invariant (pinned in tests/test_llm_ops.py):
+    every unordered pair (i, j), i <= j, receives role 'a' from block i
+    and role 'b' from block j EXACTLY once — so each of the B(B+1)/2
+    applyInPandas groups sees each cross-block pair once and the diagonal
+    group (i == i) sees both roles of every row, filtered by id order.
+    Each block is emitted B+1 times total => shuffle volume O(n * (B+1)).
+
+    Sizing rule for B: one applyInPandas group materializes two blocks of
+    ~ (n/B) * dim * 8 bytes plus their (n/B)^2 cosine matrix in a Python
+    worker; pick the smallest B for which that working set sits well
+    inside an executor's per-task memory (e.g. n=1e7, dim=768: B=64 ->
+    ~1 GB matrices + 2*1 GB blocks per task; B also sets task count
+    B(B+1)/2, so oversizing B only adds scheduling overhead, never
+    correctness risk)."""
+    routes = []
+    for b in range(n_blocks):
+        for j in range(b, n_blocks):
+            routes.append((b, b, j, "a"))
+        for i in range(b + 1):
+            routes.append((b, i, b, "b"))
+    return routes
+
+
 def dedup_embedding_cosine(
     df: DataFrame,
     id_col: str,
@@ -523,15 +550,10 @@ def dedup_embedding_cosine(
     import pandas as pd
 
     spark = df.sparkSession
-    # (block -> block-pair, role) routing table: B(B+2)/2-ish rows, broadcast
-    routes = []
-    for b in range(n_blocks):
-        for j in range(b, n_blocks):
-            routes.append((b, b, j, "a"))
-        for i in range(b + 1):
-            routes.append((b, i, b, "b"))
     route_df = F.broadcast(
-        spark.createDataFrame(routes, "block int, bi int, bj int, role string")
+        spark.createDataFrame(
+            _block_routes(n_blocks), "block int, bi int, bj int, role string"
+        )
     )
 
     rows = df.select(

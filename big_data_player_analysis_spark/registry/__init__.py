@@ -115,6 +115,7 @@ EXTENDED_ORDER: tuple[str, ...] = (
     "sim_ivf_topk",
     "text_fingerprint",
     "stream_sliding_avg",
+    "stream_late_data_drop",
     "llm_decontaminate",
     "llm_corpus_curation",
     "olap_range_join",

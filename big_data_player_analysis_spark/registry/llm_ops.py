@@ -926,3 +926,33 @@ def url_canonical_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+SQL_AUDIO_DECODE = """
+SELECT doc_id,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(100 + doc_id % 400 AS BIGINT) AS n_samples,
+       CAST(1000 + (doc_id % 8) * 1000 AS DOUBLE) AS rms
+FROM documents
+"""
+
+
+@query("multimodal_audio_decode", sql=SQL_AUDIO_DECODE, tags=("llm", "multimodal"))
+def multimodal_audio_q(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL media decode, full oracle: per-doc WAV payloads (genuine
+    RIFF/WAVE containers, 16-bit PCM square waves) are parsed by the
+    stdlib ``wave`` codec inside mapInPandas and reduced to sample stats
+    with numpy. The synthesis is closed-form in doc_id (square wave of
+    amplitude A has RMS exactly A; sign parity is irrelevant since squares
+    are equal), so the decoded output is fully relationally derivable while
+    the bytes still round-trip a real container format — the one decode
+    path this environment can run end-to-end (images/video keep the
+    documented stub)."""
+    from big_data_player_analysis_spark.multimodal import (
+        attach_wav_payload,
+        decode_audio_features,
+    )
+
+    media = attach_wav_payload(t(spark, sf, "documents"), "doc_id")
+    return decode_audio_features(media)

@@ -204,3 +204,43 @@ def session_window_q(spark: SparkSession, sf: str) -> DataFrame:
     withholding are pinned in tests/test_streaming.py; the oracle proves
     session_window == the ANSI lag/cumsum sessionization)."""
     return session_window_stats(t(spark, sf, "events"), gap=f"{SESSION_GAP_MIN} minutes")
+
+
+WATERMARK_DELAY_SEC = 3600
+
+SQL_LATE_DROP = f"""
+WITH w AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) / {TUMBLE_SEC}) AS BIGINT)
+                        * {TUMBLE_SEC} * 1000000) AS window_start, *
+  FROM events
+),
+agg AS (
+  SELECT window_start,
+         window_start + INTERVAL {TUMBLE_SEC} SECOND AS window_end,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n_events,
+         sum(value) AS sum_value,
+         avg(value) AS avg_value
+  FROM w GROUP BY window_start, event_type
+),
+mx AS (SELECT max(ts) AS max_ts FROM events)
+SELECT agg.* FROM agg, mx
+WHERE agg.window_end <= mx.max_ts - INTERVAL {WATERMARK_DELAY_SEC} SECOND
+"""
+
+
+@query("stream_late_data_drop", sql=SQL_LATE_DROP, tags=("streaming", "watermark"))
+def stream_late_data_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Append-mode watermark semantics as a hard oracle row: the tumbling
+    aggregation emits ONLY windows finalized by the event-time watermark
+    (window_end <= max event time - 1h delay); open tail windows are
+    withheld in the state store. The oracle derives the same closed-window
+    set relationally — max(ts) is the terminal watermark after availableNow
+    drains the source and the no-data finalization batch fires. The
+    multi-batch late-arrival variant (files arriving out of event-time
+    order being dropped by the same predicate) is pinned in
+    tests/test_streaming.py, which this entry complements with driver-side
+    evidence. No window_end can tie the watermark exactly: window ends are
+    epoch-aligned to {TUMBLE_SEC} s while the generator's max ts sits
+    hundreds of seconds off-boundary at every SF."""
+    return run_stream_to_table(tumbling_event_stats(_events_sdf(spark, sf)), "append")

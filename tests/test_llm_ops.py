@@ -679,3 +679,79 @@ class TestCanonicalizeUrl:
 
     def test_all_params_tracking_drops_query(self, spark):
         assert self._canon(spark, ["http://a.com/x?utm_a=1&ref"]) == ["http://a.com/x"]
+
+
+class TestBlockRoutes:
+    """Routing-table invariant for the blocked-GEMM embedding dedup
+    (round-2 verdict #6): every unordered block pair covered exactly once,
+    under several B."""
+
+    @pytest.mark.parametrize("n_blocks", [1, 2, 3, 4, 8, 16])
+    def test_every_unordered_pair_exactly_once(self, n_blocks):
+        from big_data_player_analysis_spark.operators.dedup import _block_routes
+
+        routes = _block_routes(n_blocks)
+        # group -> roles contributed, with source block
+        a_src = {}  # (bi, bj) -> list of source blocks with role 'a'
+        b_src = {}
+        for block, bi, bj, role in routes:
+            assert 0 <= bi <= bj < n_blocks
+            (a_src if role == "a" else b_src).setdefault((bi, bj), []).append(block)
+        pairs = {(i, j) for i in range(n_blocks) for j in range(i, n_blocks)}
+        # every unordered pair present with exactly one 'a' (from block i)
+        # and one 'b' (from block j)
+        assert set(a_src) == pairs and set(b_src) == pairs
+        for (i, j) in pairs:
+            assert a_src[(i, j)] == [i]
+            assert b_src[(i, j)] == [j]
+
+    @pytest.mark.parametrize("n_blocks", [1, 2, 8])
+    def test_replication_factor_is_b_plus_one(self, n_blocks):
+        from big_data_player_analysis_spark.operators.dedup import _block_routes
+
+        routes = _block_routes(n_blocks)
+        per_block = {}
+        for block, *_ in routes:
+            per_block[block] = per_block.get(block, 0) + 1
+        # shuffle volume O(n * (B+1)): each block emitted B+1 times
+        assert all(c == n_blocks + 1 for c in per_block.values())
+
+
+class TestAudioDecode:
+    """Real-codec multimodal path: WAV payloads are genuine RIFF/WAVE
+    containers and the decode goes through the stdlib wave parser."""
+
+    def test_payload_is_real_riff_wave(self):
+        from big_data_player_analysis_spark.multimodal import synth_wav_payload
+
+        b = synth_wav_payload(7)
+        assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+
+    def test_roundtrip_known_signal(self, spark):
+        from big_data_player_analysis_spark.multimodal import (
+            attach_wav_payload,
+            decode_audio_features,
+        )
+
+        df = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+        out = {
+            r.doc_id: r
+            for r in decode_audio_features(attach_wav_payload(df, "doc_id")).collect()
+        }
+        for i in range(16):
+            r = out[i]
+            assert r.sample_rate == 16000 and r.n_channels == 1
+            assert r.n_samples == 100 + i % 400
+            # square wave of amplitude A has RMS exactly A
+            assert r.rms == float(1000 + (i % 8) * 1000)
+
+    def test_decode_rejects_non_wav_bytes(self, spark):
+        import pytest as _pytest
+
+        from big_data_player_analysis_spark.multimodal import decode_audio_features
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"not a wav file"))], "doc_id long, payload binary"
+        )
+        with _pytest.raises(Exception):
+            decode_audio_features(df).collect()
