@@ -62,3 +62,40 @@ def chunk_fixed(
             "chunk_text"
         ),
     ).withColumn("chunk_len", F.length("chunk_text").cast("long"))
+
+
+TOKEN_CHUNK_SIZE = 50  # whitespace tokens per chunk
+TOKEN_CHUNK_STRIDE = 40  # start-to-start distance => 10-token overlap
+
+
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = TOKEN_CHUNK_SIZE,
+    stride: int = TOKEN_CHUNK_STRIDE,
+) -> DataFrame:
+    """(doc_id, chunk_id, n_chunks, chunk_text, n_tokens): overlapping
+    WHITESPACE-TOKEN windows — the context-window-shaped variant of
+    chunk_fixed (models bound tokens, not characters). Same narrow
+    split+sequence+explode+slice plan: no shuffle, no UDF; token arrays
+    never leave their scan split. NULL text is treated as empty (document
+    preserved, one empty chunk), matching chunk_fixed."""
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n = n_chunks_expr(F.size(toks), size, stride)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        n.alias("n_chunks"),
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("chunk_id"),
+    )
+    window = F.slice(F.col("_toks"), F.col("chunk_id") * stride + 1, size)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        "n_chunks",
+        F.array_join(window, " ").alias("chunk_text"),
+        F.size(window).cast("long").alias("n_tokens"),
+    )

@@ -116,6 +116,9 @@ EXTENDED_ORDER: tuple[str, ...] = (
     "text_fingerprint",
     "stream_sliding_avg",
     "stream_late_data_drop",
+    "multimodal_audio_decode",
+    "llm_pii_redact",
+    "llm_chunk_tokens",
     "llm_decontaminate",
     "llm_corpus_curation",
     "olap_range_join",

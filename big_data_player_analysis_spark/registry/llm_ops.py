@@ -956,3 +956,113 @@ def multimodal_audio_q(spark: SparkSession, sf: str) -> DataFrame:
 
     media = attach_wav_payload(t(spark, sf, "documents"), "doc_id")
     return decode_audio_features(media)
+
+
+# ------------------------------------------------------------ PII redaction
+
+from big_data_player_analysis_spark.functions.pii import (  # noqa: E402
+    EMAIL_PATTERN,
+    EMAIL_TOKEN,
+    IPV4_PATTERN,
+    IPV4_TOKEN,
+    PHONE_PATTERN,
+    PHONE_TOKEN,
+    pii_counts,
+    redact_pii,
+)
+
+SQL_PII = f"""
+WITH p AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +44 20 '
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' 0958 from 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST(doc_id % 100 AS VARCHAR) || ' today' AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{IPV4_PATTERN}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(t, '{PHONE_PATTERN}')) AS BIGINT) AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '{EMAIL_PATTERN}', '{EMAIL_TOKEN}', 'g'),
+           '{IPV4_PATTERN}', '{IPV4_TOKEN}', 'g'),
+         '{PHONE_PATTERN}', '{PHONE_TOKEN}', 'g') AS redacted
+FROM p
+"""
+
+
+@query("llm_pii_redact", sql=SQL_PII, tags=("llm", "pii", "text"))
+def pii_redact_q(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub (functions/pii.py): per-doc email/IPv4/phone counts on the
+    raw text plus the token-redacted text. PII strings are injected
+    deterministically from doc_id with the SAME construction on both
+    engines (the synthetic corpus contains none of its own); the
+    detect/redact expressions are the operator under test. Pure codegen'd
+    regexes — narrow projection, no shuffle."""
+    docs = t(spark, sf, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +44 20 "),
+        F.lpad(F.pmod("doc_id", F.lit(10000)).cast("string"), 4, "0"),
+        F.lit(" 0958 from 10."),
+        F.pmod("doc_id", F.lit(256)).cast("string"),
+        F.lit(".0."),
+        F.pmod("doc_id", F.lit(100)).cast("string"),
+        F.lit(" today"),
+    )
+    witht = docs.select("doc_id", pii_text.alias("t"))
+    counts = pii_counts(F.col("t"))
+    return witht.select(
+        "doc_id",
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ipv4"].cast("long").alias("n_ipv4"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+        redact_pii(F.col("t")).alias("redacted"),
+    )
+
+
+from big_data_player_analysis_spark.operators.chunking import (  # noqa: E402
+    TOKEN_CHUNK_SIZE,
+    TOKEN_CHUNK_STRIDE,
+    chunk_tokens,
+)
+
+SQL_TOKEN_CHUNKS = f"""
+WITH d AS (
+  SELECT doc_id, regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS toks
+  FROM documents),
+n AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= {TOKEN_CHUNK_SIZE} THEN 1
+              ELSE 1 + CAST(ceil((len(toks) - {TOKEN_CHUNK_SIZE})
+                                 / {TOKEN_CHUNK_STRIDE}.0) AS BIGINT)
+         END AS n_chunks
+  FROM d),
+c AS (
+  SELECT doc_id, toks, n_chunks,
+         CAST(unnest(generate_series(0, n_chunks - 1)) AS BIGINT) AS chunk_id
+  FROM n)
+SELECT doc_id, chunk_id, n_chunks,
+       array_to_string(list_slice(toks, CAST(chunk_id * {TOKEN_CHUNK_STRIDE} + 1 AS INT),
+                                  CAST(chunk_id * {TOKEN_CHUNK_STRIDE} + {TOKEN_CHUNK_SIZE} AS INT)),
+                       ' ') AS chunk_text,
+       CAST(len(list_slice(toks, CAST(chunk_id * {TOKEN_CHUNK_STRIDE} + 1 AS INT),
+                           CAST(chunk_id * {TOKEN_CHUNK_STRIDE} + {TOKEN_CHUNK_SIZE} AS INT)))
+            AS BIGINT) AS n_tokens
+FROM c
+"""
+
+
+@query("llm_chunk_tokens", sql=SQL_TOKEN_CHUNKS, tags=("llm", "chunking"))
+def chunk_tokens_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-window chunking (50-token windows, 40-token stride) — the
+    context-window-bound variant of llm_chunk_fixed; same shuffle-free
+    narrow plan (operators/chunking.py:chunk_tokens)."""
+    return chunk_tokens(
+        t(spark, sf, "documents"), "doc_id", "text",
+        size=TOKEN_CHUNK_SIZE, stride=TOKEN_CHUNK_STRIDE,
+    )

@@ -755,3 +755,88 @@ class TestAudioDecode:
         )
         with _pytest.raises(Exception):
             decode_audio_features(df).collect()
+
+
+class TestPiiRedaction:
+    def _redact(self, spark, texts):
+        from pyspark.sql import functions as F
+
+        from big_data_player_analysis_spark.functions.pii import pii_counts, redact_pii
+
+        df = spark.createDataFrame([(t,) for t in texts], "t string")
+        c = pii_counts(F.col("t"))
+        return df.select(
+            redact_pii(F.col("t")).alias("red"),
+            c["n_emails"].alias("ne"), c["n_ipv4"].alias("ni"), c["n_phones"].alias("np"),
+        ).collect()
+
+    def test_email_redacted_and_counted(self, spark):
+        [r] = self._redact(spark, ["mail me at jane.doe+x@sub.example.co.uk now"])
+        assert r.red == "mail me at <EMAIL> now"
+        assert (r.ne, r.ni, r.np) == (1, 0, 0)
+
+    def test_ipv4_redacted(self, spark):
+        [r] = self._redact(spark, ["server 192.168.0.1 and 10.2.3.4."])
+        assert r.red == "server <IP> and <IP>."
+        assert r.ni == 2
+
+    def test_phone_redacted(self, spark):
+        [r] = self._redact(spark, ["call +44 20 7946 0958 or +1 555 0042 123"])
+        assert r.red == "call <PHONE> or <PHONE>"
+        assert r.np == 2
+
+    def test_plain_text_untouched(self, spark):
+        text = "no pii here, just 42 words and 7 numbers v1.2"
+        [r] = self._redact(spark, [text])
+        assert r.red == text
+        assert (r.ne, r.ni, r.np) == (0, 0, 0)
+
+    def test_mixed_all_three(self, spark):
+        [r] = self._redact(spark, ["a@b.io at 1.2.3.4 call +33 61 12 34 56"])
+        assert r.red == "<EMAIL> at <IP> call <PHONE>"
+        assert (r.ne, r.ni, r.np) == (1, 1, 1)
+
+    def test_single_digit_group_not_a_phone(self, spark):
+        # groups must be 2-4 digits: '+33 6 ...' is not matched (and the
+        # SQL twin agrees — RE2 and Java evaluate this subset identically)
+        [r] = self._redact(spark, ["call +33 6 12 34 56"])
+        assert r.np == 0 and r.red == "call +33 6 12 34 56"
+
+
+class TestChunkTokens:
+    def _chunks(self, spark, texts, size=5, stride=3):
+        from big_data_player_analysis_spark.operators.chunking import chunk_tokens
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        return chunk_tokens(df, "doc_id", "text", size=size, stride=stride)
+
+    def test_short_doc_single_chunk(self, spark):
+        out = self._chunks(spark, ["a b c"]).collect()
+        assert len(out) == 1
+        assert out[0].chunk_text == "a b c" and out[0].n_tokens == 3
+
+    def test_windows_and_overlap(self, spark):
+        text = " ".join(f"t{i}" for i in range(10))  # 10 tokens
+        out = sorted(self._chunks(spark, [text]).collect(), key=lambda r: r.chunk_id)
+        # windows start at tokens 0, 3, 6 (last covers through token 9)
+        assert [r.chunk_text.split()[0] for r in out] == ["t0", "t3", "t6"]
+        assert [r.n_tokens for r in out] == [5, 5, 4]
+        # consecutive windows overlap by size - stride = 2 tokens
+        assert out[0].chunk_text.split()[-2:] == out[1].chunk_text.split()[:2]
+
+    def test_every_token_covered(self, spark):
+        text = " ".join(f"t{i}" for i in range(23))
+        out = self._chunks(spark, [text]).collect()
+        seen = set()
+        for r in out:
+            seen.update(r.chunk_text.split())
+        assert seen == {f"t{i}" for i in range(23)}
+
+    def test_null_text_one_empty_chunk(self, spark):
+        from big_data_player_analysis_spark.operators.chunking import chunk_tokens
+
+        df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        out = chunk_tokens(df, "doc_id", "text", size=5, stride=3).collect()
+        assert len(out) == 1 and out[0].chunk_text == ""

@@ -22,9 +22,16 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 from big_data_player_analysis_spark.catalog import load_table
+from big_data_player_analysis_spark.functions.urls import canonicalize_url
+from big_data_player_analysis_spark.multimodal import (
+    attach_wav_payload,
+    decode_audio_features,
+)
+from big_data_player_analysis_spark.operators.chunking import chunk_fixed
 from big_data_player_analysis_spark.operators.dedup import (
     dedup_exact,
     dedup_minhash_lsh,
+    dedup_ngram_jaccard,
     dedup_simhash,
 )
 from big_data_player_analysis_spark.operators.similarity import knn_join_vectorized
@@ -83,9 +90,49 @@ def scaled_embeddings(spark, base, factor: int):
 
 
 def timed(df) -> float:
-    t0 = time.time()
-    df.write.format("noop").mode("overwrite").save()
-    return round(time.time() - t0, 2)
+    """Min of two executions: this host shows sustained external load
+    swings (load-average bursts >8 with zero in-container CPU consumers)
+    that inflate single-shot wall times up to 6x; the min of two
+    back-to-back runs is the best cheap estimator of the uncontended
+    cost. The load average at probe time is recorded in SCALE.md."""
+    times = []
+    for _ in range(2):
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        times.append(time.time() - t0)
+    return round(min(times), 2)
+
+
+def url_dedup(docs):
+    """Registry-shaped URL canonical dedup: synthesize a crawl URL per doc
+    and exact-dedup on the canonical form."""
+    url = F.concat(
+        F.lit("HTTP://WWW.Example.com:80/p/"),
+        F.pmod("doc_id", F.lit(50)).cast("string"),
+        F.lit("?utm_campaign=x&b=2&a=1#f"),
+    )
+    return (
+        docs.select(canonicalize_url(url).alias("canonical_url"), "doc_id")
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def probe_set(docs, emb):
+    return {
+        "dedup_exact": dedup_exact(docs, "doc_id", "text"),
+        "dedup_ngram_jaccard": dedup_ngram_jaccard(docs, "doc_id", "text", 8, 0.6, 20),
+        "dedup_minhash_lsh": dedup_minhash_lsh(docs, "doc_id", "text", 8, 0.6),
+        "dedup_simhash": dedup_simhash(docs, "doc_id", "text", 8),
+        "knn_join_vectorized": knn_join_vectorized(
+            emb, emb.filter(F.col("vec_id") < 5), k=3
+        ),
+        "llm_chunk_fixed": chunk_fixed(docs, "doc_id", "text"),
+        "llm_url_canonical_dedup": url_dedup(docs),
+        "multimodal_audio_decode": decode_audio_features(
+            attach_wav_payload(docs, "doc_id")
+        ),
+    }
 
 
 def main():
@@ -101,12 +148,7 @@ def main():
     # doesn't absorb codegen/JIT/broadcast initialization.
     wdocs = scaled_docs(spark, base_docs, 1).persist()
     wemb = scaled_embeddings(spark, base_emb, 1).persist()
-    for df in (
-        dedup_exact(wdocs, "doc_id", "text"),
-        dedup_minhash_lsh(wdocs, "doc_id", "text", 8, 0.6),
-        dedup_simhash(wdocs, "doc_id", "text", 8),
-        knn_join_vectorized(wemb, wemb.filter(F.col("vec_id") < 5), k=3),
-    ):
+    for df in probe_set(wdocs, wemb).values():
         timed(df)
     wdocs.unpersist()
     wemb.unpersist()
@@ -122,20 +164,20 @@ def main():
         emb = scaled_embeddings(spark, base_emb, s).persist()
         rows[s] = docs.count()
         emb.count()
-        probes = {
-            "dedup_exact": dedup_exact(docs, "doc_id", "text"),
-            "dedup_minhash_lsh": dedup_minhash_lsh(docs, "doc_id", "text", 8, 0.6),
-            "dedup_simhash": dedup_simhash(docs, "doc_id", "text", 8),
-            "knn_join_vectorized": knn_join_vectorized(
-                emb, emb.filter(F.col("vec_id") < 5), k=3
-            ),
-        }
-        for name, df in probes.items():
+        for name, df in probe_set(docs, emb).items():
             results.setdefault(name, {})[s] = timed(df)
+            # drop THIS probe's operator-internal persists (shingle tables,
+            # signatures, candidates) before timing the next one — retained
+            # caches from a prior operator otherwise cost the next one
+            # eviction/GC time it never asked for; re-persist the inputs the
+            # loop still needs
+            spark.catalog.clearCache()
+            docs.persist().count()
+            emb.persist().count()
         docs.unpersist()
         emb.unpersist()
-        spark.catalog.clearCache()  # drop operator-internal persists
 
+    loadavg = open("/proc/loadavg").read().split()[:3]
     lines = [
         "# SCALE — wall seconds per operator at synthetic corpus scales",
         "",
@@ -143,6 +185,8 @@ def main():
         "Composed-text copies: no planted near-dups (workload size grows,",
         "semantics do not). Near-linear growth across the row = the",
         "candidate-generation design holds; quadratic would explode at 16x.",
+        "Each cell is the min of two runs (this host has external load",
+        f"bursts; load average at probe end: {' '.join(loadavg)}).",
         "",
         "| operator | " + " | ".join(f"{s}x ({rows[s]} rows)" for s in scales) + " |",
         "|---|" + "---|" * len(scales),
