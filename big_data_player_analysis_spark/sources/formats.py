@@ -1,8 +1,10 @@
-"""Generic format-agnostic table IO: parquet (primary), CSV, JSON.
+"""Generic format-agnostic table IO: parquet (primary), ORC, CSV, JSON.
 
 The reference supports exactly one format — tab-separated text in a
 directory (reference emulator.py:165-186); SURVEY.md §2.4 mandates
-parquet/CSV/JSON for the engine. All readers take an EXPLICIT schema:
+parquet/CSV/JSON for the engine (ORC added: the other columnar format a
+Spark lake commonly holds, native reader, same pushdown/pruning
+machinery). All readers take an EXPLICIT schema:
 schema inference costs an extra pass over the data (fatal at 100 TB) and
 silently drifts types between runs; a declared StructType keeps the scan
 single-pass and the downstream plan stable.
@@ -17,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-FORMATS = ("parquet", "csv", "json")
+FORMATS = ("parquet", "orc", "csv", "json")
 
 # Spark's stock CSV/JSON timestampFormat keeps milliseconds only; micros
 # matter (the events table is microsecond-grained)

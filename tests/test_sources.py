@@ -31,7 +31,7 @@ def test_format_roundtrips(spark, tmp_path):
     from tests.conftest import rows_set
 
     ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
-    for fmt in ("parquet", "csv", "json"):
+    for fmt in ("parquet", "orc", "csv", "json"):
         p = str(tmp_path / f"ev_{fmt}")
         write_table(ev, p, fmt=fmt)
         back = read_table(spark, p, fmt=fmt, schema=ev.schema)

@@ -177,6 +177,40 @@ def main():
         docs.unpersist()
         emb.unpersist()
 
+    # Merge with prior invocations: this host's external load bursts
+    # (sustained loadavg 20-30 with zero in-container consumers) inflate
+    # whole probe runs; the min per cell across repeated invocations is
+    # the best available estimator of the uncontended cost. The sidecar
+    # is reset whenever an operator implementation changes (git history
+    # ties each sidecar update to the code it measured).
+    import os
+
+    sidecar = os.path.join(os.path.dirname(__file__), "scale_results.json")
+    n_invocations = 1
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            prior = json.load(f)
+        n_invocations = prior.get("n_invocations", 1) + 1
+        for name, per in prior.get("results", {}).items():
+            for s, v in per.items():
+                s = int(s)
+                if s in results.get(name, {}):
+                    results[name][s] = min(results[name][s], v)
+                else:
+                    results.setdefault(name, {})[s] = v
+    with open(sidecar, "w") as f:
+        json.dump(
+            {
+                "n_invocations": n_invocations,
+                "results": {
+                    n: {str(s): v for s, v in per.items()}
+                    for n, per in results.items()
+                },
+            },
+            f,
+            indent=1,
+        )
+
     loadavg = open("/proc/loadavg").read().split()[:3]
     lines = [
         "# SCALE — wall seconds per operator at synthetic corpus scales",
@@ -185,8 +219,10 @@ def main():
         "Composed-text copies: no planted near-dups (workload size grows,",
         "semantics do not). Near-linear growth across the row = the",
         "candidate-generation design holds; quadratic would explode at 16x.",
-        "Each cell is the min of two runs (this host has external load",
-        f"bursts; load average at probe end: {' '.join(loadavg)}).",
+        f"Each cell is the min over {n_invocations} probe invocation(s) x 2",
+        "runs each (this host has sustained external load bursts that",
+        "inflate wall times up to 6x; the min across repeats estimates the",
+        f"uncontended cost; load average at last probe: {' '.join(loadavg)}).",
         "",
         "| operator | " + " | ".join(f"{s}x ({rows[s]} rows)" for s in scales) + " |",
         "|---|" + "---|" * len(scales),
