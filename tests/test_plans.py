@@ -123,3 +123,46 @@ def test_heroic_iteration_plan_shape_and_no_growth(spark, specs):
         assert p2.count("\n") == p3.count("\n")
     finally:
         edges.unpersist()
+
+
+def test_chunking_is_shuffle_free(spark, specs):
+    """Both chunkers are narrow explode plans: chunk rows stay co-located
+    with their source scan split — no Exchange anywhere."""
+    for name in ("llm_chunk_fixed", "llm_chunk_tokens"):
+        p = plan_str(specs[name].fn(spark, SF))
+        assert "Exchange" not in p, name
+        assert "Generate" in p, name  # the explode
+
+
+def test_pii_redact_is_narrow_projection(spark, specs):
+    """PII scrub is a pure per-row regex projection — no Exchange, no UDF
+    (BatchEvalPython/ArrowEvalPython would mean a Python round-trip)."""
+    p = plan_str(specs["llm_pii_redact"].fn(spark, SF))
+    assert "Exchange" not in p
+    assert "EvalPython" not in p
+
+
+def test_url_canonical_dedup_single_exchange(spark, specs):
+    """URL canonicalization is projection-only; the one Exchange is the
+    final groupBy on the canonical key, preceded by a partial aggregate."""
+    p = plan_str(specs["llm_url_canonical_dedup"].fn(spark, SF))
+    assert p.count("Exchange") <= 2  # hashpartitioning (+AQE reuse marker)
+    assert "partial_min" in p or "partial_count" in p
+    assert "EvalPython" not in p
+
+
+def test_jaccard_verify_no_nested_loop_and_primitive_intersect(spark, specs):
+    """The rewritten verification: every join is hash/sort-merge (no
+    nested-loop fallback), and the intersect runs on int64 hash arrays
+    (xxhash64 feeds array_intersect), not on k-char string arrays."""
+    for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh"):
+        p = plan_str(specs[name].fn(spark, SF))
+        assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, name
+        assert "array_intersect" in p and "xxhash64" in p, name
+
+
+def test_audio_decode_is_narrow_map(spark, specs):
+    """WAV synth + decode is scan -> pandas_udf -> mapInPandas, narrow
+    end-to-end: payload bytes never shuffle."""
+    p = plan_str(specs["multimodal_audio_decode"].fn(spark, SF))
+    assert "Exchange" not in p
