@@ -119,6 +119,8 @@ EXTENDED_ORDER: tuple[str, ...] = (
     "multimodal_audio_decode",
     "llm_pii_redact",
     "llm_chunk_tokens",
+    "llm_unigram_logprob",
+    "llm_embed_quantize_int8",
     "llm_decontaminate",
     "llm_corpus_curation",
     "olap_range_join",

@@ -1066,3 +1066,106 @@ def chunk_tokens_q(spark: SparkSession, sf: str) -> DataFrame:
         t(spark, sf, "documents"), "doc_id", "text",
         size=TOKEN_CHUNK_SIZE, stride=TOKEN_CHUNK_STRIDE,
     )
+
+
+# ------------------------------------------------- unigram LM surprisal
+
+SQL_UNIGRAM = """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '[^a-z]', ' ', 'g')), ' +')) AS term
+  FROM documents),
+tok AS (SELECT doc_id, term FROM tk WHERE length(term) >= 1),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+tot AS (SELECT sum(cf) AS total FROM cf)
+SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       round(-sum(tf.tf * ln(cf.cf / tot.total)) / sum(tf.tf), 6) AS avg_surprisal
+FROM tf JOIN cf USING (term), tot
+GROUP BY tf.doc_id
+"""
+
+
+@query("llm_unigram_logprob", sql=SQL_UNIGRAM, tags=("llm", "text"))
+def unigram_logprob_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM surprisal per document: the corpus's own unigram
+    distribution scores each doc by mean -ln p(token) — the cheap
+    statistical stand-in for perplexity-based quality filtering (low =
+    typical text, high = rare-token noise). Shape: one exchange on term
+    builds the corpus counts, reused by the tf-cf join (same key); the
+    grand total rides along as a 1-row broadcast; final per-doc aggregate
+    partial-combines map-side. At 100 TB the vocabulary exceeds broadcast
+    size, so tf-cf is left to AQE exactly like llm_tfidf_top_terms."""
+    docs = t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), "[^a-z]", " ")), " +")
+        ).alias("term"),
+    ).filter(F.length("term") >= 1)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("total"))
+    return (
+        tf.join(cf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("tf") * F.log(F.col("cf") / F.col("total")))
+                / F.sum("tf"),
+                6,
+            ).alias("avg_surprisal"),
+        )
+    )
+
+
+# --------------------------------------------- embedding int8 quantization
+
+SQL_QUANTIZE = """
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT vec_id, e,
+             list_max(list_transform(e, x -> abs(x))) / 127 AS scale
+      FROM v)
+SELECT vec_id, round(scale, 6) AS scale,
+       array_to_string(list_transform(e, x ->
+         CASE WHEN scale = 0 THEN 0
+              ELSE CAST(round(x / scale, 0) AS INT) END), ',') AS qvec
+FROM s
+"""
+
+
+@query("llm_embed_quantize_int8", sql=SQL_QUANTIZE, tags=("llm", "similarity"))
+def embed_quantize_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column
+    (scale = max|x|/127, q = round(x/scale)) — the standard 4x memory/IO
+    compression step before large-scale ANN serving; reconstruction error
+    is bounded by scale/2 per coordinate (pinned in tests). Narrow
+    expression-only projection (scale let-bound as a column so the
+    array_max is not recomputed per element): no shuffle, no UDF. The
+    quantized vector is emitted as a joined string so the driver's
+    scalar-typed oracle compare can hash it."""
+    emb = t(spark, sf, "embeddings")
+    # NOTE the raw scale column must NOT share the output alias "scale":
+    # the quantization lambda's column reference would rebind to the
+    # 6-dp-rounded output during projection collapse and shift codes near
+    # rounding boundaries by one.
+    v = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    ).withColumn(
+        "_scale_raw",
+        F.array_max(F.transform("e", lambda x: F.abs(x))) / F.lit(127.0),
+    )
+    q = F.transform(
+        "e",
+        lambda x: F.when(F.col("_scale_raw") == 0, F.lit(0))
+        .otherwise(F.round(x / F.col("_scale_raw"), 0).cast("int")),
+    )
+    return v.select(
+        "vec_id",
+        F.round("_scale_raw", 6).alias("scale"),
+        F.array_join(F.transform(q, lambda c: c.cast("string")), ",").alias("qvec"),
+    )

