@@ -49,19 +49,26 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # text_fingerprint (md5 path equally exercised by dedup_exact) and
 # stream_sliding_avg (parameter twin of stream_tumbling_counts) — all four
 # keep green r01/r02 rows on byte-identical code, plus the local oracle gate.
+#
+# Round-3 continuation: six entries shipped mid-round had no driver row at
+# all (llm_pii_redact, llm_chunk_tokens, llm_unigram_logprob,
+# llm_embed_quantize_int8, multimodal_audio_decode, stream_late_data_drop)
+# — promoted, displacing six green-r02 rows on per-entry-unchanged code
+# that overlap a remaining windowed entry: q02 (agg twin of q01), q09
+# (subsumed by q10's join chain), q11 (left-join+coalesce shape inside
+# q05), q12 (scalar arithmetic inside q13's affine), text_token_counts
+# (text built-ins overlapped by text_quality_score), and
+# multimodal_frame_sample (mapInPandas plumbing shared with
+# multimodal_features).
 PRIMARY_ORDER: tuple[str, ...] = (
-    # §2.2 reference surface (17; q07 rotated out, green r02 row)
+    # §2.2 reference surface (13; q02/q07/q09/q11/q12 rotated out on green rows)
     "q01_count_per_key",
-    "q02_count_per_derived_key",
     "q03_global_argmax",
     "q04_smoothed_avg",
     "q05_domain_completion",
     "q06_distinct_pairs",
     "q08_having_count_distinct",
-    "q09_equi_join",
     "q10_join_chain",
-    "q11_left_join_default",
-    "q12_scalar_expression",
     "q13_sum_affine",
     "q14_keyed_sqdiff",
     "q15_global_mean",
@@ -81,8 +88,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "olap_salted_join",
     "olap_apply_in_pandas_longest_run",
     "olap_sessionization",
-    # LLM-data-pipeline tier (15)
-    "text_token_counts",
+    # LLM-data-pipeline tier (18)
     "text_language_id",
     "text_quality_score",
     "llm_quality_filters",
@@ -93,34 +99,39 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_components",
     "llm_chunk_fixed",
+    "llm_chunk_tokens",
     "llm_url_canonical_dedup",
+    "llm_pii_redact",
+    "llm_unigram_logprob",
+    "llm_embed_quantize_int8",
     "sim_bruteforce_topk",
     "multimodal_features",
-    "multimodal_frame_sample",
-    # streaming tier (6)
+    "multimodal_audio_decode",
+    # streaming tier (7)
     "stream_tumbling_counts",
     "stream_dedup_by_id",
     "stream_stateful_user_stats",
     "stream_static_enrich",
     "stream_stream_interval_join",
+    "stream_late_data_drop",
     "olap_session_window",
 )
 
 # Preferred order for entries BEYOND the driver's 50-row window (highest
 # value first, should the window ever widen); unlisted entries follow in
-# registration order. The four round-3 rotations lead: they hold green
+# registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "q02_count_per_derived_key",
     "q07_projection_reversal",
+    "q09_equi_join",
+    "q11_left_join_default",
+    "q12_scalar_expression",
+    "text_token_counts",
+    "multimodal_frame_sample",
     "sim_ivf_topk",
     "text_fingerprint",
     "stream_sliding_avg",
-    "stream_late_data_drop",
-    "multimodal_audio_decode",
-    "llm_pii_redact",
-    "llm_chunk_tokens",
-    "llm_unigram_logprob",
-    "llm_embed_quantize_int8",
     "llm_decontaminate",
     "llm_corpus_curation",
     "olap_range_join",

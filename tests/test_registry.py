@@ -48,16 +48,21 @@ def test_primary_window():
     assert len(PRIMARY_ORDER) == 50
     assert names[:50] == list(PRIMARY_ORDER)
     window = set(PRIMARY_ORDER)
-    # full reference surface except q07 (rotated out in r3 with a green r02
-    # row; it is a column-order twin of q06 which stays in the window)
-    assert {f"q{i:02d}" for i in range(1, 19) if i != 7} <= {n[:3] for n in window}
-    assert sum(n.startswith("stream_") or n == "olap_session_window" for n in window) == 6
+    # reference surface minus the rotated-out twins (q02/q07/q09/q11/q12 hold
+    # green r02 rows on per-entry-unchanged code; each overlaps a remaining
+    # windowed entry — see PRIMARY_ORDER's rotation note)
+    rotated_out = {2, 7, 9, 11, 12}
+    assert {f"q{i:02d}" for i in range(1, 19) if i not in rotated_out} <= {
+        n[:3] for n in window
+    }
+    assert sum(n.startswith("stream_") or n == "olap_session_window" for n in window) == 7
     assert {
         "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
         "dedup_embedding_cosine", "dedup_components", "sim_bruteforce_topk",
-        "llm_chunk_fixed", "llm_url_canonical_dedup",
-        "multimodal_features", "multimodal_frame_sample", "llm_quality_filters",
-        "text_token_counts", "text_language_id", "text_quality_score",
+        "llm_chunk_fixed", "llm_chunk_tokens", "llm_url_canonical_dedup",
+        "llm_pii_redact", "llm_unigram_logprob", "llm_embed_quantize_int8",
+        "multimodal_features", "multimodal_audio_decode", "llm_quality_filters",
+        "text_language_id", "text_quality_score", "stream_late_data_drop",
         "olap_sessionization",
     } <= window
 
