@@ -1,0 +1,105 @@
+"""Cross-document repetition removal — the C4-style curation pass that
+deletes boilerplate repeated across a corpus (navigation chrome, license
+headers, templated sentences) while keeping each document's unique prose.
+
+Unit of repetition: non-overlapping W-token windows ("lines" for a corpus
+whose documents carry no newlines). A window that occurs in >= min_docs
+DISTINCT documents is boilerplate; every occurrence of it is removed and
+each document's text is rebuilt from its surviving windows in order.
+
+Scale design (100 TB):
+  * windowing is the same narrow split+sequence+explode+slice plan as
+    operators/chunking.py — no shuffle, windows stay on their scan split;
+  * the document-frequency aggregate shuffles one xxhash64 PER DISTINCT
+    (doc, window) pair — 8-byte keys, partial-aggregated map-side; the
+    window *text* never shuffles;
+  * the frequent-window set is the output of a `>= min_docs` filter over
+    that aggregate — heavy hitters are by definition few relative to the
+    corpus (bounded by n_windows/min_docs), so it broadcasts, and the
+    removal join is a broadcast LEFT ANTI: the corpus-side window stream
+    is never exchanged;
+  * the rebuild groups windows by doc_id — a shuffle of surviving window
+    text that is unavoidable for reassembly but proportional to output
+    size, with collect_list partially aggregated.
+
+Identity of a window is its xxhash64 on the Spark side (the SQL oracle
+groups on the window text itself): distinct windows collide with
+P ~ n^2/2^65, negligible at any corpus size this engine targets — same
+equivalence argument as operators/dedup.py:_verify_jaccard.
+
+The reference has no text operators (its string work is whitespace field
+splitting, reference exercise_1.py:41); this is mandated extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+REPEAT_WINDOW_TOKENS = 8  # tokens per window
+REPEAT_MIN_DOCS = 2  # windows in >= this many distinct docs are removed
+
+
+def _windows(df: DataFrame, id_col: str, text_col: str, w: int) -> DataFrame:
+    """(doc_id, n_windows, widx, wtext): non-overlapping w-token windows.
+    Empty/NULL text yields one empty window, so every document survives
+    to the rebuild (curation filters, not this pass, decide to drop)."""
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n = F.ceil(F.size(toks) / F.lit(float(w))).cast("long")
+    exploded = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        n.alias("n_windows"),
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("widx"),
+    )
+    return exploded.select(
+        "doc_id",
+        "n_windows",
+        F.col("widx").cast("long").alias("widx"),
+        F.array_join(
+            F.slice(F.col("_toks"), F.col("widx") * w + 1, w), " "
+        ).alias("wtext"),
+    )
+
+
+def remove_repeated_windows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = REPEAT_WINDOW_TOKENS,
+    min_docs: int = REPEAT_MIN_DOCS,
+) -> DataFrame:
+    """(doc_id, clean_text, n_windows, n_removed): text rebuilt without
+    windows that appear in >= min_docs distinct documents. A document all
+    of whose windows are boilerplate comes back with clean_text = ''."""
+    if window_tokens <= 0 or min_docs < 2:
+        raise ValueError("need window_tokens > 0 and min_docs >= 2")
+    wins = _windows(df, id_col, text_col, window_tokens).withColumn(
+        "whash", F.xxhash64("wtext")
+    )
+    per_doc = wins.select("doc_id", "n_windows").distinct()
+    frequent = (
+        wins.select("doc_id", "whash")
+        .distinct()
+        .groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= F.lit(min_docs))
+        .select("whash")
+    )
+    kept = wins.join(F.broadcast(frequent), "whash", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("widx", "wtext"))),
+                lambda s: s["wtext"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return per_doc.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        "n_windows",
+        (F.col("n_windows") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )

@@ -79,3 +79,109 @@ def stratified_sample(
     if cond is None:
         raise ValueError("fractions must not be empty")
     return df.filter(cond)
+
+
+_HEX_ALPHABET = "0123456789abcdef"
+
+
+def hex_bucket(key: Column) -> Column:
+    """Integer in [0, 65536) from the first 4 md5 hex chars, built with
+    string functions only (position of each char in the hex alphabet) so
+    any SQL engine reproduces it exactly — hex-literal-to-int casts are
+    not portable across engines, string search is."""
+    h = F.md5(key.cast("string"))
+    val = F.lit(0).cast("long")
+    for i in range(1, 5):
+        digit = F.instr(F.lit(_HEX_ALPHABET), F.substring(h, i, 1)) - 1
+        val = val * 16 + digit.cast("long")
+    return val
+
+
+def shard_assign(
+    df: DataFrame, key_col: str, n_shards: int
+) -> DataFrame:
+    """Adds (shard, pos): a deterministic, engine-portable assignment of
+    every row to one of ``n_shards`` output shards plus its stable
+    0-based position within the shard — the layout step before writing a
+    training corpus as fixed-count shard files, where reproducibility
+    across runs/engines matters more than perfect balance.
+
+      * shard = hex_bucket(md5(key)) mod n_shards — uniform (bucket-count
+        imbalance <= 1/65536), stable under repartitioning, and free of
+        correlation with the key's natural order (hash order IS the
+        global shuffle a training pipeline needs);
+      * pos = dense per-shard sequence ordered by (md5(key), key) — the
+        intra-shard order is itself pseudo-random and reproducible.
+
+    Scale shape: one hash-partition exchange on `shard` + an in-partition
+    sort (the row_number window over shard is exactly
+    repartition-by-shard + sortWithinPartitions). n_shards should be at
+    least the cluster's write parallelism; for 100 TB use thousands of
+    shards so no single reducer owns more than a few GB."""
+    if n_shards <= 0 or n_shards > _BUCKETS:
+        raise ValueError(f"need 0 < n_shards <= {_BUCKETS}")
+    from pyspark.sql import Window
+
+    key = F.col(key_col)
+    h = F.md5(key.cast("string"))
+    shard = F.pmod(hex_bucket(key), F.lit(n_shards)).cast("long")
+    out = df.withColumn("shard", shard).withColumn("_h", h)
+    w = Window.partitionBy("shard").orderBy("_h", key_col)
+    return out.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("long")
+    ).drop("_h")
+
+
+def source_mix_weights(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    target_shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """(source, n_docs, n_tokens, share, weight): per-source token
+    accounting and the sampling weight that reshapes the corpus to a
+    target mixture — the data-mixing step of a training pipeline (e.g.
+    upweight books, downweight crawl). ``share`` is the source's fraction
+    of corpus tokens; ``weight`` = target_share / share (>1 means
+    oversample / repeat epochs, <1 means downsample). With no
+    ``target_shares``, the target is the uniform mixture over observed
+    sources.
+
+    Scale shape: one partial-aggregated groupBy(source) over a narrow
+    (source, n_tokens) projection — token counting never leaves the scan
+    split — then a single-row total broadcast-joined back (the same
+    1-row crossJoin pattern as llm_tfidf_top_terms). Sources are few, so
+    the final agg is trivially small."""
+    toks = F.size(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
+    per_source = (
+        df.select(F.col(source_col).alias("source"), toks.alias("_nt"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_nt").cast("long").alias("n_tokens"),
+        )
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("_total"),
+        F.count(F.lit(1)).alias("_n_sources"),
+    )
+    with_share = per_source.join(F.broadcast(totals)).withColumn(
+        "share", F.col("n_tokens") / F.col("_total")
+    )
+    if target_shares is None:
+        target = F.lit(1.0) / F.col("_n_sources")
+    else:
+        target = None
+        for src, ts in target_shares.items():
+            c = F.when(F.col("source") == F.lit(src), F.lit(float(ts)))
+            target = c if target is None else target.when(
+                F.col("source") == F.lit(src), F.lit(float(ts))
+            )
+        target = target.otherwise(F.lit(0.0))
+    return with_share.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("share", 6).alias("share"),
+        F.round(target / F.col("share"), 6).alias("weight"),
+    )

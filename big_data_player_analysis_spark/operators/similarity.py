@@ -288,3 +288,29 @@ def ann_lsh_buckets(
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+def embedding_dim_stats(df: DataFrame, vec_col: str) -> DataFrame:
+    """(dim, n, mean, std, min_val, max_val): per-dimension moments of an
+    embedding column — the statistics pass before whitening / scaling /
+    quantizer calibration of an embedding corpus.
+
+    Scale shape: posexplode fans each vector into (dim, value) rows that
+    never leave their scan split; the groupBy(dim) aggregate is partially
+    combined map-side, so the exchange carries only n_partitions * dim
+    partial-moment rows regardless of corpus size. Single pass: stddev is
+    the one-pass (welford-style) built-in, not a two-scan mean-then-var.
+    Floats are upcast to double BEFORE aggregation so the fold matches an
+    ANSI-SQL oracle bit-for-bit at 6-decimal rounding."""
+    exploded = df.select(
+        F.posexplode(F.transform(F.col(vec_col), lambda x: x.cast("double"))).alias(
+            "dim", "x"
+        )
+    )
+    return exploded.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("x"), 6).alias("mean"),
+        F.round(F.stddev_pop("x"), 6).alias("std"),
+        F.round(F.min("x"), 6).alias("min_val"),
+        F.round(F.max("x"), 6).alias("max_val"),
+    ).select(F.col("dim").cast("long").alias("dim"), "n", "mean", "std", "min_val", "max_val")

@@ -122,6 +122,11 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "llm_line_dedup",
+    "llm_shard_assign",
+    "llm_mix_weights",
+    "llm_embed_dim_stats",
+    "olap_window_time_range",
     "q02_count_per_derived_key",
     "q07_projection_reversal",
     "q09_equi_join",

@@ -43,9 +43,19 @@ from big_data_player_analysis_spark.operators.dedup import (
     dedup_ngram_jaccard,
     dedup_simhash,
 )
+from big_data_player_analysis_spark.operators.repetition import (
+    REPEAT_MIN_DOCS,
+    REPEAT_WINDOW_TOKENS,
+    remove_repeated_windows,
+)
+from big_data_player_analysis_spark.operators.sampling import (
+    shard_assign,
+    source_mix_weights,
+)
 from big_data_player_analysis_spark.operators.similarity import (
     ann_lsh_buckets,
     brute_force_topk,
+    embedding_dim_stats,
     ivf_probe_topk,
     knn_join,
     knn_join_vectorized,
@@ -1169,3 +1179,141 @@ def embed_quantize_q(spark: SparkSession, sf: str) -> DataFrame:
         F.round("_scale_raw", 6).alias("scale"),
         F.array_join(F.transform(q, lambda c: c.cast("string")), ",").alias("qvec"),
     )
+
+
+# ------------------------------------------- cross-doc repetition removal
+
+REPEAT_SQL_TOKS = "regexp_split_to_array(trim(coalesce(text, '')), '\\s+')"
+
+SQL_LINE_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id, {REPEAT_SQL_TOKS} AS toks FROM documents),
+n AS (
+  SELECT doc_id, toks,
+         CAST(ceil(len(toks) / {REPEAT_WINDOW_TOKENS}.0) AS BIGINT) AS n_windows
+  FROM d),
+w AS (
+  SELECT doc_id, n_windows, toks,
+         CAST(unnest(generate_series(0, n_windows - 1)) AS BIGINT) AS widx
+  FROM n),
+wt AS (
+  SELECT doc_id, n_windows, widx,
+         array_to_string(
+           list_slice(toks,
+                      CAST(widx * {REPEAT_WINDOW_TOKENS} + 1 AS INT),
+                      CAST(widx * {REPEAT_WINDOW_TOKENS} + {REPEAT_WINDOW_TOKENS} AS INT)),
+           ' ') AS wtext
+  FROM w),
+freq AS (
+  SELECT wtext FROM (
+    SELECT wtext, count(DISTINCT doc_id) AS nd FROM wt GROUP BY wtext)
+  WHERE nd >= {REPEAT_MIN_DOCS}),
+kept AS (
+  SELECT * FROM wt WHERE wtext NOT IN (SELECT wtext FROM freq)),
+reb AS (
+  SELECT doc_id, string_agg(wtext, ' ' ORDER BY widx) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id),
+base AS (SELECT DISTINCT doc_id, n_windows FROM wt)
+SELECT base.doc_id,
+       coalesce(reb.clean_text, '') AS clean_text,
+       base.n_windows,
+       base.n_windows - coalesce(reb.n_kept, 0) AS n_removed
+FROM base LEFT JOIN reb ON base.doc_id = reb.doc_id
+"""
+
+
+@query("llm_line_dedup", sql=SQL_LINE_DEDUP, tags=("llm", "dedup", "text"))
+def line_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style cross-document repetition removal: every non-overlapping
+    8-token window occurring in >= 2 distinct documents is boilerplate and
+    deleted from all of them; documents are rebuilt from surviving windows
+    (operators/repetition.py — broadcast anti-join on the frequent-window
+    set, window text never shuffles for the frequency count)."""
+    return remove_repeated_windows(
+        t(spark, sf, "documents"), "doc_id", "text",
+        window_tokens=REPEAT_WINDOW_TOKENS, min_docs=REPEAT_MIN_DOCS,
+    )
+
+
+# ------------------------------------------------- deterministic sharding
+
+SHARD_COUNT = 16
+
+_SQL_HEXDIG = "strpos('0123456789abcdef', substr(hh, {i}, 1)) - 1"
+
+SQL_SHARD_ASSIGN = f"""
+WITH h AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+b AS (
+  SELECT doc_id, hh,
+         (((({_SQL_HEXDIG.format(i=1)}) * 16
+            + ({_SQL_HEXDIG.format(i=2)})) * 16
+            + ({_SQL_HEXDIG.format(i=3)})) * 16
+            + ({_SQL_HEXDIG.format(i=4)})) % {SHARD_COUNT} AS shard
+  FROM h)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) - 1
+            AS BIGINT) AS pos
+FROM b
+"""
+
+
+@query("llm_shard_assign", sql=SQL_SHARD_ASSIGN, tags=("llm", "sampling"))
+def shard_assign_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash sharding of the corpus into 16 shards with a
+    stable pseudo-random intra-shard order — the reproducible global
+    shuffle + fixed-shard layout step before writing training data
+    (operators/sampling.py:shard_assign; md5-hex bucket built from
+    engine-portable string functions)."""
+    return shard_assign(t(spark, sf, "documents"), "doc_id", SHARD_COUNT).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+# ------------------------------------------------- source mixing weights
+
+SQL_MIX_WEIGHTS = f"""
+WITH p AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len({REPEAT_SQL_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+               count(*) AS ns FROM p)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / CAST(total AS DOUBLE), 6) AS share,
+       round((1.0 / ns) / (n_tokens / CAST(total AS DOUBLE)), 6) AS weight
+FROM p, tot
+"""
+
+
+@query("llm_mix_weights", sql=SQL_MIX_WEIGHTS, tags=("llm", "sampling"))
+def mix_weights_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source token accounting + the sampling weight that reshapes the
+    corpus to a uniform source mixture (weight = target_share / share) —
+    the data-mixing calculation of a training pipeline
+    (operators/sampling.py:source_mix_weights; narrow token-count
+    projection + one small partial-aggregated exchange)."""
+    return source_mix_weights(t(spark, sf, "documents"), "source", "text")
+
+
+# ------------------------------------------------- embedding dim stats
+
+SQL_DIM_STATS = """
+WITH x AS (
+  SELECT generate_subscripts(e, 1) - 1 AS dim, unnest(e) AS x
+  FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings))
+SELECT CAST(dim AS BIGINT) AS dim, count(*) AS n,
+       round(avg(x), 6) AS mean, round(stddev_pop(x), 6) AS std,
+       round(min(x), 6) AS min_val, round(max(x), 6) AS max_val
+FROM x GROUP BY dim
+"""
+
+
+@query("llm_embed_dim_stats", sql=SQL_DIM_STATS, tags=("llm", "similarity"))
+def embed_dim_stats_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-dimension mean/std/min/max of the embedding corpus — the
+    calibration pass before whitening or quantization
+    (operators/similarity.py:embedding_dim_stats; posexplode + one
+    partial-aggregated exchange of per-partition moments)."""
+    return embedding_dim_stats(t(spark, sf, "embeddings"), "embedding")

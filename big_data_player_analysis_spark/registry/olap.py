@@ -833,3 +833,38 @@ def descriptive_stats(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
         F.round(F.percentile("l_extendedprice", F.lit(0.95)), 6).alias("p95"),
     )
+
+
+# --------------------------------------------------- time-range window
+
+
+@query(
+    "olap_window_time_range",
+    sql="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER w, 6) AS avg_10m,
+           CAST(count(*) OVER w AS BIGINT) AS n_10m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("olap", "window"),
+)
+def window_time_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing 10-minute per-user rolling average — the time-RANGE window
+    frame (peers by event-time value, not row count) that rowsBetween
+    windows cannot express. Ordered on unix_micros so the frame bound is
+    an exact integer both engines agree on; the window is one
+    hash-exchange on user_id + an in-partition sort, same as any ranking
+    window."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return t(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("avg_10m"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_10m"),
+    )

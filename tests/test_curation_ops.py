@@ -1,0 +1,218 @@
+"""Round-3 curation-tier operators: cross-document repetition removal,
+deterministic sharding, source mixing weights, embedding dimension stats —
+each checked against hand-computed expectations on tiny inline frames plus
+invariants on the driver's synthetic tables."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_player_analysis_spark.catalog import load_table
+from big_data_player_analysis_spark.operators.repetition import (
+    remove_repeated_windows,
+)
+from big_data_player_analysis_spark.operators.sampling import (
+    hex_bucket,
+    shard_assign,
+    source_mix_weights,
+)
+from big_data_player_analysis_spark.operators.similarity import embedding_dim_stats
+
+
+class TestRemoveRepeatedWindows:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_boilerplate_removed_everywhere_unique_kept(self, spark):
+        boiler = "a b c d"  # window_tokens=4 -> exactly one window
+        rows = [
+            (1, f"{boiler} u1 u2 u3 u4"),
+            (2, f"{boiler} v1 v2 v3 v4"),
+            (3, "w1 w2 w3 w4"),
+        ]
+        out = {
+            r.doc_id: r
+            for r in remove_repeated_windows(
+                self._df(spark, rows), "doc_id", "text", window_tokens=4, min_docs=2
+            ).collect()
+        }
+        assert out[1].clean_text == "u1 u2 u3 u4"
+        assert out[2].clean_text == "v1 v2 v3 v4"
+        assert out[3].clean_text == "w1 w2 w3 w4"
+        assert out[1].n_windows == 2 and out[1].n_removed == 1
+        assert out[3].n_removed == 0
+
+    def test_within_doc_repeat_not_removed(self, spark):
+        # the same window twice in ONE doc is not cross-doc boilerplate
+        rows = [(1, "a b a b"), (2, "c d c d")]
+        out = {
+            r.doc_id: r
+            for r in remove_repeated_windows(
+                self._df(spark, rows), "doc_id", "text", window_tokens=2, min_docs=2
+            ).collect()
+        }
+        assert out[1].clean_text == "a b a b" and out[1].n_removed == 0
+
+    def test_fully_boilerplate_doc_survives_empty(self, spark):
+        rows = [(1, "a b"), (2, "a b"), (3, "x y")]
+        out = {
+            r.doc_id: r
+            for r in remove_repeated_windows(
+                self._df(spark, rows), "doc_id", "text", window_tokens=2, min_docs=2
+            ).collect()
+        }
+        assert out[1].clean_text == "" and out[1].n_removed == 1
+        assert out[2].clean_text == ""
+        assert out[3].clean_text == "x y"
+
+    def test_null_and_empty_text_preserved(self, spark):
+        rows = [(1, None), (2, ""), (3, "x y")]
+        out = remove_repeated_windows(
+            self._df(spark, rows), "doc_id", "text", window_tokens=2, min_docs=2
+        )
+        got = {r.doc_id: r for r in out.collect()}
+        assert set(got) == {1, 2, 3}
+        # NULL and '' both tokenize to [''] -> the same empty window in 2
+        # docs -> removed as boilerplate; the docs themselves survive
+        assert got[1].clean_text == "" and got[2].clean_text == ""
+        assert got[3].clean_text == "x y"
+
+    def test_window_order_preserved(self, spark):
+        # surviving windows must reassemble in original order
+        rows = [(1, "k1 k2 b1 b2 k3 k4"), (2, "b1 b2 z1 z2")]
+        out = {
+            r.doc_id: r.clean_text
+            for r in remove_repeated_windows(
+                self._df(spark, rows), "doc_id", "text", window_tokens=2, min_docs=2
+            ).collect()
+        }
+        assert out[1] == "k1 k2 k3 k4"
+
+    def test_frequent_join_is_broadcast_anti(self, spark):
+        df = self._df(spark, [(1, "a b"), (2, "a b")])
+        out = remove_repeated_windows(df, "doc_id", "text", window_tokens=2)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    def test_sf_corpus_removal_monotone(self, spark, sf_small):
+        docs = load_table(spark, sf_small, "documents")
+        out = remove_repeated_windows(docs, "doc_id", "text")
+        agg = out.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_removed").alias("removed"),
+            F.sum((F.col("n_removed") > F.col("n_windows")).cast("int")).alias("bad"),
+        ).first()
+        assert agg.n == docs.count()  # every document survives
+        assert agg.bad == 0
+
+
+class TestShardAssign:
+    def test_matches_python_md5(self, spark):
+        df = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+        got = {r.doc_id: (r.shard, r.pos) for r in shard_assign(df, "doc_id", 8).collect()}
+        # independent python recomputation
+        items = []
+        for i in range(200):
+            h = hashlib.md5(str(i).encode()).hexdigest()
+            items.append((int(h[:4], 16) % 8, h, i))
+        expect_shard = {i: s for s, _, i in items}
+        pos = {}
+        for s in range(8):
+            members = sorted((h, i) for s2, h, i in items if s2 == s)
+            for p, (_, i) in enumerate(members):
+                pos[i] = p
+        for i in range(200):
+            assert got[i] == (expect_shard[i], pos[i]), i
+
+    def test_stable_under_repartition(self, spark):
+        df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        a = shard_assign(df, "doc_id", 16).select("doc_id", "shard", "pos")
+        b = shard_assign(df.repartition(13), "doc_id", 16).select(
+            "doc_id", "shard", "pos"
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_pos_dense_per_shard(self, spark):
+        df = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+        out = shard_assign(df, "doc_id", 4)
+        per = (
+            out.groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"),
+                 F.min("pos").alias("mn"), F.countDistinct("pos").alias("nd"))
+            .collect()
+        )
+        assert {r.shard for r in per} <= set(range(4))
+        for r in per:
+            assert r.mn == 0 and r.mx == r.n - 1 and r.nd == r.n
+
+    def test_roughly_balanced(self, spark):
+        df = spark.range(0, 4000).withColumnRenamed("id", "doc_id")
+        counts = [r.n for r in shard_assign(df, "doc_id", 8)
+                  .groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()]
+        assert len(counts) == 8
+        assert max(counts) < 2 * min(counts)
+
+    def test_hex_bucket_range_and_validation(self, spark):
+        df = spark.range(0, 100).select(hex_bucket(F.col("id")).alias("b"))
+        r = df.agg(F.min("b"), F.max("b")).first()
+        assert 0 <= r[0] and r[1] < 65536
+        with pytest.raises(ValueError):
+            shard_assign(spark.range(1).withColumnRenamed("id", "k"), "k", 0)
+
+
+class TestSourceMixWeights:
+    def test_uniform_target_hand_computed(self, spark):
+        rows = [
+            (1, "a b c d", "web"),   # 4 tokens
+            (2, "e f", "web"),       # 2
+            (3, "g h i j k l", "books"),  # 6
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {r.source: r for r in source_mix_weights(df, "source", "text").collect()}
+        assert out["web"].n_docs == 2 and out["web"].n_tokens == 6
+        assert out["books"].n_tokens == 6
+        assert out["web"].share == 0.5 and out["books"].share == 0.5
+        # uniform target over 2 sources = 0.5 -> weight 1.0 for both
+        assert out["web"].weight == 1.0 and out["books"].weight == 1.0
+
+    def test_explicit_target_shares(self, spark):
+        rows = [(1, "a b c", "web"), (2, "d", "books")]  # web 3/4, books 1/4
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = {
+            r.source: r
+            for r in source_mix_weights(
+                df, "source", "text", target_shares={"web": 0.25, "books": 0.75}
+            ).collect()
+        }
+        assert out["web"].weight == pytest.approx(0.25 / 0.75, abs=1e-6)
+        assert out["books"].weight == pytest.approx(0.75 / 0.25, abs=1e-6)
+
+    def test_shares_sum_to_one_on_corpus(self, spark, sf_small):
+        docs = load_table(spark, sf_small, "documents")
+        tot = source_mix_weights(docs, "source", "text").agg(F.sum("share")).first()[0]
+        assert tot == pytest.approx(1.0, abs=1e-4)
+
+
+class TestEmbeddingDimStats:
+    def test_hand_computed(self, spark):
+        rows = [(1, [1.0, 10.0]), (2, [3.0, 30.0]), (3, [5.0, 20.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {r.dim: r for r in embedding_dim_stats(df, "embedding").collect()}
+        assert out[0].n == 3 and out[0].mean == 3.0
+        assert out[0].std == pytest.approx(math.sqrt(8 / 3), abs=1e-6)
+        assert out[0].min_val == 1.0 and out[0].max_val == 5.0
+        assert out[1].mean == 20.0
+
+    def test_matches_numpy_on_corpus(self, spark, sf_small):
+        emb = load_table(spark, sf_small, "embeddings")
+        M = np.array([list(r.embedding) for r in emb.collect()], dtype=np.float64)
+        out = {r.dim: r for r in embedding_dim_stats(emb, "embedding").collect()}
+        assert len(out) == M.shape[1]
+        for d in range(M.shape[1]):
+            assert out[d].mean == pytest.approx(M[:, d].mean(), abs=1e-5)
+            assert out[d].std == pytest.approx(M[:, d].std(), abs=1e-5)
