@@ -99,3 +99,73 @@ def chunk_tokens(
         F.array_join(window, " ").alias("chunk_text"),
         F.size(window).cast("long").alias("n_tokens"),
     )
+
+
+PACK_BUDGET = 256  # tokens per packed sequence
+PACK_GROUPS = 8  # parallel packing streams
+
+
+def pack_sequences(
+    df,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int = PACK_BUDGET,
+    n_groups: int = PACK_GROUPS,
+):
+    """(doc_id, grp, pack_id, off): greedy NEXT-FIT packing of documents
+    into fixed-token-budget training sequences — the step that turns a
+    curated corpus into dense context windows (padding waste = what the
+    packer leaves on the table).
+
+    Packing a single stream is inherently sequential (each decision needs
+    the running fill), so the corpus is first split into ``n_groups``
+    independent streams by a deterministic, engine-portable hash of the id
+    (operators/sampling.py:hex_bucket — the SQL oracle reproduces it);
+    each stream packs its documents in id order with next-fit: append to
+    the current pack while it fits, else open a new pack. A document
+    larger than the budget occupies its own (overflowing) pack — the
+    packer never drops or truncates; length filters upstream decide that.
+
+    Scale shape: ONE exchange on grp + an in-group sort, then a linear
+    Arrow-batched pass per group (applyInPandas). n_groups tunes
+    parallelism/packing-quality: waste is O(avg_doc/budget) per stream
+    regardless of stream count, so thousands of groups on a 100 TB corpus
+    cost nothing in density while giving full cluster parallelism.
+    Determinism: group assignment and in-group order are pure functions of
+    the id, so output is stable across runs/partitionings/engines.
+    """
+    import pandas as pd
+
+    from big_data_player_analysis_spark.operators.sampling import hex_bucket
+
+    if budget <= 0 or n_groups <= 0:
+        raise ValueError("need budget > 0 and n_groups > 0")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(n_tokens_col).cast("long").alias("nt"),
+        F.pmod(hex_bucket(F.col(id_col)), F.lit(n_groups)).cast("long").alias("grp"),
+    )
+
+    def pack(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        packs, offs = [], []
+        pack_id, fill = 0, 0
+        for nt in pdf["nt"]:
+            if fill > 0 and fill + nt > budget:
+                pack_id += 1
+                fill = 0
+            packs.append(pack_id)
+            offs.append(fill)
+            fill += nt
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "grp": pdf["grp"].to_numpy(),
+                "pack_id": packs,
+                "off": offs,
+            }
+        )
+
+    return base.groupBy("grp").applyInPandas(
+        pack, "doc_id long, grp long, pack_id long, off long"
+    )

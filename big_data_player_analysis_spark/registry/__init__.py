@@ -123,6 +123,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
     "llm_line_dedup",
+    "llm_pack_sequences",
     "llm_shard_assign",
     "llm_mix_weights",
     "llm_embed_dim_stats",

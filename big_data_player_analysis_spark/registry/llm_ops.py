@@ -1317,3 +1317,59 @@ def embed_dim_stats_q(spark: SparkSession, sf: str) -> DataFrame:
     (operators/similarity.py:embedding_dim_stats; posexplode + one
     partial-aggregated exchange of per-partition moments)."""
     return embedding_dim_stats(t(spark, sf, "embeddings"), "embedding")
+
+
+# ------------------------------------------------- sequence packing
+
+from big_data_player_analysis_spark.operators.chunking import (  # noqa: E402
+    PACK_BUDGET,
+    PACK_GROUPS,
+    pack_sequences,
+)
+
+SQL_PACK = f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         CAST(len({REPEAT_SQL_TOKS}) AS BIGINT) AS nt,
+         CAST(((((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 16
+            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) * 16
+            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))
+            % {PACK_GROUPS} AS BIGINT) AS grp
+  FROM documents),
+d AS (
+  SELECT doc_id, nt, grp,
+         row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+  FROM base),
+walk AS (
+  SELECT doc_id, grp, nt, rn,
+         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS off, nt AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.doc_id, d.grp, d.nt, d.rn,
+         CASE WHEN w.fill > 0 AND w.fill + d.nt > {PACK_BUDGET}
+              THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.fill > 0 AND w.fill + d.nt > {PACK_BUDGET}
+              THEN 0 ELSE w.fill END,
+         CASE WHEN w.fill > 0 AND w.fill + d.nt > {PACK_BUDGET}
+              THEN d.nt ELSE w.fill + d.nt END
+  FROM walk w JOIN d ON d.grp = w.grp AND d.rn = w.rn + 1)
+SELECT doc_id, grp, pack_id, off FROM walk
+"""
+
+
+@query("llm_pack_sequences", sql=SQL_PACK, tags=("llm", "chunking"))
+def pack_sequences_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Greedy next-fit packing of documents into 256-token training
+    sequences across 8 deterministic hash streams
+    (operators/chunking.py:pack_sequences — one exchange on grp + a
+    linear Arrow pass per stream). The oracle replays the identical
+    next-fit walk as a recursive CTE."""
+    docs = t(spark, sf, "documents")
+    with_nt = docs.select(
+        "doc_id",
+        F.size(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+        ).cast("long").alias("nt"),
+    )
+    return pack_sequences(with_nt, "doc_id", "nt")

@@ -216,3 +216,68 @@ class TestEmbeddingDimStats:
         for d in range(M.shape[1]):
             assert out[d].mean == pytest.approx(M[:, d].mean(), abs=1e-5)
             assert out[d].std == pytest.approx(M[:, d].std(), abs=1e-5)
+
+
+class TestPackSequences:
+    def _pack(self, spark, rows, budget, n_groups=1):
+        from big_data_player_analysis_spark.operators.chunking import pack_sequences
+
+        df = spark.createDataFrame(rows, "doc_id long, nt long")
+        return pack_sequences(df, "doc_id", "nt", budget=budget, n_groups=n_groups)
+
+    def test_next_fit_hand_computed(self, spark):
+        # single stream: docs in id order with budget 10
+        rows = [(1, 4), (2, 5), (3, 3), (4, 10), (5, 1)]
+        out = {r.doc_id: (r.pack_id, r.off) for r in
+               self._pack(spark, rows, budget=10).collect()}
+        # 4+5=9 fits; +3 overflows -> pack1; 3+10 overflows -> pack2(10);
+        # +1 overflows -> pack3
+        assert out[1] == (0, 0) and out[2] == (0, 4)
+        assert out[3] == (1, 0)
+        assert out[4] == (2, 0)
+        assert out[5] == (3, 0)
+
+    def test_oversized_doc_gets_own_pack_never_dropped(self, spark):
+        rows = [(1, 50), (2, 2), (3, 2)]
+        out = {r.doc_id: (r.pack_id, r.off) for r in
+               self._pack(spark, rows, budget=10).collect()}
+        assert out[1] == (0, 0)  # overflowing pack, kept
+        assert out[2] == (1, 0) and out[3] == (1, 2)
+
+    def test_budget_respected_except_oversized(self, spark, sf_small):
+        from big_data_player_analysis_spark.catalog import load_table
+        from big_data_player_analysis_spark.operators.chunking import pack_sequences
+
+        docs = load_table(spark, sf_small, "documents").select(
+            "doc_id",
+            F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+            .cast("long").alias("nt"),
+        )
+        out = pack_sequences(docs, "doc_id", "nt", budget=256, n_groups=8)
+        joined = out.join(docs, "doc_id")
+        # every doc placed exactly once
+        assert out.count() == docs.count()
+        assert out.select("doc_id").distinct().count() == docs.count()
+        # within-pack extent: off + nt <= budget unless the doc sits alone
+        # at off 0 (oversized)
+        bad = joined.filter(
+            (F.col("off") + F.col("nt") > 256) & (F.col("off") > 0)
+        ).count()
+        assert bad == 0
+        # packs are dense per group: ids 0..max with no gaps
+        per = (
+            out.groupBy("grp")
+            .agg(F.countDistinct("pack_id").alias("n"), F.max("pack_id").alias("mx"))
+            .collect()
+        )
+        for r in per:
+            assert r.n == r.mx + 1
+
+    def test_deterministic_under_repartition(self, spark):
+        rows = [(i, (i * 7) % 23 + 1) for i in range(200)]
+        a = self._pack(spark, rows, budget=40, n_groups=4).collect()
+        df = spark.createDataFrame(rows, "doc_id long, nt long").repartition(11)
+        from big_data_player_analysis_spark.operators.chunking import pack_sequences
+
+        b = pack_sequences(df, "doc_id", "nt", budget=40, n_groups=4).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
