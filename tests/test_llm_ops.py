@@ -110,6 +110,33 @@ def test_simhash_covers_exact_dups(docs, py_jaccard_pairs):
     assert len(got) < 4 * max(1, len(py_jaccard_pairs))
 
 
+def test_simhash_signatures_narrow_and_dup_invariant(spark):
+    """The vectorized signature path must (a) give byte-identical sigs to
+    normalization-equivalent texts, (b) differ across unrelated texts,
+    (c) plan as a narrow projection — no Exchange before the signature
+    (the explode+64-sums form it replaced shuffled every shingle)."""
+    from big_data_player_analysis_spark.operators.dedup import simhash_signatures
+
+    rows = [
+        (1, "The quick brown fox jumps over the lazy dog!"),
+        (2, "the QUICK brown fox jumps over the lazy dog"),  # normalizes equal
+        (3, "completely different content with other words entirely here"),
+        (4, "xy"),  # shorter than k -> excluded, like char_shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = simhash_signatures(df, "doc_id", "text", 8)
+    got = {r.doc: r.sig for r in sigs.collect()}
+    assert got[1] == got[2]
+    assert got[1] != got[3]
+    assert 4 not in got
+    # _scatter's deliberate round-robin fan-out is the ONLY allowed
+    # exchange; there must be no hash/key shuffle (the old explode +
+    # 64-conditional-sums aggregate exchanged every shingle on doc)
+    plan = sigs._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan
+    assert "HashAggregate" not in plan
+
+
 # ------------------------------------------------------------- embeddings
 
 

@@ -27,7 +27,14 @@ from big_data_player_analysis_spark.multimodal import (
     attach_wav_payload,
     decode_audio_features,
 )
-from big_data_player_analysis_spark.operators.chunking import chunk_fixed
+from big_data_player_analysis_spark.operators.chunking import (
+    chunk_fixed,
+    pack_sequences,
+)
+from big_data_player_analysis_spark.operators.repetition import (
+    remove_repeated_windows,
+)
+from big_data_player_analysis_spark.operators.sampling import shard_assign
 from big_data_player_analysis_spark.operators.dedup import (
     dedup_exact,
     dedup_minhash_lsh,
@@ -128,6 +135,20 @@ def probe_set(docs, emb):
             emb, emb.filter(F.col("vec_id") < 5), k=3
         ),
         "llm_chunk_fixed": chunk_fixed(docs, "doc_id", "text"),
+        "llm_line_dedup": remove_repeated_windows(docs, "doc_id", "text"),
+        "llm_shard_assign": shard_assign(docs, "doc_id", 16).select(
+            "doc_id", "shard", "pos"
+        ),
+        "llm_pack_sequences": pack_sequences(
+            docs.select(
+                "doc_id",
+                F.size(
+                    F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+                ).cast("long").alias("nt"),
+            ),
+            "doc_id",
+            "nt",
+        ),
         "llm_url_canonical_dedup": url_dedup(docs),
         "multimodal_audio_decode": decode_audio_features(
             attach_wav_payload(docs, "doc_id")
