@@ -60,38 +60,50 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (text built-ins overlapped by text_quality_score), and
 # multimodal_frame_sample (mapInPandas plumbing shared with
 # multimodal_features).
+#
+# Second round-3 rotation: the curation/OLAP batch shipped late in the
+# round (llm_line_dedup, llm_pack_sequences, llm_shard_assign,
+# llm_mix_weights, llm_embed_dim_stats, olap_window_time_range) also had
+# no driver row — promoted, displacing six more green-r02 rows on
+# unchanged code: q03 (argmax = q17's top-k at k=1), q13 (affine over
+# aggregates, same shape as q04's smoothed avg), q15 (global sum/count
+# inside q04), q18 (distinct-union init, overlaps q06's distinct pairs),
+# olap_descriptive_stats (same stats battery as the incoming
+# llm_embed_dim_stats), and text_language_id (text built-in family
+# covered by text_quality_score + llm_quality_filters).
 PRIMARY_ORDER: tuple[str, ...] = (
-    # §2.2 reference surface (13; q02/q07/q09/q11/q12 rotated out on green rows)
+    # §2.2 reference surface (9 in-window; q02/q03/q07/q09/q11/q12/q13/q15/
+    # q18 rotated out on green union rows, all code-unchanged)
     "q01_count_per_key",
-    "q03_global_argmax",
     "q04_smoothed_avg",
     "q05_domain_completion",
     "q06_distinct_pairs",
     "q08_having_count_distinct",
     "q10_join_chain",
-    "q13_sum_affine",
     "q14_keyed_sqdiff",
-    "q15_global_mean",
     "q16_heroic_iterative",
     "q17_top_k",
-    "q18_rank_vector_init",
     # §2.4 engine-scope representatives (12)
     "olap_asof_join",
     "olap_semi_join",
     "olap_grouping_sets",
     "olap_pivot",
     "olap_window_topk_per_group",
-    "olap_descriptive_stats",
+    "olap_window_time_range",
     "olap_month_json",
     "olap_exists_correlated",
     "olap_tpch_q5_region_volume",
     "olap_salted_join",
     "olap_apply_in_pandas_longest_run",
     "olap_sessionization",
-    # LLM-data-pipeline tier (18)
-    "text_language_id",
+    # LLM-data-pipeline tier (22)
     "text_quality_score",
     "llm_quality_filters",
+    "llm_line_dedup",
+    "llm_shard_assign",
+    "llm_mix_weights",
+    "llm_pack_sequences",
+    "llm_embed_dim_stats",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -122,12 +134,12 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
-    "llm_line_dedup",
-    "llm_pack_sequences",
-    "llm_shard_assign",
-    "llm_mix_weights",
-    "llm_embed_dim_stats",
-    "olap_window_time_range",
+    "q03_global_argmax",
+    "q13_sum_affine",
+    "q15_global_mean",
+    "q18_rank_vector_init",
+    "olap_descriptive_stats",
+    "text_language_id",
     "q02_count_per_derived_key",
     "q07_projection_reversal",
     "q09_equi_join",

@@ -48,10 +48,11 @@ def test_primary_window():
     assert len(PRIMARY_ORDER) == 50
     assert names[:50] == list(PRIMARY_ORDER)
     window = set(PRIMARY_ORDER)
-    # reference surface minus the rotated-out twins (q02/q07/q09/q11/q12 hold
-    # green r02 rows on per-entry-unchanged code; each overlaps a remaining
-    # windowed entry — see PRIMARY_ORDER's rotation note)
-    rotated_out = {2, 7, 9, 11, 12}
+    # reference surface minus the rotated-out twins (q02/q03/q07/q09/q11/
+    # q12/q13/q15/q18 hold green r01/r02 rows on per-entry-unchanged code;
+    # each overlaps a remaining windowed entry — see PRIMARY_ORDER's
+    # rotation notes)
+    rotated_out = {2, 3, 7, 9, 11, 12, 13, 15, 18}
     assert {f"q{i:02d}" for i in range(1, 19) if i not in rotated_out} <= {
         n[:3] for n in window
     }
@@ -62,7 +63,9 @@ def test_primary_window():
         "llm_chunk_fixed", "llm_chunk_tokens", "llm_url_canonical_dedup",
         "llm_pii_redact", "llm_unigram_logprob", "llm_embed_quantize_int8",
         "multimodal_features", "multimodal_audio_decode", "llm_quality_filters",
-        "text_language_id", "text_quality_score", "stream_late_data_drop",
+        "llm_line_dedup", "llm_shard_assign", "llm_mix_weights",
+        "llm_pack_sequences", "llm_embed_dim_stats", "olap_window_time_range",
+        "text_quality_score", "stream_late_data_drop",
         "olap_sessionization",
     } <= window
 
