@@ -190,22 +190,47 @@ def dedup_ngram_jaccard(
     (df <= max_df); the Jaccard itself is exact over ALL shingles. A true
     near-dup pair (j >= 0.6) shares hundreds of shingles, so requiring one
     shared rare shingle loses nothing in practice while keeping candidate
-    generation linear-ish instead of df^2 on hot shingles."""
-    # Persisted: the exploded table feeds three consumers (df-count agg +
-    # both sides of the candidate self-join); without the cache each would
-    # re-shingle the whole corpus.
-    shingles = shingle_table(_scatter(df), id_col, text_col, k).persist()
-    rare = shingles.join(
-        shingles.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= F.lit(max_df))
-        .select("shingle"),
-        "shingle",
+    generation linear-ish instead of df^2 on hot shingles.
+
+    Scale shape (reworked after per-stage profiling; the previous form —
+    persist the full exploded (doc, shingle-string) table, groupBy-count
+    it, join the rare set back, then self-join — shuffled the corpus-sized
+    exploded table on the shingle string up to four times and dominated
+    the operator at ~21 s on the 5k-composed-doc probe):
+      1. shingles are reduced to int64 xxhash64 values INSIDE the shingle
+         array before the explode, so only 8-byte longs ever shuffle (the
+         exact-verify stage recomputes true shingle sets itself, so
+         candidate generation needs only determinism; a hash collision can
+         only merge two shingles — inflating df slightly or adding a
+         candidate that exact verification discards, P ~ 1e-9 at 1e5
+         distinct shingles);
+      2. document frequency is annotated with a count-over-window on the
+         hash — ONE shuffle+sort of the exploded longs, constant memory
+         per key (a collect_set inverted index would hold the hottest
+         shingle's full posting list on one executor: at web scale a
+         boilerplate shingle has df in the 1e8 range, so that form OOMs
+         exactly when it matters);
+      3. the df >= 2 filter drops singleton shingles (the vast majority)
+         before the self-join, and df <= max_df bounds the join's fan-out
+         at max_df per shingle, so the pair join touches only the small
+         rare-occurrence slice."""
+    from pyspark.sql.window import Window
+
+    occ = _scatter(df).select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.transform(char_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
+        ).alias("h"),
     )
-    ra = rare.select(F.col("doc").alias("doc_a"), "shingle")
-    rb = rare.select(F.col("doc").alias("doc_b"), "shingle")
+    rare = (
+        occ.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter((F.col("df") >= 2) & (F.col("df") <= F.lit(max_df)))
+        .select("doc", "h")
+    )
+    ra = rare.select(F.col("doc").alias("doc_a"), "h")
+    rb = rare.select(F.col("doc").alias("doc_b"), "h")
     cand = (
-        ra.join(rb, "shingle")
+        ra.join(rb, "h")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()

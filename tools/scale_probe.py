@@ -34,7 +34,7 @@ from big_data_player_analysis_spark.operators.chunking import (
 from big_data_player_analysis_spark.operators.repetition import (
     remove_repeated_windows,
 )
-from big_data_player_analysis_spark.operators.sampling import shard_assign
+from big_data_player_analysis_spark.operators.sampling import apply_mix, shard_assign
 from big_data_player_analysis_spark.operators.dedup import (
     dedup_exact,
     dedup_minhash_lsh,
@@ -67,6 +67,7 @@ def scaled_docs(spark, base, factor: int):
             base.select(
                 (F.col("doc_id") + i * n).alias("doc_id"),
                 F.translate(F.lower("text"), ALPHABET, rotated).alias("text"),
+                "source",
             )
         )
     out = copies[0]
@@ -96,16 +97,24 @@ def scaled_embeddings(spark, base, factor: int):
     return out
 
 
-def timed(df) -> float:
-    """Min of two executions: this host shows sustained external load
-    swings (load-average bursts >8 with zero in-container CPU consumers)
-    that inflate single-shot wall times up to 6x; the min of two
-    back-to-back runs is the best cheap estimator of the uncontended
-    cost. The load average at probe time is recorded in SCALE.md."""
+def timed(build) -> float:
+    """Min of two executions of a freshly BUILT plan (``build`` is a
+    thunk). Building per run matters: spark.catalog.clearCache() between
+    operators also drops PENDING cache registrations, so a DataFrame
+    built before the clear would run with its internal .persist() marks
+    silently disabled — dedup_ngram_jaccard measured 17.5 s that way vs
+    1.6 s with its candidate cache live (every consumer of the candidate
+    table recomputed the whole shingle pipeline). Fresh construction per
+    run registers the persists after the clear, which is how bench.py and
+    any real caller execute the operator. Min of two runs: this host
+    shows sustained external load swings (load-average bursts with zero
+    in-container CPU consumers) that inflate single-shot wall times up to
+    6x; the min of back-to-back runs estimates the uncontended cost. The
+    load average at probe time is recorded in SCALE.md."""
     times = []
     for _ in range(2):
         t0 = time.time()
-        df.write.format("noop").mode("overwrite").save()
+        build().write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
     return round(min(times), 2)
 
@@ -126,20 +135,24 @@ def url_dedup(docs):
 
 
 def probe_set(docs, emb):
+    """name -> zero-arg builder; timed() constructs the plan per run so
+    operator-internal persist marks survive the preceding clearCache."""
     return {
-        "dedup_exact": dedup_exact(docs, "doc_id", "text"),
-        "dedup_ngram_jaccard": dedup_ngram_jaccard(docs, "doc_id", "text", 8, 0.6, 20),
-        "dedup_minhash_lsh": dedup_minhash_lsh(docs, "doc_id", "text", 8, 0.6),
-        "dedup_simhash": dedup_simhash(docs, "doc_id", "text", 8),
-        "knn_join_vectorized": knn_join_vectorized(
+        "dedup_exact": lambda: dedup_exact(docs, "doc_id", "text"),
+        "dedup_ngram_jaccard": lambda: dedup_ngram_jaccard(
+            docs, "doc_id", "text", 8, 0.6, 20
+        ),
+        "dedup_minhash_lsh": lambda: dedup_minhash_lsh(docs, "doc_id", "text", 8, 0.6),
+        "dedup_simhash": lambda: dedup_simhash(docs, "doc_id", "text", 8),
+        "knn_join_vectorized": lambda: knn_join_vectorized(
             emb, emb.filter(F.col("vec_id") < 5), k=3
         ),
-        "llm_chunk_fixed": chunk_fixed(docs, "doc_id", "text"),
-        "llm_line_dedup": remove_repeated_windows(docs, "doc_id", "text"),
-        "llm_shard_assign": shard_assign(docs, "doc_id", 16).select(
+        "llm_chunk_fixed": lambda: chunk_fixed(docs, "doc_id", "text"),
+        "llm_line_dedup": lambda: remove_repeated_windows(docs, "doc_id", "text"),
+        "llm_shard_assign": lambda: shard_assign(docs, "doc_id", 16).select(
             "doc_id", "shard", "pos"
         ),
-        "llm_pack_sequences": pack_sequences(
+        "llm_pack_sequences": lambda: pack_sequences(
             docs.select(
                 "doc_id",
                 F.size(
@@ -149,8 +162,9 @@ def probe_set(docs, emb):
             "doc_id",
             "nt",
         ),
-        "llm_url_canonical_dedup": url_dedup(docs),
-        "multimodal_audio_decode": decode_audio_features(
+        "llm_apply_mix": lambda: apply_mix(docs, "doc_id", "source", "text"),
+        "llm_url_canonical_dedup": lambda: url_dedup(docs),
+        "multimodal_audio_decode": lambda: decode_audio_features(
             attach_wav_payload(docs, "doc_id")
         ),
     }
@@ -169,8 +183,8 @@ def main():
     # doesn't absorb codegen/JIT/broadcast initialization.
     wdocs = scaled_docs(spark, base_docs, 1).persist()
     wemb = scaled_embeddings(spark, base_emb, 1).persist()
-    for df in probe_set(wdocs, wemb).values():
-        timed(df)
+    for build in probe_set(wdocs, wemb).values():
+        timed(build)
     wdocs.unpersist()
     wemb.unpersist()
     # The dedup operators persist internal intermediates (signatures,
@@ -185,8 +199,8 @@ def main():
         emb = scaled_embeddings(spark, base_emb, s).persist()
         rows[s] = docs.count()
         emb.count()
-        for name, df in probe_set(docs, emb).items():
-            results.setdefault(name, {})[s] = timed(df)
+        for name, build in probe_set(docs, emb).items():
+            results.setdefault(name, {})[s] = timed(build)
             # drop THIS probe's operator-internal persists (shingle tables,
             # signatures, candidates) before timing the next one — retained
             # caches from a prior operator otherwise cost the next one
