@@ -7,11 +7,13 @@ queryable without touching bytes). Decode/feature-extraction runs as an
 Arrow-batched ``mapInPandas`` operator: one Python process per partition,
 whole column batches across the boundary, no per-row pickling.
 
-The actual codec step is STUBBED: image/audio libraries are not in this
-container, so ``decode_features`` computes deterministic pseudo-features
-from the raw bytes (and ``decode_image`` raises NotImplementedError where
-a real pillow/ffmpeg call would go). Everything around the stub — schema,
-binary handling, batch iteration, partitioning — is real and tested.
+Two decode paths are REAL: audio (stdlib ``wave`` over RIFF/WAVE
+payloads) and images (numpy over 24-bit uncompressed BMP, parsed from the
+public spec). Video decode remains a documented stub
+(``decode_image``/ffmpeg-class codecs are not in this container);
+``decode_features`` keeps the deterministic pseudo-feature path for the
+generic opaque-binary case. Everything around the stub — schema, binary
+handling, batch iteration, partitioning — is real and tested.
 """
 
 from __future__ import annotations
@@ -49,10 +51,12 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - documented stub
-    """Real codec hook. Container has no imaging libs; a deployment would
-    replace this with PIL.Image.open(io.BytesIO(payload)) etc."""
-    raise NotImplementedError("media codecs not available in this environment")
+def decode_video(payload: bytes):  # pragma: no cover - documented stub
+    """Real codec hook for video. Container has no ffmpeg-class libs; a
+    deployment would replace this with an av/ffmpeg frame iterator. Audio
+    (decode_audio_features) and images (decode_bmp_features) have real
+    in-environment decoders below."""
+    raise NotImplementedError("video codecs not available in this environment")
 
 
 def decode_features(media: DataFrame) -> DataFrame:
@@ -201,3 +205,107 @@ def decode_audio_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, AUDIO_FEATURE_SCHEMA)
+
+
+# ----------------------------------------------------- real image decode
+
+IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("mean_b", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+    ]
+)
+
+
+def _bmp_params(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, red) for the synthesized image — closed-form in
+    doc_id so the decode output has an exact ANSI-SQL oracle. Bounds keep
+    every channel value < 256 (no wraparound in the oracle arithmetic)."""
+    return 4 + doc_id % 13, 2 + doc_id % 7, doc_id % 256
+
+
+def synth_bmp_payload(doc_id: int) -> bytes:
+    """A REAL 24-bit uncompressed BMP (BITMAPFILEHEADER + BITMAPINFOHEADER
+    + bottom-up BGR rows with 4-byte row padding, per the public BMP
+    spec). Pixels: B = x, G = y, R = constant — channel means are exactly
+    (w-1)/2, (h-1)/2, and the constant, so the decoded features are
+    relationally derivable while the bytes still exercise genuine
+    container parsing (magic, data offset, DIB geometry, stride)."""
+    import struct
+
+    import numpy as np
+
+    w, h, red = _bmp_params(doc_id)
+    stride = (3 * w + 3) // 4 * 4
+    px = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        px[y, 0 : 3 * w : 3] = np.arange(w)  # B = x
+        px[y, 1 : 3 * w : 3] = y             # G = y
+        px[y, 2 : 3 * w : 3] = red           # R = const
+    data = px[::-1].tobytes()  # bottom-up scan order
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    offset = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    return hdr + dib + data
+
+
+def attach_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Simulate image ingestion: one BMP payload per row, synthesized
+    deterministically from the id (Arrow pandas_udf, batch-at-a-time)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_bmp_payload(int(i)))
+
+    return df.select(F.col(id_col).alias("doc_id"), _synth(id_col).alias("payload"))
+
+
+def decode_bmp_features(media: DataFrame) -> DataFrame:
+    """REAL image decode via mapInPandas: parse each payload's BMP headers
+    (magic, pixel-data offset, DIB width/height/bpp) and the padded BGR
+    pixel matrix with numpy, then reduce to geometry + per-channel means.
+    No imaging library needed — BMP's uncompressed layout is decodable
+    from its public spec, which makes it the image counterpart of the
+    stdlib-wave audio path (video keeps the documented decode_image stub
+    for codecs the environment genuinely lacks). Scale shape: narrow
+    per-partition map, Arrow-batched; payload bytes never shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_b": [], "mean_g": [], "mean_r": [],
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload[:2] != b"BM":
+                    raise ValueError(f"doc {did}: not a BMP payload")
+                offset = struct.unpack_from("<I", payload, 10)[0]
+                _, w, h, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
+                if bpp != 24:
+                    raise ValueError(f"doc {did}: unsupported bpp {bpp}")
+                nrows = abs(h)
+                stride = (3 * w + 3) // 4 * 4
+                arr = np.frombuffer(
+                    payload, dtype=np.uint8, count=stride * nrows, offset=offset
+                ).reshape(nrows, stride)
+                pix = arr[:, : 3 * w].reshape(nrows, w, 3).astype(np.float64)
+                rows["doc_id"].append(int(did))
+                rows["width"].append(int(w))
+                rows["height"].append(nrows)
+                rows["mean_b"].append(round(float(pix[:, :, 0].mean()), 6))
+                rows["mean_g"].append(round(float(pix[:, :, 1].mean()), 6))
+                rows["mean_r"].append(round(float(pix[:, :, 2].mean()), 6))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)

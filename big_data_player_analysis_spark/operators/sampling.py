@@ -185,3 +185,51 @@ def source_mix_weights(
         F.round("share", 6).alias("share"),
         F.round(target / F.col("share"), 6).alias("weight"),
     )
+
+
+def apply_mix(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    text_col: str,
+    target_shares: dict[str, float] | None = None,
+) -> DataFrame:
+    """Realize the mixture that ``source_mix_weights`` only plans:
+    (key, source, epoch) — one output row per training copy of each kept
+    document. A source with weight w contributes floor(w) guaranteed
+    epochs of every document plus one extra epoch for a deterministic
+    ~frac(w) subset (selected by the md5 hex bucket of the key, the same
+    engine-portable predicate as ``deterministic_sample``); w < 1 is plain
+    downsampling, w > 1 is the oversample/repeat-epochs path. Realized
+    per-source token shares concentrate around the targets because the
+    bucket is uniform and independent of content.
+
+    Scale shape: the per-source weight table (a handful of rows) is
+    broadcast onto a narrow (key, source) projection of the corpus — the
+    corpus never shuffles; the epoch fan-out is a codegen'd
+    explode(sequence(...)) whose output size is exactly the training set
+    being materialized. Epoch copies carry only the key (join content
+    back later, or feed shard_assign on (key, epoch)) so the blow-up
+    moves ids, not text."""
+    weights = source_mix_weights(df, source_col, text_col, target_shares).select(
+        F.col("source").alias("_src"), "weight"
+    )
+    joined = df.select(
+        F.col(key_col), F.col(source_col).alias("_src")
+    ).join(F.broadcast(weights), "_src")
+    n_full = F.floor(F.col("weight")).cast("long")
+    frac = F.col("weight") - F.floor(F.col("weight"))
+    extra = (
+        hex_bucket(F.col(key_col)) < F.round(frac * F.lit(float(_BUCKETS)))
+    ).cast("long")
+    return (
+        joined.withColumn("n", n_full + extra)
+        .filter(F.col("n") > 0)
+        .select(
+            key_col,
+            F.col("_src").alias("source"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n") - 1)
+            ).alias("epoch"),
+        )
+    )

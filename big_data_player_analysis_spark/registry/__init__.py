@@ -134,6 +134,8 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "llm_apply_mix",
+    "multimodal_image_decode",
     "q03_global_argmax",
     "q13_sum_affine",
     "q15_global_mean",

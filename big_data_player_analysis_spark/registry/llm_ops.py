@@ -49,6 +49,7 @@ from big_data_player_analysis_spark.operators.repetition import (
     remove_repeated_windows,
 )
 from big_data_player_analysis_spark.operators.sampling import (
+    apply_mix,
     shard_assign,
     source_mix_weights,
 )
@@ -968,6 +969,36 @@ def multimodal_audio_q(spark: SparkSession, sf: str) -> DataFrame:
     return decode_audio_features(media)
 
 
+SQL_IMAGE_DECODE = """
+SELECT doc_id,
+       CAST(4 + doc_id % 13 AS BIGINT) AS width,
+       CAST(2 + doc_id % 7 AS BIGINT) AS height,
+       round((4 + doc_id % 13 - 1) / 2.0, 6) AS mean_b,
+       round((2 + doc_id % 7 - 1) / 2.0, 6) AS mean_g,
+       round(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_r
+FROM documents
+"""
+
+
+@query("multimodal_image_decode", sql=SQL_IMAGE_DECODE, tags=("llm", "multimodal"))
+def multimodal_image_q(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image decode, full oracle: per-doc 24-bit BMP payloads
+    (genuine BITMAPFILEHEADER/BITMAPINFOHEADER containers with padded
+    bottom-up BGR rows) are parsed with numpy inside mapInPandas — magic,
+    data offset, DIB geometry, stride — and reduced to per-channel means.
+    Pixel synthesis is closed-form in doc_id (B = x gradient, G = y
+    gradient, R constant), so the decoded output is fully relationally
+    derivable while the bytes still round-trip a real container format
+    (multimodal.py:synth_bmp_payload/decode_bmp_features)."""
+    from big_data_player_analysis_spark.multimodal import (
+        attach_bmp_payload,
+        decode_bmp_features,
+    )
+
+    media = attach_bmp_payload(t(spark, sf, "documents"), "doc_id")
+    return decode_bmp_features(media)
+
+
 # ------------------------------------------------------------ PII redaction
 
 from big_data_player_analysis_spark.functions.pii import (  # noqa: E402
@@ -1223,7 +1254,7 @@ FROM base LEFT JOIN reb ON base.doc_id = reb.doc_id
 """
 
 
-@query("llm_line_dedup", sql=SQL_LINE_DEDUP, tags=("llm", "dedup", "text"))
+@query("llm_line_dedup", sql=SQL_LINE_DEDUP, tags=("llm", "dedup", "text", "bench"))
 def line_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     """C4-style cross-document repetition removal: every non-overlapping
     8-token window occurring in >= 2 distinct documents is boilerplate and
@@ -1297,6 +1328,51 @@ def mix_weights_q(spark: SparkSession, sf: str) -> DataFrame:
     return source_mix_weights(t(spark, sf, "documents"), "source", "text")
 
 
+# The hex-bucket expression over md5(doc_id) (same digits trick as
+# SQL_SHARD_ASSIGN, shared column alias hh).
+_SQL_BUCKET = (
+    f"(((({_SQL_HEXDIG.format(i=1)}) * 16"
+    f" + ({_SQL_HEXDIG.format(i=2)})) * 16"
+    f" + ({_SQL_HEXDIG.format(i=3)})) * 16"
+    f" + ({_SQL_HEXDIG.format(i=4)}))"
+)
+
+SQL_APPLY_MIX = f"""
+WITH p AS (
+  SELECT source, CAST(sum(len({REPEAT_SQL_TOKS})) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total, count(*) AS ns FROM p),
+w AS (
+  SELECT source,
+         round((1.0 / ns) / (n_tokens / CAST(total AS DOUBLE)), 6) AS weight
+  FROM p, tot),
+j AS (
+  SELECT d.doc_id, d.source, w.weight,
+         md5(CAST(d.doc_id AS VARCHAR)) AS hh
+  FROM documents d JOIN w USING (source)),
+n AS (
+  SELECT doc_id, source,
+         CAST(floor(weight) AS BIGINT)
+         + CASE WHEN {_SQL_BUCKET}
+                     < round((weight - floor(weight)) * 65536.0)
+                THEN 1 ELSE 0 END AS n
+  FROM j)
+SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+FROM n, LATERAL unnest(range(n)) AS t(e)
+"""
+
+
+@query("llm_apply_mix", sql=SQL_APPLY_MIX, tags=("llm", "sampling", "bench"))
+def apply_mix_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Materialize the uniform source mixture as (doc_id, source, epoch)
+    training copies: floor(weight) guaranteed epochs per document plus a
+    deterministic md5-bucket-selected extra epoch for the fractional part
+    (operators/sampling.py:apply_mix; tiny weight table broadcast onto a
+    narrow corpus projection — the corpus never shuffles, the epoch
+    fan-out is a codegen'd explode)."""
+    return apply_mix(t(spark, sf, "documents"), "doc_id", "source", "text")
+
+
 # ------------------------------------------------- embedding dim stats
 
 SQL_DIM_STATS = """
@@ -1358,7 +1434,7 @@ SELECT doc_id, grp, pack_id, off FROM walk
 """
 
 
-@query("llm_pack_sequences", sql=SQL_PACK, tags=("llm", "chunking"))
+@query("llm_pack_sequences", sql=SQL_PACK, tags=("llm", "chunking", "bench"))
 def pack_sequences_q(spark: SparkSession, sf: str) -> DataFrame:
     """Greedy next-fit packing of documents into 256-token training
     sequences across 8 deterministic hash streams

@@ -17,6 +17,7 @@ from big_data_player_analysis_spark.operators.repetition import (
     remove_repeated_windows,
 )
 from big_data_player_analysis_spark.operators.sampling import (
+    apply_mix,
     hex_bucket,
     shard_assign,
     source_mix_weights,
@@ -281,3 +282,47 @@ class TestPackSequences:
 
         b = pack_sequences(df, "doc_id", "nt", budget=40, n_groups=4).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestApplyMix:
+    def test_oversample_and_downsample_epochs(self, spark):
+        # web: 60 docs x 1 token, books: 20 docs x 1 token -> shares
+        # 0.75/0.25; uniform target 0.5 -> weights web 2/3, books 2.0
+        rows = [(i, "w", "web") for i in range(60)] + [
+            (i + 1000, "b", "books") for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = apply_mix(df, "doc_id", "source", "text").collect()
+        per_doc: dict[int, int] = {}
+        for r in out:
+            assert r.epoch >= 0
+            per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+        # every books doc gets exactly 2 epochs (weight exactly 2.0)
+        for i in range(20):
+            assert per_doc.get(i + 1000, 0) == 2
+        # web docs get 0 or 1 epochs; total ~ 2/3 * 60 = 40
+        n_web = sum(v for d, v in per_doc.items() if d < 1000)
+        assert all(v == 1 for d, v in per_doc.items() if d < 1000)
+        assert 25 <= n_web <= 55  # uniform bucket, loose bound at n=60
+
+    def test_deterministic_and_partition_stable(self, spark):
+        rows = [(i, "x y z", "web" if i % 3 else "books") for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        a = sorted(map(tuple, apply_mix(df, "doc_id", "source", "text").collect()))
+        b = sorted(
+            map(
+                tuple,
+                apply_mix(df.repartition(7), "doc_id", "source", "text").collect(),
+            )
+        )
+        assert a == b
+
+    def test_epochs_are_dense_from_zero(self, spark):
+        rows = [(1, "a", "s1"), (2, "b c d e f g h i j", "s2")]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        out = apply_mix(df, "doc_id", "source", "text").collect()
+        by_doc: dict[int, list[int]] = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append(r.epoch)
+        for d, es in by_doc.items():
+            assert sorted(es) == list(range(len(es)))

@@ -378,11 +378,41 @@ def test_multimodal_metadata_struct(spark, sf_small):
     )
 
 
-def test_decode_image_is_declared_stub():
-    from big_data_player_analysis_spark.multimodal import decode_image
+def test_decode_video_is_declared_stub():
+    from big_data_player_analysis_spark.multimodal import decode_video
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG")
+        decode_video(b"\x00\x00\x00\x18ftypmp42")
+
+
+def test_bmp_decode_roundtrip(spark):
+    """Real BMP parse: decoded geometry + channel means must equal the
+    closed forms, including non-multiple-of-4 strides (w=5 -> padding)."""
+    from big_data_player_analysis_spark.multimodal import (
+        _bmp_params,
+        attach_bmp_payload,
+        decode_bmp_features,
+    )
+
+    df = spark.createDataFrame([(i,) for i in (0, 1, 9, 14, 300)], "doc_id long")
+    out = {r.doc_id: r for r in decode_bmp_features(
+        attach_bmp_payload(df, "doc_id")
+    ).collect()}
+    for i in (0, 1, 9, 14, 300):
+        w, h, red = _bmp_params(i)
+        r = out[i]
+        assert (r.width, r.height) == (w, h)
+        assert r.mean_b == (w - 1) / 2
+        assert r.mean_g == (h - 1) / 2
+        assert r.mean_r == float(red)
+
+
+def test_bmp_decode_rejects_non_bmp(spark):
+    from big_data_player_analysis_spark.multimodal import decode_bmp_features
+
+    df = spark.createDataFrame([(1, b"\x89PNG garbage")], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="not a BMP"):
+        decode_bmp_features(df).collect()
 
 
 # ---------------------------------------------------------- text functions
