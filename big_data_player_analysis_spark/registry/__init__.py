@@ -136,6 +136,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 EXTENDED_ORDER: tuple[str, ...] = (
     "llm_apply_mix",
     "multimodal_image_decode",
+    "olap_table_profile",
     "q03_global_argmax",
     "q13_sum_affine",
     "q15_global_mean",

@@ -868,3 +868,33 @@ def window_time_range(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg("value").over(w), 6).alias("avg_10m"),
         F.count(F.lit(1)).over(w).cast("long").alias("n_10m"),
     )
+
+
+# --------------------------------------------------- table profiling
+
+PROFILE_COLUMNS = ["l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"]
+
+_SQL_PROFILE_ONE = """
+SELECT '{c}' AS "column", count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(min({c}) AS VARCHAR) AS min_val,
+       CAST(max({c}) AS VARCHAR) AS max_val
+FROM lineitem"""
+
+SQL_PROFILE = "\nUNION ALL".join(
+    _SQL_PROFILE_ONE.format(c=c) for c in PROFILE_COLUMNS
+)
+
+
+@query("olap_table_profile", sql=SQL_PROFILE, tags=("olap", "profiling"))
+def table_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-pass data-quality profile of lineitem: per-column row/null/
+    exact-distinct counts + min/max in ONE scan (all aggregates fused into
+    one partial/final hash-aggregate pair; the multi-distinct rewrite is
+    Catalyst's Expand, bounded by the profiled column list —
+    operators/profiling.py:profile_table). Profiled columns are int/string
+    so min/max string rendering is engine-portable."""
+    from big_data_player_analysis_spark.operators.profiling import profile_table
+
+    return profile_table(t(spark, sf, "lineitem"), PROFILE_COLUMNS)

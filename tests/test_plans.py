@@ -166,3 +166,32 @@ def test_audio_decode_is_narrow_map(spark, specs):
     end-to-end: payload bytes never shuffle."""
     p = plan_str(specs["multimodal_audio_decode"].fn(spark, SF))
     assert "Exchange" not in p
+
+
+def test_apply_mix_broadcasts_weights_no_corpus_shuffle(spark, specs):
+    """The corpus side of llm_apply_mix must never hash-exchange: the only
+    joins are broadcasts of the tiny per-source weight table (and the
+    1-row totals), and the epoch fan-out is a codegen'd explode."""
+    p = plan_str(specs["llm_apply_mix"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Generate" in p  # explode(sequence(...))
+
+
+def test_ngram_jaccard_no_string_shuffle(spark, specs):
+    """Candidate generation shuffles int64 shingle hashes only — the
+    shingle string must be projected away before any Exchange (the
+    pre-rewrite form shuffled the corpus-sized string table four times)."""
+    df = specs["dedup_ngram_jaccard"].fn(spark, SF)
+    p = plan_str(df)
+    # every exchange partitions on a long hash column or candidate doc
+    # pair, never on the raw shingle string
+    assert "hashpartitioning(shingle" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_image_decode_is_narrow(spark, specs):
+    """BMP synth + decode is scan -> pandas_udf -> mapInPandas with no
+    Exchange: payload bytes never shuffle."""
+    p = plan_str(specs["multimodal_image_decode"].fn(spark, SF))
+    assert "Exchange" not in p
