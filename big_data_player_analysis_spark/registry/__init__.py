@@ -71,23 +71,32 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # olap_descriptive_stats (same stats battery as the incoming
 # llm_embed_dim_stats), and text_language_id (text built-in family
 # covered by text_quality_score + llm_quality_filters).
+#
+# Third round-3 rotation (same policy): llm_apply_mix,
+# multimodal_image_decode, and olap_table_profile shipped after the
+# second rotation with no driver row — promoted, displacing olap_pivot
+# (Expand-based wide agg, same shape as the windowed
+# olap_grouping_sets), multimodal_features (pseudo-feature mapInPandas
+# plumbing, superseded in-window by the two REAL decode paths audio +
+# image), and q14_keyed_sqdiff (keyed self-join arithmetic, join shape
+# covered by q05/q10) — all three hold green r02 rows on
+# per-entry-unchanged code.
 PRIMARY_ORDER: tuple[str, ...] = (
-    # §2.2 reference surface (9 in-window; q02/q03/q07/q09/q11/q12/q13/q15/
-    # q18 rotated out on green union rows, all code-unchanged)
+    # §2.2 reference surface (8 in-window; q02/q03/q07/q09/q11/q12/q13/
+    # q14/q15/q18 rotated out on green union rows, all code-unchanged)
     "q01_count_per_key",
     "q04_smoothed_avg",
     "q05_domain_completion",
     "q06_distinct_pairs",
     "q08_having_count_distinct",
     "q10_join_chain",
-    "q14_keyed_sqdiff",
     "q16_heroic_iterative",
     "q17_top_k",
     # §2.4 engine-scope representatives (12)
     "olap_asof_join",
     "olap_semi_join",
     "olap_grouping_sets",
-    "olap_pivot",
+    "olap_table_profile",
     "olap_window_topk_per_group",
     "olap_window_time_range",
     "olap_month_json",
@@ -96,7 +105,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "olap_salted_join",
     "olap_apply_in_pandas_longest_run",
     "olap_sessionization",
-    # LLM-data-pipeline tier (22)
+    # LLM-data-pipeline tier (23)
     "text_quality_score",
     "llm_quality_filters",
     "llm_line_dedup",
@@ -116,8 +125,9 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_pii_redact",
     "llm_unigram_logprob",
     "llm_embed_quantize_int8",
+    "llm_apply_mix",
     "sim_bruteforce_topk",
-    "multimodal_features",
+    "multimodal_image_decode",
     "multimodal_audio_decode",
     # streaming tier (7)
     "stream_tumbling_counts",
@@ -134,9 +144,9 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
-    "llm_apply_mix",
-    "multimodal_image_decode",
-    "olap_table_profile",
+    "q14_keyed_sqdiff",
+    "olap_pivot",
+    "multimodal_features",
     "q03_global_argmax",
     "q13_sum_affine",
     "q15_global_mean",

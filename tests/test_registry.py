@@ -52,7 +52,7 @@ def test_primary_window():
     # q12/q13/q15/q18 hold green r01/r02 rows on per-entry-unchanged code;
     # each overlaps a remaining windowed entry — see PRIMARY_ORDER's
     # rotation notes)
-    rotated_out = {2, 3, 7, 9, 11, 12, 13, 15, 18}
+    rotated_out = {2, 3, 7, 9, 11, 12, 13, 14, 15, 18}
     assert {f"q{i:02d}" for i in range(1, 19) if i not in rotated_out} <= {
         n[:3] for n in window
     }
@@ -62,9 +62,10 @@ def test_primary_window():
         "dedup_embedding_cosine", "dedup_components", "sim_bruteforce_topk",
         "llm_chunk_fixed", "llm_chunk_tokens", "llm_url_canonical_dedup",
         "llm_pii_redact", "llm_unigram_logprob", "llm_embed_quantize_int8",
-        "multimodal_features", "multimodal_audio_decode", "llm_quality_filters",
+        "multimodal_audio_decode", "llm_quality_filters",
         "llm_line_dedup", "llm_shard_assign", "llm_mix_weights",
         "llm_pack_sequences", "llm_embed_dim_stats", "olap_window_time_range",
+        "llm_apply_mix", "multimodal_image_decode", "olap_table_profile",
         "text_quality_score", "stream_late_data_drop",
         "olap_sessionization",
     } <= window
