@@ -82,8 +82,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # covered by q05/q10) — all three hold green r02 rows on
 # per-entry-unchanged code.
 PRIMARY_ORDER: tuple[str, ...] = (
-    # §2.2 reference surface (8 in-window; q02/q03/q07/q09/q11/q12/q13/
-    # q14/q15/q18 rotated out on green union rows, all code-unchanged)
+    # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
+    # q14/q15/q18 rotated out on green union rows, all code-unchanged;
+    # q17_top_k rotated out late in r3 — green r01+r02 on unchanged code,
+    # TakeOrderedAndProject plan-pinned, overlaps olap_window_topk_per_group
+    # — displaced by the new olap_partition_pruned_scan, which has no
+    # driver row yet)
     "q01_count_per_key",
     "q04_smoothed_avg",
     "q05_domain_completion",
@@ -91,8 +95,8 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "q08_having_count_distinct",
     "q10_join_chain",
     "q16_heroic_iterative",
-    "q17_top_k",
-    # §2.4 engine-scope representatives (12)
+    # §2.4 engine-scope representatives (13)
+    "olap_partition_pruned_scan",
     "olap_asof_join",
     "olap_semi_join",
     "olap_grouping_sets",
@@ -144,6 +148,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "q17_top_k",
     "q14_keyed_sqdiff",
     "olap_pivot",
     "multimodal_features",

@@ -898,3 +898,50 @@ def table_profile(spark: SparkSession, sf: str) -> DataFrame:
     from big_data_player_analysis_spark.operators.profiling import profile_table
 
     return profile_table(t(spark, sf, "lineitem"), PROFILE_COLUMNS)
+
+
+# --------------------------------------------- partitioned layout / pruning
+
+
+@query(
+    "olap_partition_pruned_scan",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           min(event_id) AS first_event,
+           max(event_id) AS last_event
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY event_type
+    """,
+    tags=("olap", "layout", "pruning"),
+)
+def partition_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
+    """Data skipping via hive-partitioned layout: events re-materialized
+    ``partitionBy(event_type)`` (sources/formats.py:ensure_partitioned_layout),
+    then the ``event_type = 'purchase'`` predicate resolves against
+    directory names at planning time — PartitionFilters, NOT a row filter:
+    the other four event types contribute zero scanned bytes. At 100 TB
+    this is the first-order scan lever (a date- or source-partitioned lake
+    reads only the matching partitions, no index needed). Plan pinned in
+    tests/test_plans.py::test_partition_pruned_scan_skips_data. The oracle
+    runs the same aggregate on the unpartitioned table — layout must never
+    change query results."""
+    from big_data_player_analysis_spark.sources.formats import (
+        ensure_partitioned_layout,
+        read_table,
+    )
+
+    path = ensure_partitioned_layout(spark, sf, "events", ["event_type"])
+    ev = read_table(spark, path)
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+    )

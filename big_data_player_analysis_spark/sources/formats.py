@@ -16,6 +16,9 @@ engine materializes itself.
 
 from __future__ import annotations
 
+import os
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -68,3 +71,31 @@ def write_table(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.options(**options).format(fmt).save(path)
+
+
+def ensure_partitioned_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    partition_cols: list[str],
+    root: str = "/tmp/bdpa_layout",
+) -> str:
+    """Materialize (once per sf_dir) a hive-partitioned copy of a testdata
+    table and return its path. Directory partitioning is the first-order
+    data-skipping lever at 100 TB: a predicate on the partition column is
+    resolved against directory names during planning (PartitionFilters),
+    so non-matching partitions contribute zero scanned bytes — no index,
+    no stats, no per-file footer reads. The ``_SUCCESS`` marker written by
+    the committer gates re-materialization, so repeated queries (bench
+    loops, the driver's oracle sweep) pay the write exactly once."""
+    from big_data_player_analysis_spark.catalog import load_table
+
+    tag = re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
+    path = os.path.join(root, tag, f"{table}_by_{'_'.join(partition_cols)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        # catalog loader, not a raw parquet read: the events table carries a
+        # TIMESTAMP(NANOS) ts column that must be normalized on ingest so
+        # the re-materialized layout holds a standard microsecond timestamp
+        df = load_table(spark, sf_dir, table)
+        write_table(df, path, partition_by=partition_cols)
+    return path

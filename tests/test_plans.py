@@ -195,3 +195,56 @@ def test_image_decode_is_narrow(spark, specs):
     Exchange: payload bytes never shuffle."""
     p = plan_str(specs["multimodal_image_decode"].fn(spark, SF))
     assert "Exchange" not in p
+
+
+def test_partition_pruned_scan_skips_data(spark, specs):
+    """The event_type predicate must resolve against partition directories
+    (PartitionFilters) — not as a row filter over scanned data. ReadSchema
+    excluding event_type proves the column is never read from data pages:
+    non-matching partitions contribute zero scanned bytes at any scale."""
+    p = plan_str(specs["olap_partition_pruned_scan"].fn(spark, SF))
+    scan = p.split("PartitionFilters", 1)
+    assert len(scan) == 2, p
+    assert "= purchase)" in scan[1].splitlines()[0]
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint>" in p
+    # partial aggregation before each exchange (count-distinct rewrite)
+    assert "partial_count" in p
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """Runtime (bloom) filter injection: a selective dim-side predicate is
+    turned into a bloom filter built on the dim side and applied to the
+    fact scan BEFORE its shuffle — at 100 TB this cuts the shuffled fact
+    bytes by the join selectivity without any manual semi-join. Thresholds
+    are lowered because the test tables are tiny; on a real cluster the
+    defaults (10 MB creation side / 10 GB application side) gate it to
+    exactly the join shapes where it pays."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the shuffle join shape
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        p = plan_str(j)
+        assert "might_contain" in p, p
+        assert "bloom_filter_agg" in p
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -49,10 +49,10 @@ def test_primary_window():
     assert names[:50] == list(PRIMARY_ORDER)
     window = set(PRIMARY_ORDER)
     # reference surface minus the rotated-out twins (q02/q03/q07/q09/q11/
-    # q12/q13/q15/q18 hold green r01/r02 rows on per-entry-unchanged code;
-    # each overlaps a remaining windowed entry — see PRIMARY_ORDER's
+    # q12/q13/q15/q17/q18 hold green r01/r02 rows on per-entry-unchanged
+    # code; each overlaps a remaining windowed entry — see PRIMARY_ORDER's
     # rotation notes)
-    rotated_out = {2, 3, 7, 9, 11, 12, 13, 14, 15, 18}
+    rotated_out = {2, 3, 7, 9, 11, 12, 13, 14, 15, 17, 18}
     assert {f"q{i:02d}" for i in range(1, 19) if i not in rotated_out} <= {
         n[:3] for n in window
     }
@@ -67,7 +67,7 @@ def test_primary_window():
         "llm_pack_sequences", "llm_embed_dim_stats", "olap_window_time_range",
         "llm_apply_mix", "multimodal_image_decode", "olap_table_profile",
         "text_quality_score", "stream_late_data_drop",
-        "olap_sessionization",
+        "olap_sessionization", "olap_partition_pruned_scan",
     } <= window
 
 
