@@ -48,19 +48,13 @@ HEADLINE = [
 ]
 
 
-def run_one(spark, spec, sf_dir: str) -> list[float]:
-    """Two timed end-to-end runs (plan build + full execution via noop
-    sink). The reported number is the min of the two: a one-off GC pause /
-    compaction hiccup in a long driver session fabricated an 8x phantom
-    regression in the round-2 record; min-of-two bounds that noise while
-    both raw runs stay in the JSON for auditability."""
-    times = []
-    for _ in range(2):
-        t0 = time.time()
-        df = spec.fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        times.append(round(time.time() - t0, 3))
-    return times
+def run_one(spark, spec, sf_dir: str) -> float:
+    """One timed end-to-end run (plan build + full execution via noop
+    sink)."""
+    t0 = time.time()
+    df = spec.fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
 
 
 def main() -> None:
@@ -104,11 +98,21 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
-    runs: dict[str, list[float]] = {}
-    for name in names:
-        runs[name] = run_one(spark, specs[name], sf_dir)
-        timings[name] = min(runs[name])
+    # Two INTERLEAVED full-suite passes; report the per-query min across
+    # passes (both raw numbers stay in "runs" for auditability). Round 2's
+    # back-to-back min-of-two wasn't enough: this host's external load
+    # bursts last tens of seconds, long enough to cover both consecutive
+    # runs of one query and fabricate an 8-10x phantom regression for it
+    # (observed twice: dedup_simhash 36.9s r2 record vs 4.1s clean;
+    # dedup_minhash_lsh 11.4s vs 1.2s across two clean sessions minutes
+    # apart). Interleaving puts the whole suite (~20-60 s) between the two
+    # timings of any single query, so a burst lands on different queries
+    # in each pass and the min recovers the uncontended cost.
+    runs: dict[str, list[float]] = {name: [] for name in names}
+    for _pass in range(2):
+        for name in names:
+            runs[name].append(run_one(spark, specs[name], sf_dir))
+    timings = {name: min(ts) for name, ts in runs.items()}
 
     total = round(sum(timings.values()), 3)
     print(
