@@ -39,11 +39,22 @@ _STATE_SCHEMA = T.StructType(
 
 
 def dedup_stream_by_id(events: DataFrame, watermark: str = DEDUP_WATERMARK) -> DataFrame:
-    """First-arrival dedup on event_id. In streaming mode the watermark
-    bounds how long an id is remembered (late duplicates beyond it pass
-    through — the standard at-least-once-to-exactly-once tradeoff)."""
+    """First-arrival dedup on event_id with BOUNDED state.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``): with a
+    plain ``dropDuplicates(["event_id"])`` the state store never evicts —
+    eviction only happens when the event-time column is part of the dedup
+    key subset, so a dedup keyed on id alone grows one state row per
+    distinct id forever, an OOM on an unbounded stream. The
+    WithinWatermark variant keys state on id alone but expires each entry
+    once the watermark passes its event time: duplicates arriving within
+    the horizon are dropped, ids are forgotten after it — the standard
+    bounded-state/exactly-once tradeoff, with state O(ids per horizon)
+    instead of O(ids ever seen)."""
     if events.isStreaming:
-        return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
     return events.dropDuplicates(["event_id"])
 
 
