@@ -222,3 +222,23 @@ def char_shingles(text: Column, k: int) -> Column:
         return F.when(n >= 1, shingles).otherwise(F.array().cast("array<string>"))
 
     return F.transform(F.array(normalize_text(text)), shingles_of)[0]
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams of the normalized text as an array of space-joined
+    strings (empty array when the document has fewer than n tokens).
+    Pure built-in expressions: the token array is let-bound through a
+    1-element array + transform (same trick as top_bigram_share) so the
+    text is normalized and split exactly once per row."""
+
+    def grams_of(toks: Column) -> Column:
+        m = F.size(toks)
+        grams = F.transform(
+            F.sequence(F.lit(1), m - n + 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        )
+        return F.when(m >= n, grams).otherwise(F.array().cast("array<string>"))
+
+    return F.transform(F.array(ws_tokens_norm(text)), grams_of)[0]

@@ -1449,3 +1449,44 @@ def pack_sequences_q(spark: SparkSession, sf: str) -> DataFrame:
         ).cast("long").alias("nt"),
     )
     return pack_sequences(with_nt, "doc_id", "nt")
+
+
+# ------------------------------------------------ corpus heavy hitters
+
+TOP_NGRAMS_K = 20
+
+SQL_TOP_NGRAMS = f"""
+WITH d AS (SELECT {SQL_NORM} AS norm FROM documents),
+tk AS (SELECT string_split(norm, ' ') AS toks FROM d),
+g AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM tk WHERE len(toks) >= 2)
+SELECT gram, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY gram
+ORDER BY n DESC, gram
+LIMIT {TOP_NGRAMS_K}
+"""
+
+
+@query("llm_top_ngrams", sql=SQL_TOP_NGRAMS, tags=("llm", "text", "heavy_hitters"))
+def top_ngrams_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level heavy hitters: the K most frequent word bigrams across
+    all documents — the standard curation diagnostic for boilerplate and
+    template contamination (a handful of n-grams dominating the corpus
+    signals scraped chrome, licence headers, navigation text). Scale
+    shape: explode -> hash aggregate gets map-side partial_count (the
+    exchange carries one row per distinct gram per partition, not one per
+    occurrence) and the final top-K is TakeOrderedAndProject — no global
+    sort. Ties are totally ordered (count desc, gram asc) so the K-row
+    cut is deterministic and engine-portable."""
+    from big_data_player_analysis_spark.functions.text import word_ngrams
+
+    docs = t(spark, sf, "documents")
+    grams = docs.select(F.explode(word_ngrams(F.col("text"), 2)).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(TOP_NGRAMS_K)
+    )

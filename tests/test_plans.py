@@ -248,3 +248,13 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_top_ngrams_partial_agg_and_ordered_limit(spark, specs):
+    """Heavy-hitter extraction must combine map-side (the exchange carries
+    distinct grams, not occurrences) and take the K rows via
+    TakeOrderedAndProject, never a global sort of all distinct grams."""
+    p = plan_str(specs["llm_top_ngrams"].fn(spark, SF))
+    assert "partial_count" in p
+    assert "TakeOrderedAndProject" in p
+    assert "Sort [" not in p  # no global sort stage
