@@ -22,6 +22,7 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 from big_data_player_analysis_spark.catalog import load_table
+from big_data_player_analysis_spark.functions.text import word_ngrams
 from big_data_player_analysis_spark.functions.urls import canonicalize_url
 from big_data_player_analysis_spark.multimodal import (
     attach_wav_payload,
@@ -163,6 +164,13 @@ def probe_set(docs, emb):
             "nt",
         ),
         "llm_apply_mix": lambda: apply_mix(docs, "doc_id", "source", "text"),
+        "llm_top_ngrams": lambda: docs.select(
+            F.explode(word_ngrams(F.col("text"), 2)).alias("gram")
+        )
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(20),
         "llm_url_canonical_dedup": lambda: url_dedup(docs),
         "multimodal_audio_decode": lambda: decode_audio_features(
             attach_wav_payload(docs, "doc_id")
@@ -246,11 +254,21 @@ def main():
             indent=1,
         )
 
+    # The table always shows EVERY scale present in the merged results,
+    # not just this invocation's --scales: a partial invocation (run to
+    # fill one new operator or one scale while the host is contended)
+    # must never drop the other columns from the committed record.
+    all_scales = sorted({int(s) for per in results.values() for s in per})
+    base_rows = rows.get(all_scales[0], 5000 * all_scales[0])
+
+    def cell(per: dict, s: int) -> str:
+        return f"{per[s]}s" if s in per else "—"
+
     loadavg = open("/proc/loadavg").read().split()[:3]
     lines = [
         "# SCALE — wall seconds per operator at synthetic corpus scales",
         "",
-        f"Base: sf0.1 documents ({rows[scales[0]]} rows at 1x), local[32].",
+        f"Base: sf0.1 documents ({base_rows} rows at 1x), local[32].",
         "Composed-text copies: no planted near-dups (workload size grows,",
         "semantics do not). Near-linear growth across the row = the",
         "candidate-generation design holds; quadratic would explode at 16x.",
@@ -259,12 +277,15 @@ def main():
         "inflate wall times up to 6x; the min across repeats estimates the",
         f"uncontended cost; load average at last probe: {' '.join(loadavg)}).",
         "",
-        "| operator | " + " | ".join(f"{s}x ({rows[s]} rows)" for s in scales) + " |",
-        "|---|" + "---|" * len(scales),
+        "| operator | "
+        + " | ".join(f"{s}x ({rows.get(s, 5000 * s)} rows)" for s in all_scales)
+        + " |",
+        "|---|" + "---|" * len(all_scales),
     ]
     for name, per in results.items():
+        per = {int(s): v for s, v in per.items()}
         lines.append(
-            f"| {name} | " + " | ".join(f"{per[s]}s" for s in scales) + " |"
+            f"| {name} | " + " | ".join(cell(per, s) for s in all_scales) + " |"
         )
     text = "\n".join(lines) + "\n"
     with open("/root/repo/SCALE.md", "w") as f:
