@@ -109,8 +109,11 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "olap_salted_join",
     "olap_apply_in_pandas_longest_run",
     "olap_sessionization",
-    # LLM-data-pipeline tier (23)
-    "text_quality_score",
+    # LLM-data-pipeline tier (23; text_quality_score rotated out late in
+    # r3 — green r01+r02 on unchanged code, overlaps llm_quality_filters'
+    # text-quality built-ins — displaced by the new llm_top_ngrams, which
+    # has no driver row yet)
+    "llm_top_ngrams",
     "llm_quality_filters",
     "llm_line_dedup",
     "llm_shard_assign",
@@ -149,6 +152,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
     "q17_top_k",
+    "text_quality_score",
     "q14_keyed_sqdiff",
     "olap_pivot",
     "multimodal_features",

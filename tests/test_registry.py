@@ -66,7 +66,7 @@ def test_primary_window():
         "llm_line_dedup", "llm_shard_assign", "llm_mix_weights",
         "llm_pack_sequences", "llm_embed_dim_stats", "olap_window_time_range",
         "llm_apply_mix", "multimodal_image_decode", "olap_table_profile",
-        "text_quality_score", "stream_late_data_drop",
+        "llm_top_ngrams", "stream_late_data_drop",
         "olap_sessionization", "olap_partition_pruned_scan",
     } <= window
 
