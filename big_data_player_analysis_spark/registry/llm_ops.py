@@ -1469,7 +1469,7 @@ LIMIT {TOP_NGRAMS_K}
 """
 
 
-@query("llm_top_ngrams", sql=SQL_TOP_NGRAMS, tags=("llm", "text", "heavy_hitters"))
+@query("llm_top_ngrams", sql=SQL_TOP_NGRAMS, tags=("llm", "text", "heavy_hitters", "bench"))
 def top_ngrams_q(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-level heavy hitters: the K most frequent word bigrams across
     all documents — the standard curation diagnostic for boilerplate and
