@@ -57,3 +57,27 @@ def test_partitioned_write_prunes(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         back.explain("formatted")
     assert "PartitionFilters: [isnotnull(event_type" in buf.getvalue()
+
+
+def test_partitioned_layout_materializes_once(spark, tmp_path):
+    """ensure_partitioned_layout writes the layout on first call and
+    reuses it (same path, no rewrite) afterwards — repeated queries must
+    not pay the write again."""
+    import os
+    from pathlib import Path
+
+    from big_data_player_analysis_spark.sources.formats import (
+        ensure_partitioned_layout,
+    )
+
+    root = str(tmp_path / "layout_root")
+    p1 = ensure_partitioned_layout(
+        spark, "/root/testdata/sf0.001", "events", ["event_type"], root=root
+    )
+    assert os.path.exists(os.path.join(p1, "_SUCCESS"))
+    mtime = Path(p1, "_SUCCESS").stat().st_mtime_ns
+    p2 = ensure_partitioned_layout(
+        spark, "/root/testdata/sf0.001", "events", ["event_type"], root=root
+    )
+    assert p2 == p1
+    assert Path(p1, "_SUCCESS").stat().st_mtime_ns == mtime  # untouched
