@@ -7,9 +7,11 @@ queryable without touching bytes). Decode/feature-extraction runs as an
 Arrow-batched ``mapInPandas`` operator: one Python process per partition,
 whole column batches across the boundary, no per-row pickling.
 
-Two decode paths are REAL: audio (stdlib ``wave`` over RIFF/WAVE
-payloads) and images (numpy over 24-bit uncompressed BMP, parsed from the
-public spec). Video decode remains a documented stub
+Three decode paths are REAL: audio (stdlib ``wave`` over RIFF/WAVE
+payloads), uncompressed images (numpy over 24-bit BMP, parsed from the
+public spec), and COMPRESSED images (PNG — stdlib zlib inflate + RFC 2083
+per-scanline unfiltering with CRC-checked chunk parsing, no imaging
+library). Video decode remains a documented stub
 (``decode_image``/ffmpeg-class codecs are not in this container);
 ``decode_features`` keeps the deterministic pseudo-feature path for the
 generic opaque-binary case. Everything around the stub — schema, binary
@@ -265,6 +267,201 @@ def attach_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
         return ids.map(lambda i: synth_bmp_payload(int(i)))
 
     return df.select(F.col(id_col).alias("doc_id"), _synth(id_col).alias("payload"))
+
+
+# ------------------------------------------------------ real PNG decode
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+PNG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("mean_r", T.DoubleType(), False),
+        T.StructField("mean_g", T.DoubleType(), False),
+        T.StructField("mean_b", T.DoubleType(), False),
+    ]
+)
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (RFC 2083 §6.6): the neighbor (left, up,
+    up-left) closest to left + up - upleft, ties broken left, up, upleft."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def synth_png_payload(doc_id: int) -> bytes:
+    """A REAL PNG (RFC 2083): signature, IHDR (8-bit RGB, color type 2),
+    one zlib-compressed IDAT, IEND — with per-chunk CRC32s. Scanline y is
+    encoded with filter type y % 5, so the full filter set (None, Sub, Up,
+    Average, Paeth) is exercised and the decoder must genuinely unfilter
+    to recover the pixels. Pixel values are the same closed form as the
+    BMP path (R constant, G = y, B = x), so the decoded features have an
+    exact ANSI-SQL oracle while the bytes round-trip a genuinely
+    COMPRESSED container format."""
+    import struct
+    import zlib
+
+    w, h, red = _bmp_params(doc_id)
+    bpp = 3
+    raw_rows = []
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes((red, y, x))
+        raw_rows.append(bytes(row))
+
+    out = bytearray()
+    prior = bytes(bpp * w)
+    for y, raw in enumerate(raw_rows):
+        ftype = y % 5
+        filt = bytearray()
+        for i in range(len(raw)):
+            left = raw[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            upleft = prior[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                v = raw[i]
+            elif ftype == 1:
+                v = raw[i] - left
+            elif ftype == 2:
+                v = raw[i] - up
+            elif ftype == 3:
+                v = raw[i] - (left + up) // 2
+            else:
+                v = raw[i] - _paeth(left, up, upleft)
+            filt.append(v & 0xFF)
+        out += bytes((ftype,)) + bytes(filt)
+        prior = raw
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(out)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def attach_png_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """Simulate image ingestion: one PNG payload per row, synthesized
+    deterministically from the id (Arrow pandas_udf, batch-at-a-time)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_png_payload(int(i)))
+
+    return df.select(F.col(id_col).alias("doc_id"), _synth(id_col).alias("payload"))
+
+
+def decode_png_features(media: DataFrame) -> DataFrame:
+    """REAL compressed-image decode via mapInPandas, no imaging library:
+    chunk walk with CRC32 verification, IHDR geometry parse, zlib inflate
+    of the concatenated IDAT stream, and per-scanline UNFILTERING (all
+    five RFC 2083 filters — None/Sub/Up/Average/Paeth) before reducing the
+    RGB matrix to geometry + per-channel means. Covers the part BMP's raw
+    array cannot: a genuinely compressed, predictively-filtered container.
+    Scale shape: narrow per-partition map, Arrow-batched; payload bytes
+    never shuffle (plan-pinned like the audio/BMP paths). Only 8-bit
+    truecolor (type 2, non-interlaced) is supported — other color types
+    raise rather than mis-decode."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_r": [], "mean_g": [], "mean_b": [],
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload[:8] != PNG_SIG:
+                    raise ValueError(f"doc {did}: not a PNG payload")
+                pos, ihdr, idat = 8, None, bytearray()
+                while pos < len(payload):
+                    (clen,) = struct.unpack_from(">I", payload, pos)
+                    ctype = payload[pos + 4 : pos + 8]
+                    data = payload[pos + 8 : pos + 8 + clen]
+                    (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+                    if crc != zlib.crc32(ctype + data):
+                        raise ValueError(f"doc {did}: CRC mismatch in {ctype!r}")
+                    if ctype == b"IHDR":
+                        ihdr = struct.unpack(">IIBBBBB", data)
+                    elif ctype == b"IDAT":
+                        idat += data
+                    elif ctype == b"IEND":
+                        break
+                    pos += 12 + clen
+                if ihdr is None:
+                    raise ValueError(f"doc {did}: missing IHDR")
+                w, h, depth, ctype_n, comp, filt, interlace = ihdr
+                if (depth, ctype_n, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                    raise ValueError(
+                        f"doc {did}: unsupported PNG layout {ihdr} "
+                        "(only 8-bit truecolor, non-interlaced)"
+                    )
+                stream = zlib.decompress(bytes(idat))
+                bpp, rowlen = 3, 3 * w
+                if len(stream) != h * (rowlen + 1):
+                    raise ValueError(f"doc {did}: bad IDAT length")
+                pix = np.empty((h, rowlen), dtype=np.uint8)
+                prior = np.zeros(rowlen, dtype=np.int64)
+                for y in range(h):
+                    ftype = stream[y * (rowlen + 1)]
+                    line = np.frombuffer(
+                        stream, dtype=np.uint8,
+                        count=rowlen, offset=y * (rowlen + 1) + 1,
+                    ).astype(np.int64)
+                    raw = np.empty(rowlen, dtype=np.int64)
+                    if ftype == 0:
+                        raw = line
+                    elif ftype == 2:
+                        raw = (line + prior) & 0xFF
+                    else:
+                        # Sub/Average/Paeth need the just-reconstructed
+                        # left neighbor: sequential per byte within the row
+                        for i in range(rowlen):
+                            left = raw[i - bpp] if i >= bpp else 0
+                            up = prior[i]
+                            upleft = prior[i - bpp] if i >= bpp else 0
+                            if ftype == 1:
+                                v = line[i] + left
+                            elif ftype == 3:
+                                v = line[i] + (left + up) // 2
+                            elif ftype == 4:
+                                v = line[i] + _paeth(int(left), int(up), int(upleft))
+                            else:
+                                raise ValueError(f"doc {did}: bad filter {ftype}")
+                            raw[i] = v & 0xFF
+                    pix[y] = raw.astype(np.uint8)
+                    prior = raw
+                rgb = pix.reshape(h, w, 3).astype(np.float64)
+                rows["doc_id"].append(int(did))
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+                rows["mean_r"].append(round(float(rgb[:, :, 0].mean()), 6))
+                rows["mean_g"].append(round(float(rgb[:, :, 1].mean()), 6))
+                rows["mean_b"].append(round(float(rgb[:, :, 2].mean()), 6))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, PNG_FEATURE_SCHEMA)
 
 
 def decode_bmp_features(media: DataFrame) -> DataFrame:

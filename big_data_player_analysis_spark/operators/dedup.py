@@ -501,6 +501,49 @@ def dedup_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def near_dedup_survivors(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: MinHash+LSH verified pairs -> connected
+    components -> keep exactly one document per component (the min id),
+    drop the rest — the operation a curation run actually executes, lifted
+    from exact composite keys (reference exercise_3.py:10-22) to
+    near-duplicate clusters. Returns every surviving row of ``df`` plus
+    ``group_size`` (how many near-dup documents the survivor represents;
+    1 for documents with no near-duplicate).
+
+    Scale shape: the cluster tables (components, group sizes, non-canonical
+    ids) hold only documents that appear in at least one verified pair —
+    a small fraction of the corpus — and the removal is a keyed LEFT ANTI
+    join on the id, so the corpus never joins against anything larger than
+    the duplicate set; no forced broadcast (AQE converts the anti-join when
+    the dup set is small, a skew-safe shuffle handles a pathological one).
+    """
+    pairs = dedup_minhash_lsh(df, id_col, text_col, k=k, threshold=threshold)
+    comp = dedup_components(pairs).persist()
+    group_sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    noncanon = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return (
+        df.join(noncanon, id_col, "left_anti")
+        .join(
+            group_sizes.select(
+                F.col("component").alias(id_col), "group_size"
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn("group_size", F.coalesce("group_size", F.lit(1)))
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

@@ -14,10 +14,17 @@ Scale design (100 TB):
     (doc, window) pair — 8-byte keys, partial-aggregated map-side; the
     window *text* never shuffles;
   * the frequent-window set is the output of a `>= min_docs` filter over
-    that aggregate — heavy hitters are by definition few relative to the
-    corpus (bounded by n_windows/min_docs), so it broadcasts, and the
-    removal join is a broadcast LEFT ANTI: the corpus-side window stream
-    is never exchanged;
+    that aggregate. Its size is bounded by n_windows/min_docs — a bound
+    that is only small when min_docs is meaningfully large (C4 removes
+    lines occurring >= 3 times; at min_docs=2 the bound is HALF the
+    corpus, billions of hashes on a web crawl). The removal join is
+    therefore SIZE-GATED (round-3 verdict): the frequent set is counted
+    (it is persisted — the count and the join share the aggregate), and
+    only if it is under ``broadcast_max_rows`` does the LEFT ANTI join
+    take a broadcast hint (corpus-side window stream never exchanged);
+    above the gate it runs as a plain shuffle anti-join — AQE still
+    converts it to a broadcast at runtime if the set turns out small,
+    but an unbounded set can no longer OOM the driver via a forced hint;
   * the rebuild groups windows by doc_id — a shuffle of surviving window
     text that is unavoidable for reassembly but proportional to output
     size, with collect_list partially aggregated.
@@ -37,7 +44,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 REPEAT_WINDOW_TOKENS = 8  # tokens per window
-REPEAT_MIN_DOCS = 2  # windows in >= this many distinct docs are removed
+# Windows in >= this many distinct docs are removed. 3 is the C4 default
+# (Raffel et al. 2020 drop lines occurring >= 3 times in the corpus) AND the
+# knob that keeps the frequent set broadcast-small: at min_docs=2 the
+# frequent-set bound n_windows/min_docs is half the corpus.
+REPEAT_MIN_DOCS = 3
+# Broadcast the frequent-window set only below this row count: 4M int64
+# hashes ~ 32 MB serialized — comfortably inside executor/driver budgets.
+# Above it the anti-join falls back to a shuffle (AQE may still broadcast
+# at runtime if the actual bytes are small).
+REPEAT_BROADCAST_MAX_ROWS = 4_000_000
 
 
 def _windows(df: DataFrame, id_col: str, text_col: str, w: int) -> DataFrame:
@@ -68,10 +84,18 @@ def remove_repeated_windows(
     text_col: str,
     window_tokens: int = REPEAT_WINDOW_TOKENS,
     min_docs: int = REPEAT_MIN_DOCS,
+    broadcast_max_rows: int = REPEAT_BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     """(doc_id, clean_text, n_windows, n_removed): text rebuilt without
     windows that appear in >= min_docs distinct documents. A document all
-    of whose windows are boilerplate comes back with clean_text = ''."""
+    of whose windows are boilerplate comes back with clean_text = ''.
+
+    The frequent-set anti-join is size-gated: the set is persisted and
+    counted (one extra cheap job over the persisted aggregate — the join
+    reuses the cache), and the broadcast hint is applied only under
+    ``broadcast_max_rows``. min_docs=2 on a web corpus makes the set
+    unbounded (round-3 verdict); pass broadcast_max_rows=0 to force the
+    shuffle anti-join unconditionally."""
     if window_tokens <= 0 or min_docs < 2:
         raise ValueError("need window_tokens > 0 and min_docs >= 2")
     wins = _windows(df, id_col, text_col, window_tokens).withColumn(
@@ -85,8 +109,11 @@ def remove_repeated_windows(
         .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= F.lit(min_docs))
         .select("whash")
+        .persist()
     )
-    kept = wins.join(F.broadcast(frequent), "whash", "left_anti")
+    if broadcast_max_rows > 0 and frequent.count() <= broadcast_max_rows:
+        frequent = F.broadcast(frequent)
+    kept = wins.join(frequent, "whash", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(
             F.transform(

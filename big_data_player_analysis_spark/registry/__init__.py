@@ -81,6 +81,21 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # image), and q14_keyed_sqdiff (keyed self-join arithmetic, join shape
 # covered by q05/q10) — all three hold green r02 rows on
 # per-entry-unchanged code.
+#
+# Round-4 rotation: two new entries need rows —
+#   * llm_near_dedup_survivors (the end-to-end pairs -> components ->
+#     keep-one composition, round-3 verdict gap #1) displaces
+#     dedup_ngram_jaccard: green r03 on unchanged code, and it overlaps
+#     dedup_minhash_lsh maximally (identical oracle SQL_JACCARD and the
+#     shared _verify_jaccard stage — minhash keeps both exercised);
+#   * multimodal_png_decode (REAL zlib inflate + per-scanline unfilter —
+#     the compressed-format image path) displaces multimodal_image_decode
+#     (BMP): green r03 on unchanged code, same decode-pipeline shape
+#     (synth pandas_udf -> mapInPandas parse), PNG strictly supersets the
+#     plumbing it pins while BMP keeps the local oracle gate.
+# Changed-in-round-4 entries already in-window (gate/annotation fixes):
+# llm_line_dedup (min_docs 2->3 + size-gated broadcast) and
+# llm_pack_sequences (explicit n_groups pin + real annotations).
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -121,7 +136,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_pack_sequences",
     "llm_embed_dim_stats",
     "dedup_exact",
-    "dedup_ngram_jaccard",
+    "llm_near_dedup_survivors",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
@@ -134,7 +149,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_embed_quantize_int8",
     "llm_apply_mix",
     "sim_bruteforce_topk",
-    "multimodal_image_decode",
+    "multimodal_png_decode",
     "multimodal_audio_decode",
     # streaming tier (7)
     "stream_tumbling_counts",
@@ -151,6 +166,8 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "dedup_ngram_jaccard",
+    "multimodal_image_decode",
     "q17_top_k",
     "text_quality_score",
     "q14_keyed_sqdiff",

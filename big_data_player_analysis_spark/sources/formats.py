@@ -73,6 +73,27 @@ def write_table(
     writer.options(**options).format(fmt).save(path)
 
 
+def _source_fingerprint(path: str) -> str:
+    """Cheap content fingerprint of a source parquet file/dir: the sorted
+    (name, size, mtime_ns) triples of its files. Regenerated testdata gets
+    a new fingerprint, so a cached layout keyed on it can never silently
+    serve stale rows (round-3 ADVICE)."""
+    import hashlib
+
+    entries = []
+    if os.path.isdir(path):
+        for dirpath, _dirnames, filenames in os.walk(path):
+            for fn in filenames:
+                st = os.stat(os.path.join(dirpath, fn))
+                rel = os.path.relpath(os.path.join(dirpath, fn), path)
+                entries.append((rel, st.st_size, st.st_mtime_ns))
+    else:
+        st = os.stat(path)
+        entries.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+    blob = repr(sorted(entries)).encode()
+    return hashlib.sha256(blob).hexdigest()[:12]
+
+
 def ensure_partitioned_layout(
     spark: SparkSession,
     sf_dir: str,
@@ -80,22 +101,40 @@ def ensure_partitioned_layout(
     partition_cols: list[str],
     root: str = "/tmp/bdpa_layout",
 ) -> str:
-    """Materialize (once per sf_dir) a hive-partitioned copy of a testdata
-    table and return its path. Directory partitioning is the first-order
-    data-skipping lever at 100 TB: a predicate on the partition column is
-    resolved against directory names during planning (PartitionFilters),
-    so non-matching partitions contribute zero scanned bytes — no index,
-    no stats, no per-file footer reads. The ``_SUCCESS`` marker written by
-    the committer gates re-materialization, so repeated queries (bench
-    loops, the driver's oracle sweep) pay the write exactly once."""
-    from big_data_player_analysis_spark.catalog import load_table
+    """Materialize (once per source-table CONTENT) a hive-partitioned copy
+    of a testdata table and return its path. Directory partitioning is the
+    first-order data-skipping lever at 100 TB: a predicate on the partition
+    column is resolved against directory names during planning
+    (PartitionFilters), so non-matching partitions contribute zero scanned
+    bytes — no index, no stats, no per-file footer reads.
+
+    Staleness + races (round-3 ADVICE): the layout path is keyed on a
+    fingerprint of the source files (name/size/mtime), so regenerated
+    testdata triggers re-materialization instead of silently serving stale
+    rows; the write goes to a process-unique temp dir that is atomically
+    renamed into place, so two concurrent first callers (bench + driver
+    sweep) can never interleave writes into the same directory — the loser
+    of the rename race just discards its copy."""
+    import shutil
+
+    from big_data_player_analysis_spark.catalog import load_table, table_path
 
     tag = re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
-    path = os.path.join(root, tag, f"{table}_by_{'_'.join(partition_cols)}")
+    fp = _source_fingerprint(table_path(sf_dir, table))
+    path = os.path.join(
+        root, tag, f"{table}_by_{'_'.join(partition_cols)}_{fp}"
+    )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         # catalog loader, not a raw parquet read: the events table carries a
         # TIMESTAMP(NANOS) ts column that must be normalized on ingest so
         # the re-materialized layout holds a standard microsecond timestamp
         df = load_table(spark, sf_dir, table)
-        write_table(df, path, partition_by=partition_cols)
+        tmp = f"{path}.tmp.{os.getpid()}"
+        write_table(df, tmp, partition_by=partition_cols)
+        try:
+            os.rename(tmp, path)
+        except OSError:
+            # concurrent materializer won the rename; its copy is complete
+            # (same fingerprint => same content)
+            shutil.rmtree(tmp, ignore_errors=True)
     return path

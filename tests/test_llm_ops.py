@@ -137,6 +137,38 @@ def test_simhash_signatures_narrow_and_dup_invariant(spark):
     assert "HashAggregate" not in plan
 
 
+def test_near_dedup_survivors_planted_groups(spark):
+    """End-to-end fuzzy dedup: planted near-dup groups must collapse to
+    exactly one survivor each (the min id), with group_size = cluster
+    size; unique docs survive with group_size 1."""
+    from big_data_player_analysis_spark.operators.dedup import near_dedup_survivors
+
+    base_a = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "quietly near the warm fireplace on a cold winter evening tonight"
+    )
+    base_b = (
+        "distributed query engines shuffle partitioned data across the "
+        "cluster network before aggregating grouped results into columnar "
+        "output files for downstream consumers"
+    )
+    rows = [
+        (10, base_a + " alpha"),
+        (11, base_a + " bravo"),
+        (12, base_a + " delta"),
+        (20, base_b + " one"),
+        (21, base_b + " two"),
+        (30, "a completely unrelated short document about gardening tips"),
+        (31, "another standalone text concerning medieval naval history"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.group_size
+        for r in near_dedup_survivors(df, "doc_id", "text").collect()
+    }
+    assert out == {10: 3, 20: 2, 30: 1, 31: 1}
+
+
 # ------------------------------------------------------------- embeddings
 
 
@@ -413,6 +445,58 @@ def test_bmp_decode_rejects_non_bmp(spark):
     df = spark.createDataFrame([(1, b"\x89PNG garbage")], "doc_id long, payload binary")
     with pytest.raises(Exception, match="not a BMP"):
         decode_bmp_features(df).collect()
+
+
+def test_png_decode_roundtrip(spark):
+    """Real PNG decode: decoded geometry + channel means must equal the
+    closed forms. The synth cycles filter types y % 5, so ids with h >= 5
+    (e.g. 3 -> h=5, 300 -> h=6) force the decoder through ALL five RFC
+    2083 filters including Average and Paeth."""
+    from big_data_player_analysis_spark.multimodal import (
+        _bmp_params,
+        attach_png_payload,
+        decode_png_features,
+    )
+
+    ids = (0, 1, 3, 9, 14, 300)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r.doc_id: r for r in decode_png_features(
+        attach_png_payload(df, "doc_id")
+    ).collect()}
+    assert any(_bmp_params(i)[1] >= 5 for i in ids)  # Paeth really exercised
+    for i in ids:
+        w, h, red = _bmp_params(i)
+        r = out[i]
+        assert (r.width, r.height) == (w, h)
+        assert r.mean_r == float(red)
+        assert r.mean_g == (h - 1) / 2
+        assert r.mean_b == (w - 1) / 2
+
+
+def test_png_decode_verifies_crc(spark):
+    """A flipped payload byte must surface as a CRC error, not silent
+    mis-decoded pixels."""
+    from big_data_player_analysis_spark.multimodal import (
+        decode_png_features,
+        synth_png_payload,
+    )
+
+    good = synth_png_payload(7)
+    bad = bytearray(good)
+    bad[40] ^= 0xFF  # inside IHDR/IDAT data, after the signature
+    df = spark.createDataFrame(
+        [(1, bytes(bad))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="CRC mismatch"):
+        decode_png_features(df).collect()
+
+
+def test_png_decode_rejects_non_png(spark):
+    from big_data_player_analysis_spark.multimodal import decode_png_features
+
+    df = spark.createDataFrame([(1, b"BM not a png")], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="not a PNG"):
+        decode_png_features(df).collect()
 
 
 # ---------------------------------------------------------- text functions

@@ -197,16 +197,36 @@ def test_image_decode_is_narrow(spark, specs):
     assert "Exchange" not in p
 
 
+def test_png_decode_is_narrow(spark, specs):
+    """PNG synth + inflate + unfilter is scan -> pandas_udf -> mapInPandas
+    with no Exchange: compressed payload bytes never shuffle."""
+    p = plan_str(specs["multimodal_png_decode"].fn(spark, SF))
+    assert "Exchange" not in p
+
+
+def test_near_dedup_survivors_keyed_anti_join_no_cross_product(spark, specs):
+    """The survivor materialization must stay a keyed anti/left join on the
+    id — no nested loop, no cartesian, and no forced broadcast of the
+    (potentially corpus-fraction-sized) non-canonical set."""
+    p = plan_str(specs["llm_near_dedup_survivors"].fn(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "LeftAnti" in p
+
+
 def test_partition_pruned_scan_skips_data(spark, specs):
     """The event_type predicate must resolve against partition directories
     (PartitionFilters) — not as a row filter over scanned data. ReadSchema
     excluding event_type proves the column is never read from data pages:
     non-matching partitions contribute zero scanned bytes at any scale."""
+    import re
+
     p = plan_str(specs["olap_partition_pruned_scan"].fn(spark, SF))
-    scan = p.split("PartitionFilters", 1)
-    assert len(scan) == 2, p
-    assert "= purchase)" in scan[1].splitlines()[0]
-    assert "ReadSchema: struct<event_id:bigint,user_id:bigint>" in p
+    # structural pins (round-3 ADVICE: avoid exact-formatting anchors):
+    # the literal appears on a PartitionFilters line, and event_type is
+    # absent from the data-read schema
+    assert re.search(r"PartitionFilters:.*purchase", p), p
+    m = re.search(r"ReadSchema: (.*)", p)
+    assert m and "event_type" not in m.group(1), p
     # partial aggregation before each exchange (count-distinct rewrite)
     assert "partial_count" in p
 
@@ -250,11 +270,45 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
                 spark.conf.set(k, v)
 
 
+def test_line_dedup_broadcast_gate_both_paths(spark):
+    """The frequent-window anti-join must take the broadcast hint ONLY when
+    the counted frequent set sits under the gate (round-3 verdict: the
+    unconditional hint OOMs at min_docs=2 web scale). Under the gate the
+    plan shows a broadcast LeftAnti; with the gate closed
+    (broadcast_max_rows=0) it must NOT force a broadcast — the anti-join
+    plans as a shuffle join. autoBroadcastJoinThreshold is disabled so the
+    assertion sees only the hint's effect, not a stats-based conversion."""
+    from big_data_player_analysis_spark.catalog import load_table
+    from big_data_player_analysis_spark.operators.repetition import (
+        remove_repeated_windows,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p_bc = plan_str(remove_repeated_windows(docs, "doc_id", "text"))
+        assert "LeftAnti" in p_bc
+        assert "BroadcastHashJoin" in p_bc and "BuildRight" in p_bc
+
+        p_sh = plan_str(
+            remove_repeated_windows(docs, "doc_id", "text", broadcast_max_rows=0)
+        )
+        assert "LeftAnti" in p_sh
+        assert "BroadcastHashJoin" not in p_sh  # no forced hint, no stats path
+        assert "SortMergeJoin" in p_sh or "ShuffledHashJoin" in p_sh
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 def test_top_ngrams_partial_agg_and_ordered_limit(spark, specs):
     """Heavy-hitter extraction must combine map-side (the exchange carries
     distinct grams, not occurrences) and take the K rows via
     TakeOrderedAndProject, never a global sort of all distinct grams."""
     p = plan_str(specs["llm_top_ngrams"].fn(spark, SF))
     assert "partial_count" in p
+    # TakeOrderedAndProject presence IS the no-global-sort property (the
+    # planner emits Sort+Limit when it cannot use the ordered-limit
+    # operator); a literal "Sort [" exclusion was formatting-brittle
+    # (round-3 ADVICE)
     assert "TakeOrderedAndProject" in p
-    assert "Sort [" not in p  # no global sort stage

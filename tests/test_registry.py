@@ -57,15 +57,19 @@ def test_primary_window():
         n[:3] for n in window
     }
     assert sum(n.startswith("stream_") or n == "olap_session_window" for n in window) == 7
+    # round-4 rotation: dedup_ngram_jaccard -> llm_near_dedup_survivors,
+    # multimodal_image_decode (BMP) -> multimodal_png_decode (see
+    # PRIMARY_ORDER's rotation notes)
     assert {
-        "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
+        "dedup_exact", "llm_near_dedup_survivors", "dedup_minhash_lsh",
+        "dedup_simhash",
         "dedup_embedding_cosine", "dedup_components", "sim_bruteforce_topk",
         "llm_chunk_fixed", "llm_chunk_tokens", "llm_url_canonical_dedup",
         "llm_pii_redact", "llm_unigram_logprob", "llm_embed_quantize_int8",
         "multimodal_audio_decode", "llm_quality_filters",
         "llm_line_dedup", "llm_shard_assign", "llm_mix_weights",
         "llm_pack_sequences", "llm_embed_dim_stats", "olap_window_time_range",
-        "llm_apply_mix", "multimodal_image_decode", "olap_table_profile",
+        "llm_apply_mix", "multimodal_png_decode", "olap_table_profile",
         "llm_top_ngrams", "stream_late_data_drop",
         "olap_sessionization", "olap_partition_pruned_scan",
     } <= window

@@ -81,3 +81,36 @@ def test_partitioned_layout_materializes_once(spark, tmp_path):
     )
     assert p2 == p1
     assert Path(p1, "_SUCCESS").stat().st_mtime_ns == mtime  # untouched
+
+
+def test_partitioned_layout_invalidates_on_source_change(spark, tmp_path):
+    """The layout path is keyed on a source fingerprint: regenerating the
+    source table must produce a NEW layout serving the new rows, never the
+    stale cached copy (round-3 ADVICE)."""
+    import os
+    import time
+
+    from big_data_player_analysis_spark.sources.formats import (
+        ensure_partitioned_layout,
+    )
+
+    src = tmp_path / "sfx"
+    src.mkdir()
+    root = str(tmp_path / "layout_root")
+
+    def write_events(values):
+        spark.createDataFrame(
+            [(i, i, v, float(i)) for i, v in enumerate(values)],
+            "event_id long, user_id long, event_type string, value double",
+        ).toPandas().to_parquet(str(src / "events.parquet"))
+
+    write_events(["click", "view", "click"])
+    p1 = ensure_partitioned_layout(spark, str(src), "events", ["event_type"], root=root)
+    assert spark.read.parquet(p1).count() == 3
+
+    time.sleep(0.01)  # ensure a distinct mtime_ns on the rewrite
+    write_events(["click", "view", "click", "purchase", "purchase"])
+    p2 = ensure_partitioned_layout(spark, str(src), "events", ["event_type"], root=root)
+    assert p2 != p1  # new fingerprint, new layout
+    assert spark.read.parquet(p2).count() == 5
+    assert os.path.exists(os.path.join(p2, "_SUCCESS"))

@@ -265,3 +265,84 @@ def test_foreach_batch_sink(spark, events, split_events_dir, tmp_path):
         spark.read.parquet(str(out / f"b{b}")).count() for b in seen
     )
     assert total == events.count()
+
+
+def test_checkpoint_crash_recovery_exactly_once(spark, tmp_path):
+    """Exactly-once resume through foreachBatch + checkpoint (round-3
+    verdict stretch item): a sink failure AFTER writing but BEFORE the
+    checkpoint commit must cause the restarted query to REPLAY the same
+    micro-batch with the SAME batchId (idempotent overwrite -> no dupes),
+    and files ingested before a clean stop must NOT be reprocessed when new
+    files arrive — the two properties that make a file-source -> foreachBatch
+    pipeline exactly-once end-to-end."""
+    import pandas as pd
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from big_data_player_analysis_spark.streaming import events_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = tmp_path / "out"
+
+    def write_file(name, ids):
+        pd.DataFrame(
+            {
+                "event_id": pd.array(ids, dtype="int64"),
+                "ts": pd.to_datetime([1_700_000_000 + i for i in ids], unit="s"),
+                "user_id": pd.array([i % 3 for i in ids], dtype="int64"),
+                "event_type": ["click"] * len(ids),
+                "value": [float(i) for i in ids],
+                "props": ["{}"] * len(ids),
+            }
+        ).to_parquet(str(src / name))
+
+    def run(sink):
+        q = (
+            events_stream(spark, str(src))
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    def idempotent_sink(df, bid):
+        # overwrite keyed on batchId: a replayed batch rewrites the same
+        # path — the standard idempotent-sink pattern
+        df.write.mode("overwrite").parquet(str(out / f"batch_{bid}"))
+
+    def crashing_sink(df, bid):
+        idempotent_sink(df, bid)
+        raise RuntimeError("injected sink crash after write, before commit")
+
+    write_file("a.parquet", [1, 2, 3])
+    with pytest.raises(StreamingQueryException, match="injected sink crash"):
+        run(crashing_sink)
+
+    # restart from the checkpoint: batch 0 replays with the SAME id and the
+    # idempotent sink overwrites — output holds file A exactly once
+    run(idempotent_sink)
+    got_a = sorted(
+        r.event_id for r in spark.read.parquet(str(out / "batch_0")).collect()
+    )
+    assert got_a == [1, 2, 3]
+
+    # new file after a clean stop: only B is processed (no re-ingest of A),
+    # in a fresh micro-batch with a strictly later id
+    write_file("b.parquet", [10, 11])
+    run(idempotent_sink)
+    import os
+
+    batches = sorted(os.listdir(out))
+    assert batches == ["batch_0", "batch_1"]
+    got_b = sorted(
+        r.event_id for r in spark.read.parquet(str(out / "batch_1")).collect()
+    )
+    assert got_b == [10, 11]
+    total = sorted(
+        r.event_id
+        for b in batches
+        for r in spark.read.parquet(str(out / b)).collect()
+    )
+    assert total == [1, 2, 3, 10, 11]  # every event exactly once

@@ -98,6 +98,54 @@ def scaled_embeddings(spark, base, factor: int):
     return out
 
 
+def scaled_events(spark, base, factor: int):
+    """factor copies of the events table; copy i shifts ids and SUFFIXES
+    event_type with the copy index, so the lead-window duel derivation
+    (registry/common.py:duel_edges) keeps each copy a DISJOINT subgraph —
+    graph structure (degree distribution, convergence behavior) stays
+    constant while edge count scales linearly."""
+    if factor == 1:
+        return base
+    n = base.count()
+    nu = 1 + (base.agg(F.max("user_id")).first()[0] or 0)
+    copies = []
+    for i in range(factor):
+        copies.append(
+            base.select(
+                (F.col("event_id") + i * n).alias("event_id"),
+                "ts",
+                (F.col("user_id") + i * nu).alias("user_id"),
+                F.concat("event_type", F.lit(f"_{i}")).alias("event_type"),
+                "value",
+                "props",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def heroic_probe(events):
+    """The iterative flagship over scaled disjoint duel graphs: converge
+    the damped rank, take the top-10. The build() call runs the eager
+    iteration loop, so timed() captures the full convergence cost."""
+    from pyspark.sql import Window
+
+    from big_data_player_analysis_spark.plans.heroic import heroic_top_k
+
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    duels = (
+        events.select(
+            F.col("user_id").alias("challenger_id"),
+            F.lead("user_id").over(w).alias("challenged_id"),
+            F.col("value").alias("score"),
+        )
+        .filter(F.col("challenged_id").isNotNull())
+    )
+    return heroic_top_k(duels, k=10, alpha=0.1, tol=0.1, max_iter=10)
+
+
 def timed(build) -> float:
     """Min of two executions of a freshly BUILT plan (``build`` is a
     thunk). Building per run matters: spark.catalog.clearCache() between
@@ -135,10 +183,37 @@ def url_dedup(docs):
     )
 
 
-def probe_set(docs, emb):
+def probe_set(docs, emb, events=None):
     """name -> zero-arg builder; timed() constructs the plan per run so
-    operator-internal persist marks survive the preceding clearCache."""
+    operator-internal persist marks survive the preceding clearCache.
+    ``events`` is optional so older two-table call sites (warmup) still
+    work; when present the events-derived probes are included."""
+    from big_data_player_analysis_spark.operators.dedup import (
+        dedup_embedding_cosine,
+        near_dedup_survivors,
+    )
+    from big_data_player_analysis_spark.multimodal import (
+        attach_png_payload,
+        decode_png_features,
+    )
+
+    extra = {}
+    if events is not None:
+        extra["q16_heroic_iterative"] = lambda: heroic_probe(events)
     return {
+        # documented-quadratic exact product (blocked GEMM): the SCALE row
+        # exists to show the 16x cell grows ~256x in flops but stays
+        # BLAS-bound and partition-parallel, not to claim linearity
+        "dedup_embedding_cosine": lambda: dedup_embedding_cosine(
+            emb, "vec_id", "embedding", 0.45
+        ),
+        "llm_near_dedup_survivors": lambda: near_dedup_survivors(
+            docs, "doc_id", "text"
+        ),
+        "multimodal_png_decode": lambda: decode_png_features(
+            attach_png_payload(docs, "doc_id")
+        ),
+        **extra,
         "dedup_exact": lambda: dedup_exact(docs, "doc_id", "text"),
         "dedup_ngram_jaccard": lambda: dedup_ngram_jaccard(
             docs, "doc_id", "text", 8, 0.6, 20
@@ -180,21 +255,39 @@ def probe_set(docs, emb):
 
 def main():
     scales = [1, 4, 16]
-    if len(sys.argv) > 2 and sys.argv[1] == "--scales":
-        scales = [int(x) for x in sys.argv[2].split(",")]
+    only: set[str] | None = None
+    argv = sys.argv[1:]
+    while argv:
+        if argv[0] == "--scales" and len(argv) > 1:
+            scales = [int(x) for x in argv[1].split(",")]
+            argv = argv[2:]
+        elif argv[0] == "--only" and len(argv) > 1:
+            # fill/refresh a subset of probe rows without re-running the
+            # whole battery (the sidecar merge keeps every other cell)
+            only = set(argv[1].split(","))
+            argv = argv[2:]
+        else:
+            raise SystemExit(f"unknown arg {argv[0]!r}")
     spark = get_spark("bdpa-scale-probe")
     base_docs = load_table(spark, SF_DIR, "documents")
     base_emb = load_table(spark, SF_DIR, "embeddings")
+    base_events = load_table(spark, SF_DIR, "events")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    def probes(docs, emb, events):
+        full = probe_set(docs, emb, events)
+        return {n: b for n, b in full.items() if only is None or n in only}
 
     # Warmup: run every probe once untimed at 1x so the first timed scale
     # doesn't absorb codegen/JIT/broadcast initialization.
     wdocs = scaled_docs(spark, base_docs, 1).persist()
     wemb = scaled_embeddings(spark, base_emb, 1).persist()
-    for build in probe_set(wdocs, wemb).values():
+    wev = scaled_events(spark, base_events, 1).persist()
+    for build in probes(wdocs, wemb, wev).values():
         timed(build)
     wdocs.unpersist()
     wemb.unpersist()
+    wev.unpersist()
     # The dedup operators persist internal intermediates (signatures,
     # candidates); the factor-1 plans are identical to the warmup plans, so
     # without a cache flush the 1x timings would be cache hits, not work.
@@ -205,9 +298,11 @@ def main():
     for s in scales:
         docs = scaled_docs(spark, base_docs, s).persist()
         emb = scaled_embeddings(spark, base_emb, s).persist()
+        events = scaled_events(spark, base_events, s).persist()
         rows[s] = docs.count()
         emb.count()
-        for name, build in probe_set(docs, emb).items():
+        events.count()
+        for name, build in probes(docs, emb, events).items():
             results.setdefault(name, {})[s] = timed(build)
             # drop THIS probe's operator-internal persists (shingle tables,
             # signatures, candidates) before timing the next one — retained
@@ -217,8 +312,10 @@ def main():
             spark.catalog.clearCache()
             docs.persist().count()
             emb.persist().count()
+            events.persist().count()
         docs.unpersist()
         emb.unpersist()
+        events.unpersist()
 
     # Merge with prior invocations: this host's external load bursts
     # (sustained loadavg 20-30 with zero in-container consumers) inflate
@@ -241,10 +338,16 @@ def main():
                     results[name][s] = min(results[name][s], v)
                 else:
                     results.setdefault(name, {})[s] = v
+        # measured row counts persist alongside timings (round-3 ADVICE:
+        # the 5000*s fallback silently mislabels columns if the base
+        # corpus ever changes size)
+        for s, n in prior.get("rows", {}).items():
+            rows.setdefault(int(s), n)
     with open(sidecar, "w") as f:
         json.dump(
             {
                 "n_invocations": n_invocations,
+                "rows": {str(s): n for s, n in rows.items()},
                 "results": {
                     n: {str(s): v for s, v in per.items()}
                     for n, per in results.items()
@@ -259,10 +362,15 @@ def main():
     # fill one new operator or one scale while the host is contended)
     # must never drop the other columns from the committed record.
     all_scales = sorted({int(s) for per in results.values() for s in per})
-    base_rows = rows.get(all_scales[0], 5000 * all_scales[0])
+    base_rows = rows.get(all_scales[0], "?")
 
     def cell(per: dict, s: int) -> str:
         return f"{per[s]}s" if s in per else "—"
+
+    def label(s: int) -> str:
+        # measured row counts only (persisted across invocations); a scale
+        # never measured in any invocation is labeled honestly as unknown
+        return f"{s}x ({rows[s]} rows)" if s in rows else f"{s}x (? rows)"
 
     loadavg = open("/proc/loadavg").read().split()[:3]
     lines = [
@@ -271,14 +379,18 @@ def main():
         f"Base: sf0.1 documents ({base_rows} rows at 1x), local[32].",
         "Composed-text copies: no planted near-dups (workload size grows,",
         "semantics do not). Near-linear growth across the row = the",
-        "candidate-generation design holds; quadratic would explode at 16x.",
+        "candidate-generation design holds; quadratic would explode at 16x",
+        "(dedup_embedding_cosine is documented-quadratic in flops: its row",
+        "shows the blocked GEMM staying BLAS-bound, not linearity;",
+        "q16_heroic rows scale disjoint duel subgraphs so iteration count",
+        "stays constant while edges grow).",
         f"Each cell is the min over {n_invocations} probe invocation(s) x 2",
         "runs each (this host has sustained external load bursts that",
         "inflate wall times up to 6x; the min across repeats estimates the",
         f"uncontended cost; load average at last probe: {' '.join(loadavg)}).",
         "",
         "| operator | "
-        + " | ".join(f"{s}x ({rows.get(s, 5000 * s)} rows)" for s in all_scales)
+        + " | ".join(label(s) for s in all_scales)
         + " |",
         "|---|" + "---|" * len(all_scales),
     ]
