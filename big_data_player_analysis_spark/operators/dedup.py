@@ -328,6 +328,88 @@ def dedup_minhash_lsh(
     return _verify_jaccard(cand, df, id_col, text_col, k, threshold)
 
 
+# Broadcast the new-batch band table only below this row count (docs x
+# N_BANDS rows of (long, int, int)): ~100 MB serialized at the gate — the
+# "new batch" of an incremental run is small by definition, but an
+# unbounded forced broadcast is exactly the round-3 line-dedup defect, so
+# the same persist+count gate applies.
+INCREMENTAL_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _minhash_bands(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc, band, bucket) banded MinHash signatures — the shared candidate
+    index of dedup_minhash_lsh and dedup_incremental."""
+    with_norm = _scatter(df).select(
+        F.col(id_col).alias("doc"), normalize_text(F.col(text_col)).alias("norm")
+    ).filter(F.length("norm") >= k)
+    sig = minhash_signatures(with_norm, k)
+    return sig.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.hash(
+                            F.slice("sig", i * ROWS_PER_BAND + 1, ROWS_PER_BAND)
+                        ).alias("bucket"),
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    threshold: float = 0.6,
+    broadcast_max_rows: int = INCREMENTAL_BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    """Incremental near-dedup: (new_id, corpus_id, jaccard) for each
+    incoming document that is a near-duplicate (exact Jaccard >= threshold)
+    of an EXISTING corpus document — the production shape of fuzzy dedup on
+    a growing crawl, where re-running all-pairs over the whole corpus per
+    ingest batch would be O(corpus) wasted work per batch.
+
+    Scale shape: both sides get banded MinHash signatures in one narrow
+    Arrow pass each; the candidate join broadcasts the NEW batch's band
+    table (size-gated with a shuffle fallback) against the corpus band
+    stream, so the 100 TB corpus side is never exchanged on the band key —
+    it stays on its scan splits and streams through a broadcast hash join.
+    Exact verification (shared _verify_jaccard) then touches only docs in
+    at least one candidate pair. Ids must be distinct across the two
+    inputs (they identify which side a doc came from).
+    """
+    new_bands = _minhash_bands(new_df, id_col, text_col, k).persist()
+    corpus_bands = _minhash_bands(corpus_df, id_col, text_col, k)
+    if new_bands.count() <= broadcast_max_rows:
+        probe = F.broadcast(new_bands)
+    else:
+        probe = new_bands
+    cand = (
+        corpus_bands.join(
+            probe.select(F.col("doc").alias("doc_a"), "band", "bucket"),
+            ["band", "bucket"],
+        )
+        .select("doc_a", F.col("doc").alias("doc_b"))
+        .distinct()
+        .persist()
+    )
+    both = new_df.select(F.col(id_col), F.col(text_col)).unionByName(
+        corpus_df.select(F.col(id_col), F.col(text_col))
+    )
+    return _verify_jaccard(cand, both, id_col, text_col, k, threshold).select(
+        F.col("doc_a").alias("new_id"),
+        F.col("doc_b").alias("corpus_id"),
+        "jaccard",
+    )
+
+
 def simhash_signatures(
     df: DataFrame, id_col: str, text_col: str, k: int = 8
 ) -> DataFrame:

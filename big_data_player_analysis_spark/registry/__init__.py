@@ -96,6 +96,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # Changed-in-round-4 entries already in-window (gate/annotation fixes):
 # llm_line_dedup (min_docs 2->3 + size-gated broadcast) and
 # llm_pack_sequences (explicit n_groups pin + real annotations).
+#
+# Second round-4 rotation: llm_dedup_incremental (new-batch-vs-corpus
+# near-dedup, corpus never exchanged on the band key) is new with no
+# driver row — promoted, displacing llm_chunk_fixed: green r03 on
+# unchanged code, and llm_chunk_tokens keeps the identical narrow
+# sequence+explode+slice chunking shape (and its shuffle-free plan pin)
+# in-window.
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -141,7 +148,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "dedup_simhash",
     "dedup_embedding_cosine",
     "dedup_components",
-    "llm_chunk_fixed",
+    "llm_dedup_incremental",
     "llm_chunk_tokens",
     "llm_url_canonical_dedup",
     "llm_pii_redact",
@@ -168,6 +175,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 EXTENDED_ORDER: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "multimodal_image_decode",
+    "llm_chunk_fixed",
     "q17_top_k",
     "text_quality_score",
     "q14_keyed_sqdiff",

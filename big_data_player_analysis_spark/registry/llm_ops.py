@@ -349,6 +349,42 @@ def dedup_simhash_q(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_simhash(t(spark, sf, "documents"), "doc_id", "text", k=SHINGLE_K)
 
 
+# new batch = every 5th doc (a 20% ingest batch); corpus = the rest
+INCR_NEW_MOD = 5
+
+SQL_INCREMENTAL = f"""
+WITH {SQL_SHINGLES_CTE.strip()}
+SELECT CASE WHEN i.doc_a % {INCR_NEW_MOD} = 0 THEN i.doc_a ELSE i.doc_b END AS new_id,
+       CASE WHEN i.doc_a % {INCR_NEW_MOD} = 0 THEN i.doc_b ELSE i.doc_a END AS corpus_id,
+       round(1.0 * n_common / (na.n + nb.n - n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc = i.doc_a
+JOIN sizes nb ON nb.doc = i.doc_b
+WHERE round(1.0 * n_common / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+  AND ((i.doc_a % {INCR_NEW_MOD} = 0) <> (i.doc_b % {INCR_NEW_MOD} = 0))
+"""
+
+
+@query("llm_dedup_incremental", sql=SQL_INCREMENTAL, tags=("llm", "dedup"))
+def dedup_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dedup: which documents of an incoming 20% ingest
+    batch (doc_id % 5 == 0) near-duplicate an existing corpus document
+    (operators/dedup.py:dedup_incremental — the new batch's band table is
+    size-gate-broadcast against the corpus band stream, so the corpus is
+    never exchanged on the band key). The oracle is the exact-Jaccard SQL
+    restricted to cross-side pairs; same recall argument as
+    dedup_minhash_lsh (at sf0.01 the rare-shingle candidates equal the
+    true all-pairs answer)."""
+    from big_data_player_analysis_spark.operators.dedup import dedup_incremental
+
+    docs = t(spark, sf, "documents")
+    new = docs.filter(F.col("doc_id") % INCR_NEW_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % INCR_NEW_MOD != 0)
+    return dedup_incremental(
+        new, corpus, "doc_id", "text", k=SHINGLE_K, threshold=JACCARD_THRESHOLD
+    )
+
+
 SQL_COMPONENTS = f"""
 WITH RECURSIVE {SQL_SHINGLES_CTE.strip()},
 jp AS (

@@ -137,6 +137,57 @@ def test_simhash_signatures_narrow_and_dup_invariant(spark):
     assert "HashAggregate" not in plan
 
 
+def test_dedup_incremental_planted(spark):
+    """Incremental dedup: a new-batch doc near-duplicating a corpus doc is
+    reported against that corpus doc; new-vs-new and corpus-vs-corpus
+    near-dups are NOT reported (the batch shape checks incoming docs
+    against the existing corpus only)."""
+    from big_data_player_analysis_spark.operators.dedup import dedup_incremental
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "quietly near the warm fireplace on a cold winter evening tonight"
+    )
+    other = (
+        "distributed query engines shuffle partitioned data across the "
+        "cluster network before aggregating grouped results into files"
+    )
+    corpus = spark.createDataFrame(
+        [(1, base + " alpha"), (2, other), (3, "short unrelated gardening note")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(100, base + " bravo"),    # near-dup of corpus doc 1
+         (101, base + " delta"),    # near-dup of corpus doc 1 AND of 100
+         (102, "entirely novel content about medieval naval history here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in dedup_incremental(new, corpus, "doc_id", "text").collect()
+    }
+    assert got == {(100, 1), (101, 1)}  # no (100, 101), no corpus-corpus
+
+
+def test_dedup_incremental_matches_full_pairs(docs, py_jaccard_pairs):
+    """On the synthetic corpus split 20/80, incremental output must equal
+    the full exact-pairs answer restricted to cross-side pairs."""
+    from big_data_player_analysis_spark.operators.dedup import dedup_incremental
+
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    got = {
+        (r.new_id, r.corpus_id)
+        for r in dedup_incremental(new, corpus, "doc_id", "text", K, THRESHOLD).collect()
+    }
+    want = set()
+    for a, b in py_jaccard_pairs:
+        if (a % 5 == 0) != (b % 5 == 0):
+            n, c = (a, b) if a % 5 == 0 else (b, a)
+            want.add((n, c))
+    assert got == want
+
+
 def test_near_dedup_survivors_planted_groups(spark):
     """End-to-end fuzzy dedup: planted near-dup groups must collapse to
     exactly one survivor each (the min id), with group_size = cluster

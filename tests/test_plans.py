@@ -301,6 +301,16 @@ def test_line_dedup_broadcast_gate_both_paths(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
+def test_incremental_dedup_corpus_never_exchanged_on_band_key(spark, specs):
+    """The candidate join must broadcast the (gated) new-batch band table:
+    the corpus band stream stays on its scan splits — no SortMergeJoin, no
+    hash exchange of the corpus on (band, bucket)."""
+    p = plan_str(specs["llm_dedup_incremental"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "hashpartitioning(band" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_top_ngrams_partial_agg_and_ordered_limit(spark, specs):
     """Heavy-hitter extraction must combine map-side (the exchange carries
     distinct grams, not occurrences) and take the K rows via

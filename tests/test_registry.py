@@ -57,14 +57,15 @@ def test_primary_window():
         n[:3] for n in window
     }
     assert sum(n.startswith("stream_") or n == "olap_session_window" for n in window) == 7
-    # round-4 rotation: dedup_ngram_jaccard -> llm_near_dedup_survivors,
-    # multimodal_image_decode (BMP) -> multimodal_png_decode (see
-    # PRIMARY_ORDER's rotation notes)
+    # round-4 rotations: dedup_ngram_jaccard -> llm_near_dedup_survivors,
+    # multimodal_image_decode (BMP) -> multimodal_png_decode,
+    # llm_chunk_fixed -> llm_dedup_incremental (see PRIMARY_ORDER's
+    # rotation notes)
     assert {
         "dedup_exact", "llm_near_dedup_survivors", "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_embedding_cosine", "dedup_components", "sim_bruteforce_topk",
-        "llm_chunk_fixed", "llm_chunk_tokens", "llm_url_canonical_dedup",
+        "llm_dedup_incremental", "llm_chunk_tokens", "llm_url_canonical_dedup",
         "llm_pii_redact", "llm_unigram_logprob", "llm_embed_quantize_int8",
         "multimodal_audio_decode", "llm_quality_filters",
         "llm_line_dedup", "llm_shard_assign", "llm_mix_weights",

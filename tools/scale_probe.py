@@ -399,10 +399,44 @@ def main():
         lines.append(
             f"| {name} | " + " | ".join(cell(per, s) for s in all_scales) + " |"
         )
+    lines.extend(sf1_section())
     text = "\n".join(lines) + "\n"
     with open("/root/repo/SCALE.md", "w") as f:
         f.write(text)
     print(json.dumps({"rows": rows, "results": results}))
+
+
+def sf1_section() -> list[str]:
+    """Render the composed-sf1 headline-bench sidecar (written by
+    tools/record_sf1_bench.py after a
+    `SPARK_GRAFT_SF_DIR=/tmp/bdpa_composed/sf1 python bench.py` run over
+    tools/make_scaled_sf.py output) so SCALE.md keeps the order-of-
+    magnitude evidence across probe rewrites."""
+    import os
+
+    side = os.path.join(os.path.dirname(__file__), "bench_sf1.json")
+    if not os.path.exists(side):
+        return []
+    with open(side) as f:
+        d = json.load(f)
+    base = d.get("baseline_sf01", {})
+    lines = [
+        "",
+        "## Headline suite at composed sf1 (10x sf0.1, consistent-key fact",
+        "composition via tools/make_scaled_sf.py; shared region/nation dims;",
+        "rotated-alphabet docs so duplicate density is constant)",
+        "",
+        f"Suite total: {d['value']}s at sf1 vs {base.get('value', '?')}s at "
+        "sf0.1 (min of two interleaved passes each).",
+        "",
+        "| query | sf0.1 | sf1 (10x) | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name, v in d["queries"].items():
+        b = base.get("queries", {}).get(name)
+        ratio = f"{v / b:.1f}x" if b else "—"
+        lines.append(f"| {name} | {b if b is not None else '—'}s | {v}s | {ratio} |")
+    return lines
 
 
 if __name__ == "__main__":
