@@ -220,6 +220,24 @@ def test_near_dedup_survivors_planted_groups(spark):
     assert out == {10: 3, 20: 2, 30: 1, 31: 1}
 
 
+def test_near_dedup_survivors_no_dups_is_identity(spark):
+    """A corpus with no near-duplicates must come back complete, every doc
+    with group_size 1 (the empty-pairs path through components/anti-join)."""
+    from big_data_player_analysis_spark.operators.dedup import near_dedup_survivors
+
+    rows = [
+        (1, "a completely unrelated short document about gardening tips"),
+        (2, "another standalone text concerning medieval naval history"),
+        (3, "distributed query engines shuffle partitioned data across nodes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.group_size
+        for r in near_dedup_survivors(df, "doc_id", "text").collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1}
+
+
 # ------------------------------------------------------------- embeddings
 
 

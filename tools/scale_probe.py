@@ -78,17 +78,30 @@ def scaled_docs(spark, base, factor: int):
 
 
 def scaled_embeddings(spark, base, factor: int):
+    """factor copies; copy i CIRCULAR-SHIFTS the embedding dimensions by a
+    copy-specific offset. A permutation of dimensions preserves every
+    intra-copy norm/cosine exactly (identical per-copy workload), while
+    cross-copy cosines between shifted versions of the same base vector
+    drop to lag-autocorrelation noise — so the composed corpus does NOT
+    plant near-duplicates. (The previous additive-nudge scheme kept copies
+    of the same base vector at cosine ~ 1, which made the exact-threshold
+    product's OUTPUT grow quadratically in the factor: the 16x
+    dedup_embedding_cosine cell measured 527 s of planted-duplicate
+    emission, not operator scaling.)"""
     if factor == 1:
         return base
     n = base.count()
+    dim = len(base.select("embedding").first()[0])
     copies = []
     for i in range(factor):
+        s = (11 * i) % dim
+        shifted = F.concat(
+            F.slice("embedding", s + 1, dim - s), F.slice("embedding", 1, s)
+        ) if s else F.col("embedding")
         copies.append(
             base.select(
                 (F.col("vec_id") + i * n).alias("vec_id"),
-                F.transform(
-                    "embedding", lambda x: x + F.lit(0.01 * (i + 1))
-                ).alias("embedding"),
+                shifted.alias("embedding"),
                 "label",
             )
         )
@@ -435,7 +448,8 @@ def sf1_section() -> list[str]:
     for name, v in d["queries"].items():
         b = base.get("queries", {}).get(name)
         ratio = f"{v / b:.1f}x" if b else "—"
-        lines.append(f"| {name} | {b if b is not None else '—'}s | {v}s | {ratio} |")
+        bcell = f"{b}s" if b is not None else "—"
+        lines.append(f"| {name} | {bcell} | {v}s | {ratio} |")
     return lines
 
 
