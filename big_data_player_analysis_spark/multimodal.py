@@ -269,6 +269,63 @@ def attach_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
     return df.select(F.col(id_col).alias("doc_id"), _synth(id_col).alias("payload"))
 
 
+# ------------------------------------------------- real image resize
+
+RESIZE_FACTOR = 2  # downscale each axis by this factor (floor, min 1)
+
+
+def resize_bmp_features(media: DataFrame, factor: int = RESIZE_FACTOR) -> DataFrame:
+    """REAL image resize via mapInPandas: decode each BMP payload (same
+    container parse as decode_bmp_features), NEAREST-NEIGHBOR downscale
+    both axes by ``factor`` with the integer mapping
+    src_idx = (dst_idx * src_len) // dst_len (exact in int arithmetic, so
+    an ANSI-SQL oracle can replay it with generate_series), and reduce the
+    resized pixel matrix to geometry + per-channel means — the
+    thumbnail/downsample step of an image-corpus pipeline. Scale shape:
+    narrow per-partition map, Arrow-batched; payload bytes never shuffle."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_b": [], "mean_g": [], "mean_r": [],
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload[:2] != b"BM":
+                    raise ValueError(f"doc {did}: not a BMP payload")
+                offset = struct.unpack_from("<I", payload, 10)[0]
+                _, w, h, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
+                if bpp != 24:
+                    raise ValueError(f"doc {did}: unsupported bpp {bpp}")
+                nrows = abs(h)
+                stride = (3 * w + 3) // 4 * 4
+                arr = np.frombuffer(
+                    payload, dtype=np.uint8, count=stride * nrows, offset=offset
+                ).reshape(nrows, stride)
+                # flip bottom-up storage to image order first: the resize
+                # row mapping is defined over IMAGE coordinates
+                pix = arr[:, : 3 * w].reshape(nrows, w, 3)[::-1]
+                w2, h2 = max(1, w // factor), max(1, nrows // factor)
+                ix = (np.arange(w2) * w) // w2
+                iy = (np.arange(h2) * nrows) // h2
+                small = pix[iy][:, ix].astype(np.float64)
+                rows["doc_id"].append(int(did))
+                rows["width"].append(int(w2))
+                rows["height"].append(int(h2))
+                rows["mean_b"].append(round(float(small[:, :, 0].mean()), 6))
+                rows["mean_g"].append(round(float(small[:, :, 1].mean()), 6))
+                rows["mean_r"].append(round(float(small[:, :, 2].mean()), 6))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
+
+
 # ------------------------------------------------------ real PNG decode
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"

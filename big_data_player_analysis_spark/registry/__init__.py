@@ -103,6 +103,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # unchanged code, and llm_chunk_tokens keeps the identical narrow
 # sequence+explode+slice chunking shape (and its shuffle-free plan pin)
 # in-window.
+#
+# Third round-4 rotation: multimodal_image_resize (real nearest-neighbor
+# downscale, the resize step the extension mandate names explicitly) is
+# new with no driver row — promoted, displacing llm_embed_quantize_int8:
+# green r03 on unchanged code, and llm_embed_dim_stats keeps the narrow
+# embedding-array-expression family in-window.
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -153,7 +159,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_url_canonical_dedup",
     "llm_pii_redact",
     "llm_unigram_logprob",
-    "llm_embed_quantize_int8",
+    "multimodal_image_resize",
     "llm_apply_mix",
     "sim_bruteforce_topk",
     "multimodal_png_decode",
@@ -176,6 +182,7 @@ EXTENDED_ORDER: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "multimodal_image_decode",
     "llm_chunk_fixed",
+    "llm_embed_quantize_int8",
     "q17_top_k",
     "text_quality_score",
     "q14_keyed_sqdiff",

@@ -1083,6 +1083,46 @@ def multimodal_image_q(spark: SparkSession, sf: str) -> DataFrame:
     return decode_bmp_features(media)
 
 
+# Nearest-neighbor downscale by 2 over the closed-form BMP pixels: the
+# integer source mapping src = (dst * src_len) // dst_len is replayed with
+# range() laterals; B = x and G = y gradients make the resized channel
+# means exactly the averages of the mapped indices, R is constant.
+SQL_IMAGE_RESIZE = """
+WITH p AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w, 2 + doc_id % 7 AS h,
+         greatest((4 + doc_id % 13) // 2, 1) AS w2,
+         greatest((2 + doc_id % 7) // 2, 1) AS h2
+  FROM documents),
+bx AS (
+  SELECT doc_id, avg(CAST((x2 * w) // w2 AS DOUBLE)) AS mean_b
+  FROM p, LATERAL unnest(range(w2)) AS t(x2) GROUP BY doc_id),
+gy AS (
+  SELECT doc_id, avg(CAST((y2 * h) // h2 AS DOUBLE)) AS mean_g
+  FROM p, LATERAL unnest(range(h2)) AS t(y2) GROUP BY doc_id)
+SELECT p.doc_id, CAST(w2 AS BIGINT) AS width, CAST(h2 AS BIGINT) AS height,
+       round(bx.mean_b, 6) AS mean_b, round(gy.mean_g, 6) AS mean_g,
+       round(CAST(p.doc_id % 256 AS DOUBLE), 6) AS mean_r
+FROM p JOIN bx USING (doc_id) JOIN gy USING (doc_id)
+"""
+
+
+@query("multimodal_image_resize", sql=SQL_IMAGE_RESIZE, tags=("llm", "multimodal"))
+def multimodal_resize_q(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL image resize, full oracle: BMP payloads are decoded and
+    nearest-neighbor-downscaled by 2 inside mapInPandas (integer source
+    mapping src = (dst * src_len) // dst_len, exact in both engines), then
+    reduced to resized geometry + channel means — the thumbnail step of an
+    image-corpus pipeline (multimodal.py:resize_bmp_features)."""
+    from big_data_player_analysis_spark.multimodal import (
+        attach_bmp_payload,
+        resize_bmp_features,
+    )
+
+    media = attach_bmp_payload(t(spark, sf, "documents"), "doc_id")
+    return resize_bmp_features(media)
+
+
 # PNG shares the BMP closed-form pixel synthesis (R const, G = y, B = x) —
 # only the channel ORDER differs (PNG is RGB; BMP's matrix is BGR).
 SQL_PNG_DECODE = """

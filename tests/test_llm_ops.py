@@ -516,6 +516,37 @@ def test_bmp_decode_rejects_non_bmp(spark):
         decode_bmp_features(df).collect()
 
 
+def test_bmp_resize_nearest_neighbor(spark):
+    """Real resize: decoded+downscaled geometry and channel means must
+    equal an independent numpy replay of the (dst*src)//dst_len mapping,
+    including odd dimensions (w=5 -> w2=2) and the h=2 -> h2=1 floor."""
+    import numpy as np
+
+    from big_data_player_analysis_spark.multimodal import (
+        _bmp_params,
+        attach_bmp_payload,
+        resize_bmp_features,
+    )
+
+    ids = (0, 1, 9, 14, 300)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r.doc_id: r for r in resize_bmp_features(
+        attach_bmp_payload(df, "doc_id")
+    ).collect()}
+    for i in ids:
+        w, h, red = _bmp_params(i)
+        w2, h2 = max(1, w // 2), max(1, h // 2)
+        r = out[i]
+        assert (r.width, r.height) == (w2, h2)
+        assert r.mean_b == pytest.approx(
+            np.mean((np.arange(w2) * w) // w2), abs=1e-6
+        )
+        assert r.mean_g == pytest.approx(
+            np.mean((np.arange(h2) * h) // h2), abs=1e-6
+        )
+        assert r.mean_r == float(red)
+
+
 def test_png_decode_roundtrip(spark):
     """Real PNG decode: decoded geometry + channel means must equal the
     closed forms. The synth cycles filter types y % 5, so ids with h >= 5

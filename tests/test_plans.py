@@ -204,6 +204,13 @@ def test_png_decode_is_narrow(spark, specs):
     assert "Exchange" not in p
 
 
+def test_image_resize_is_narrow(spark, specs):
+    """Decode + nearest-neighbor resize is scan -> pandas_udf ->
+    mapInPandas with no Exchange: pixels never shuffle."""
+    p = plan_str(specs["multimodal_image_resize"].fn(spark, SF))
+    assert "Exchange" not in p
+
+
 def test_near_dedup_survivors_keyed_anti_join_no_cross_product(spark, specs):
     """The survivor materialization must stay a keyed anti/left join on the
     id — no nested loop, no cartesian, and no forced broadcast of the

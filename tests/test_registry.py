@@ -66,7 +66,7 @@ def test_primary_window():
         "dedup_simhash",
         "dedup_embedding_cosine", "dedup_components", "sim_bruteforce_topk",
         "llm_dedup_incremental", "llm_chunk_tokens", "llm_url_canonical_dedup",
-        "llm_pii_redact", "llm_unigram_logprob", "llm_embed_quantize_int8",
+        "llm_pii_redact", "llm_unigram_logprob", "multimodal_image_resize",
         "multimodal_audio_decode", "llm_quality_filters",
         "llm_line_dedup", "llm_shard_assign", "llm_mix_weights",
         "llm_pack_sequences", "llm_embed_dim_stats", "olap_window_time_range",

@@ -58,16 +58,25 @@ def scaled_docs(spark, base, factor: int):
     (a prefix-sharing scheme tried first planted sub-threshold near-dups
     whose LSH-candidate volume grew quadratically in the factor). The same
     translate pass applies at factor 1 (rotation 0 = identity) so every
-    scale has identical per-document workload."""
+    scale has identical per-document workload. The 36 alphabet rotations
+    repeat at copy 36 (7 and 36 are coprime, so i and i+36 collide) —
+    copies 36..71 additionally REVERSE the text, whose character k-grams
+    share nothing with the forward rotation, keeping all 72 supported
+    transforms duplicate-free."""
+    if factor > 72:
+        raise ValueError("scaled_docs supports factors up to 72")
     n = base.count()
     copies = []
     for i in range(factor):
         r = (7 * i) % len(ALPHABET)
         rotated = ALPHABET[r:] + ALPHABET[:r]
+        text = F.translate(F.lower("text"), ALPHABET, rotated)
+        if i >= 36:
+            text = F.reverse(text)
         copies.append(
             base.select(
                 (F.col("doc_id") + i * n).alias("doc_id"),
-                F.translate(F.lower("text"), ALPHABET, rotated).alias("text"),
+                text.alias("text"),
                 "source",
             )
         )
