@@ -318,6 +318,31 @@ def test_incremental_dedup_corpus_never_exchanged_on_band_key(spark, specs):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
 
 
+def test_incremental_dedup_gate_closed_falls_back_to_shuffle(spark):
+    """With the broadcast gate closed (broadcast_max_rows=0) the band join
+    must NOT force a broadcast — an oversized 'new batch' can never OOM
+    via the hint (same defect class as the round-3 line-dedup finding)."""
+    from pyspark.sql import functions as F
+
+    from big_data_player_analysis_spark.catalog import load_table
+    from big_data_player_analysis_spark.operators.dedup import dedup_incremental
+
+    docs = load_table(spark, SF, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        p = plan_str(
+            dedup_incremental(
+                new, corpus, "doc_id", "text", broadcast_max_rows=0
+            )
+        )
+        assert "hashpartitioning(band" in p  # shuffle band join, no hint
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
 def test_top_ngrams_partial_agg_and_ordered_limit(spark, specs):
     """Heavy-hitter extraction must combine map-side (the exchange carries
     distinct grams, not occurrences) and take the K rows via
