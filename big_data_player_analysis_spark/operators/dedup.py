@@ -51,13 +51,40 @@ _rng = random.Random(20240813)
 MINHASH_A = [_rng.randrange(1, MINHASH_PRIME) for _ in range(N_HASHES)]
 MINHASH_B = [_rng.randrange(0, MINHASH_PRIME) for _ in range(N_HASHES)]
 
+# Broadcast the rare-shingle hash set (int64s) only below this row count
+# (~32 MB serialized at the gate); above it the filter join falls back to
+# a shuffle — same defect-class guard as the line-dedup frequent set.
+RARE_BROADCAST_MAX_ROWS = 4_000_000
+
 SIMHASH_BITS = 64
 # Pigeonhole: detecting hamming <= h needs h+1 bands. Nine bands over 64
-# bits (eight 7-bit + one 8-bit) guarantee a shared band for hamming <= 8 —
-# on short documents a single differing shingle flips several bits, so
-# near-dup pairs (j ~ 0.9) land at hamming 7-8, past an 8-band cutoff.
+# bits guarantee a shared band for hamming <= 8 — on short documents a
+# single differing shingle flips several bits, so near-dup pairs (j ~ 0.9)
+# land at hamming 7-8, past an 8-band cutoff. THE BAND WIDTH IS THE SCALE
+# KNOB: expected bucket occupancy is n / 2^width, so candidate volume per
+# band grows ~ n^2 / 2^width — 7-bit buckets (the hamming<=8 contract's 9
+# bands) go quadratic once n >> 2^7 (measured: 50 s at 320k docs), while
+# 4 bands x 16 bits (hamming <= 3, the web-scale operating point per
+# Manku et al., WWW'07) keep buckets sparse to n ~ millions per partition.
+# dedup_simhash exposes n_bands so deployments pick the contract/scale
+# point; it asserts max_hamming <= n_bands - 1 (the exactness condition).
 SIMHASH_MAX_HAMMING = 8
-SIMHASH_BAND_BOUNDS = [(i * 7, 7) for i in range(8)] + [(56, 8)]
+SIMHASH_N_BANDS = 9
+
+
+def simhash_band_bounds(n_bands: int, bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
+    """Split ``bits`` into n_bands contiguous (offset, width) bands with
+    widths differing by at most 1. Pigeonhole: any two signatures with
+    hamming <= n_bands - 1 agree on at least one whole band."""
+    if not 1 <= n_bands <= bits:
+        raise ValueError("need 1 <= n_bands <= bits")
+    base, extra = divmod(bits, n_bands)
+    bounds, off = [], 0
+    for i in range(n_bands):
+        w = base + (1 if i < extra else 0)
+        bounds.append((off, w))
+        off += w
+    return bounds
 
 
 def _scatter(df: DataFrame) -> DataFrame:
@@ -192,11 +219,16 @@ def dedup_ngram_jaccard(
     shared rare shingle loses nothing in practice while keeping candidate
     generation linear-ish instead of df^2 on hot shingles.
 
-    Scale shape (reworked after per-stage profiling; the previous form —
-    persist the full exploded (doc, shingle-string) table, groupBy-count
-    it, join the rare set back, then self-join — shuffled the corpus-sized
-    exploded table on the shingle string up to four times and dominated
-    the operator at ~21 s on the 5k-composed-doc probe):
+    KNOW THE LIMIT: any-shared-rare-shingle is a loose predicate — on a
+    shared-vocabulary corpus it admits tens of candidates per document
+    (measured ~59/doc on the synthetic corpus), and the exact verify then
+    moves |pairs| x 2 shingle arrays through its joins. That constant, not
+    the candidate count's growth (linear), is what dominates at scale;
+    when the corpus is large, dedup_minhash_lsh is the designed scale path
+    (band collisions admit ~0.006 candidates/doc here, 4 orders of
+    magnitude fewer, with the same verified output at these thresholds).
+
+    Scale shape (reworked TWICE after per-stage profiling):
       1. shingles are reduced to int64 xxhash64 values INSIDE the shingle
          array before the explode, so only 8-byte longs ever shuffle (the
          exact-verify stage recomputes true shingle sets itself, so
@@ -204,29 +236,40 @@ def dedup_ngram_jaccard(
          only merge two shingles — inflating df slightly or adding a
          candidate that exact verification discards, P ~ 1e-9 at 1e5
          distinct shingles);
-      2. document frequency is annotated with a count-over-window on the
-         hash — ONE shuffle+sort of the exploded longs, constant memory
-         per key (a collect_set inverted index would hold the hottest
-         shingle's full posting list on one executor: at web scale a
-         boilerplate shingle has df in the 1e8 range, so that form OOMs
-         exactly when it matters);
-      3. the df >= 2 filter drops singleton shingles (the vast majority)
-         before the self-join, and df <= max_df bounds the join's fan-out
-         at max_df per shingle, so the pair join touches only the small
-         rare-occurrence slice."""
-    from pyspark.sql.window import Window
-
+      2. document frequency comes from a partial-aggregated groupBy on the
+         hash — a HASH aggregate, no sort. (The round-3 count-over-window
+         form shuffle+SORTED the whole exploded table; at 320k docs / 86M
+         occurrence rows the per-partition sorts spilled and that one
+         stage went 9.5x slower for 4x data. A collect_set inverted index
+         would be worse still: the hottest shingle's full posting list on
+         one executor OOMs at web scale.)
+      3. the df in [2, max_df] filter leaves a SMALL distinct-hash set
+         (singletons — the vast majority — and boilerplate both drop), so
+         it is size-gate-broadcast back onto the occurrence stream: the
+         corpus-sized exploded table never exchanges at all. Above the
+         gate the filter join falls back to a shuffle (AQE still
+         broadcasts genuinely small sets). df <= max_df bounds the pair
+         join's fan-out at max_df per shingle, so the self-join touches
+         only the rare-occurrence slice."""
     occ = _scatter(df).select(
         F.col(id_col).alias("doc"),
         F.explode(
             F.transform(char_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
         ).alias("h"),
     )
-    rare = (
-        occ.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+    rare_h = (
+        occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= F.lit(max_df)))
-        .select("doc", "h")
+        .select("h")
+        .persist()
     )
+    if rare_h.count() <= RARE_BROADCAST_MAX_ROWS:
+        rare_h = F.broadcast(rare_h)
+    # Persisted: the filtered slice is tiny relative to occ, and both
+    # sides of the pair self-join read it — without the persist each side
+    # would re-shingle the whole corpus through the broadcast filter.
+    rare = occ.join(rare_h, "h").select("doc", "h").persist()
     ra = rare.select(F.col("doc").alias("doc_a"), "h")
     rb = rare.select(F.col("doc").alias("doc_b"), "h")
     cand = (
@@ -473,10 +516,23 @@ def dedup_simhash(
     text_col: str,
     k: int = 8,
     max_hamming: int = SIMHASH_MAX_HAMMING,
+    n_bands: int = SIMHASH_N_BANDS,
 ) -> DataFrame:
     """Near-duplicate pairs with SimHash hamming distance <= max_hamming.
-    Candidates via 9 band buckets (pigeonhole exact for <= 8), verified
-    with bit_count(xor)."""
+    Candidates via n_bands band buckets (pigeonhole exact for hamming <=
+    n_bands - 1), verified with bit_count(xor).
+
+    Band width 64/n_bands is the scale knob: candidate volume per band is
+    ~ n^2 / 2^width, so the default strict hamming<=8 contract (9 bands,
+    7-bit buckets) is for modest corpora; at web scale run the Manku-style
+    operating point max_hamming=3, n_bands=4 (16-bit buckets) — same
+    exact-verification semantics, sparse buckets to millions of docs per
+    partition of the corpus."""
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least {max_hamming + 1} "
+            f"bands for exact pigeonhole recall (got n_bands={n_bands})"
+        )
     # Persisted: one (doc, long) row per doc, read by both self-join sides.
     sigs = simhash_signatures(df, id_col, text_col, k).persist()
     bands = sigs.select(
@@ -491,7 +547,7 @@ def dedup_simhash(
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("bucket"),
                     )
-                    for i, (off, width) in enumerate(SIMHASH_BAND_BOUNDS)
+                    for i, (off, width) in enumerate(simhash_band_bounds(n_bands))
                 ]
             )
         ).alias("bb"),
@@ -534,11 +590,21 @@ def dedup_components(
     silently return SPLIT components (round-1 ADVICE finding) — with
     strict=True (default) that raises instead; callers on pathological
     graphs can raise max_iter (label propagation moves a min label one hop
-    per sweep) or pass strict=False to accept the partial labeling."""
+    per sweep) or pass strict=False to accept the partial labeling.
+
+    The symmetrized edge table is localCheckpoint'd before the loop: each
+    sweep runs TWO actions (the min-label aggregate and the changed-count),
+    and ``pairs`` is typically the output of a whole candidate-generation +
+    exact-verification pipeline — without materialization every sweep
+    re-executed that pipeline end-to-end (measured: the composed survivors
+    operator went super-linear at 64x, 51 s, purely from re-verification;
+    with the checkpoint the sweeps read materialized edge blocks)."""
     edges = pairs.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
-    edges = edges.union(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct()
+    edges = (
+        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()

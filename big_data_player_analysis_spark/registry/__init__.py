@@ -109,6 +109,21 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # new with no driver row — promoted, displacing llm_embed_quantize_int8:
 # green r03 on unchanged code, and llm_embed_dim_stats keeps the narrow
 # embedding-array-expression family in-window.
+#
+# Fourth round-4 rotation: the dedup_components edge-checkpoint fix (the
+# 64x probe caught per-sweep re-verification) changes the closure of
+# llm_corpus_curation (last green r01), so the policy promotes it —
+# displacing olap_window_time_range: green r03 on unchanged code, with
+# the window-function family still represented in-window by
+# olap_window_topk_per_group and the applyInPandas secondary sort.
+#
+# Fifth round-4 rotation: the 64x probe showed dedup_ngram_jaccard's
+# count-over-window df stage spilling (9.5x time for 4x data); its
+# candidate generation was rebuilt (partial-agg df + gated broadcast of
+# the rare-hash set, occurrence stream never exchanged), so it re-enters
+# the window — displacing olap_semi_join: green r03 on unchanged code,
+# and olap_exists_correlated keeps the semi-join physical shape
+# in-window (EXISTS plans as a semi join with a residual).
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -126,11 +141,11 @@ PRIMARY_ORDER: tuple[str, ...] = (
     # §2.4 engine-scope representatives (13)
     "olap_partition_pruned_scan",
     "olap_asof_join",
-    "olap_semi_join",
+    "dedup_ngram_jaccard",
     "olap_grouping_sets",
     "olap_table_profile",
     "olap_window_topk_per_group",
-    "olap_window_time_range",
+    "llm_corpus_curation",
     "olap_month_json",
     "olap_exists_correlated",
     "olap_tpch_q5_region_volume",
@@ -179,10 +194,11 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
-    "dedup_ngram_jaccard",
+    "olap_semi_join",
     "multimodal_image_decode",
     "llm_chunk_fixed",
     "llm_embed_quantize_int8",
+    "olap_window_time_range",
     "q17_top_k",
     "text_quality_score",
     "q14_keyed_sqdiff",
@@ -205,7 +221,6 @@ EXTENDED_ORDER: tuple[str, ...] = (
     "text_fingerprint",
     "stream_sliding_avg",
     "llm_decontaminate",
-    "llm_corpus_curation",
     "olap_range_join",
     "olap_tpch_q1_pricing_summary",
     "llm_stratified_sample",

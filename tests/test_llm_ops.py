@@ -110,6 +110,48 @@ def test_simhash_covers_exact_dups(docs, py_jaccard_pairs):
     assert len(got) < 4 * max(1, len(py_jaccard_pairs))
 
 
+def test_simhash_band_bounds_partition_property():
+    """Bounds must tile the 64 bits exactly (no gap/overlap) for any band
+    count — the precondition of the pigeonhole recall guarantee."""
+    from big_data_player_analysis_spark.operators.dedup import simhash_band_bounds
+
+    for n in (1, 2, 4, 8, 9, 13, 64):
+        bounds = simhash_band_bounds(n)
+        assert len(bounds) == n
+        off = 0
+        for o, w in bounds:
+            assert o == off and w >= 1
+            off += w
+        assert off == 64
+
+
+def test_simhash_scale_banding_exact_for_small_hamming(docs):
+    """The web-scale operating point (4 bands x 16 bits, hamming <= 3)
+    must return EXACTLY the strict 9-band run's pairs filtered to
+    hamming <= 3 — wider buckets change candidate volume, never the
+    verified answer (pigeonhole holds for <= n_bands - 1)."""
+    from big_data_player_analysis_spark.operators.dedup import dedup_simhash
+
+    strict = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup_simhash(docs, "doc_id", "text", K, max_hamming=8).collect()
+    }
+    scale = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup_simhash(
+            docs, "doc_id", "text", K, max_hamming=3, n_bands=4
+        ).collect()
+    }
+    assert scale == {p: h for p, h in strict.items() if h <= 3}
+
+
+def test_simhash_rejects_insufficient_bands():
+    from big_data_player_analysis_spark.operators.dedup import dedup_simhash
+
+    with pytest.raises(ValueError, match="bands"):
+        dedup_simhash(None, "doc_id", "text", max_hamming=8, n_bands=4)
+
+
 def test_simhash_signatures_narrow_and_dup_invariant(spark):
     """The vectorized signature path must (a) give byte-identical sigs to
     normalization-equivalent texts, (b) differ across unrelated texts,

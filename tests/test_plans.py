@@ -327,6 +327,10 @@ def test_incremental_dedup_gate_closed_falls_back_to_shuffle(spark):
     from big_data_player_analysis_spark.catalog import load_table
     from big_data_player_analysis_spark.operators.dedup import dedup_incremental
 
+    # the default-gate test persists the equivalent band/candidate plans;
+    # CacheManager would substitute those cached fragments here and elide
+    # the very join this test pins — drop them first
+    spark.catalog.clearCache()
     docs = load_table(spark, SF, "documents")
     new = docs.filter(F.col("doc_id") % 5 == 0)
     corpus = docs.filter(F.col("doc_id") % 5 != 0)

@@ -69,7 +69,7 @@ def test_primary_window():
         "llm_pii_redact", "llm_unigram_logprob", "multimodal_image_resize",
         "multimodal_audio_decode", "llm_quality_filters",
         "llm_line_dedup", "llm_shard_assign", "llm_mix_weights",
-        "llm_pack_sequences", "llm_embed_dim_stats", "olap_window_time_range",
+        "llm_pack_sequences", "llm_embed_dim_stats", "llm_corpus_curation",
         "llm_apply_mix", "multimodal_png_decode", "olap_table_profile",
         "llm_top_ngrams", "stream_late_data_drop",
         "olap_sessionization", "olap_partition_pruned_scan",

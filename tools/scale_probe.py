@@ -242,6 +242,11 @@ def probe_set(docs, emb, events=None):
         ),
         "dedup_minhash_lsh": lambda: dedup_minhash_lsh(docs, "doc_id", "text", 8, 0.6),
         "dedup_simhash": lambda: dedup_simhash(docs, "doc_id", "text", 8),
+        # web-scale operating point: 16-bit buckets keep candidate volume
+        # ~ n^2/2^16 per band vs the strict contract's n^2/2^7
+        "dedup_simhash_h3": lambda: dedup_simhash(
+            docs, "doc_id", "text", 8, max_hamming=3, n_bands=4
+        ),
         "knn_join_vectorized": lambda: knn_join_vectorized(
             emb, emb.filter(F.col("vec_id") < 5), k=3
         ),
