@@ -36,6 +36,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOT set: adaptive.coalescePartitions.initialPartitionNum. The
+        # high-initial-width + AQE-coalesce recipe was A/B-measured here
+        # (interleaved runs of the heaviest shuffle, the jaccard verify,
+        # at 16x): 8x initial width was consistently 1.8-7x SLOWER than
+        # the flat core-count width in this single-JVM local mode — the
+        # extra task waves and 8x-fan-in shuffle reads cost more than the
+        # per-task sort memory they save. On a real multi-executor
+        # cluster this knob belongs in spark-submit tuning, not baked in.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -410,7 +410,12 @@ def main():
         "(dedup_embedding_cosine is documented-quadratic in flops: its row",
         "shows the blocked GEMM staying BLAS-bound, not linearity;",
         "q16_heroic rows scale disjoint duel subgraphs so iteration count",
-        "stays constant while edges grow).",
+        "stays constant while edges grow; dedup_ngram_jaccard's exact",
+        "any-shared-rare-shingle contract admits ~59 candidates/doc on",
+        "this corpus, so its verify dominates — dedup_minhash_lsh, whose",
+        "bands admit ~4 orders of magnitude fewer candidates for the same",
+        "verified output, is the designed scale path, and dedup_simhash_h3",
+        "is the simhash web-scale operating point vs the strict <=8 row).",
         f"Each cell is the min over {n_invocations} probe invocation(s) x 2",
         "runs each (this host has sustained external load bursts that",
         "inflate wall times up to 6x; the min across repeats estimates the",
