@@ -101,6 +101,85 @@ def chunk_tokens(
     )
 
 
+# Content-defined chunking (rolling hash): window, boundary divisor, and
+# the base-31 polynomial modulus — all engine-portable integer arithmetic.
+CDC_WINDOW = 8
+CDC_DIVISOR = 64  # boundary when (poly % P) % 64 == 0 -> ~64-char chunks
+CDC_PRIME = 2147483647
+CDC_POW = [31**k for k in range(CDC_WINDOW - 1, -1, -1)]
+
+
+def cdc_chunks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, chunk_id, start, chunk_len, chunk_md5): CONTENT-DEFINED
+    chunking of the normalized text via a rolling polynomial hash — the
+    fingerprinting scheme (Rabin-Karp family) that keeps chunk boundaries
+    stable under insertions/edits, so shifted copies of a document still
+    produce mostly-identical chunk hashes for dedup/delta storage. A cut
+    falls after any 8-char window whose base-31 polynomial (mod p, mod 64)
+    is 0, giving ~64-char expected chunks; documents shorter than the
+    window (or empty) yield one chunk, preserving every document.
+
+    This is the simplified fixed-window boundary test (each window judged
+    independently, FastCDC-style without min/max clamps) so the rule is
+    replayable EXACTLY in ANSI SQL: ascii codes of the normalized
+    [a-z0-9 ] alphabet are single-byte in both engines and the polynomial
+    stays within int64 (122 * sum(31^0..31^7) < 2^45).
+
+    Scale shape: pure built-in expressions end-to-end — the window scan,
+    boundary filter, segment construction (array ops on the cut list),
+    and md5 all run in whole-stage codegen with NO shuffle and NO UDF;
+    chunk rows stay on their document's scan split like the other
+    chunkers (plan-pinned)."""
+    from big_data_player_analysis_spark.functions.text import normalize_text
+
+    poly = " + ".join(
+        f"ascii(substr(norm, CAST(i+{j} AS INT), 1)) * {CDC_POW[j]}L"
+        for j in range(CDC_WINDOW)
+    )
+    cuts = (
+        f"filter(CASE WHEN length(norm) >= {CDC_WINDOW} "
+        f"THEN sequence(1, length(norm)-{CDC_WINDOW - 1}) "
+        f"ELSE CAST(array() AS ARRAY<INT>) END, "
+        f"i -> (({poly}) % {CDC_PRIME}L) % {CDC_DIVISOR} = 0)"
+    )
+    # chunk ends = cut-window ends plus the document end, deduplicated (a
+    # cut at the last window already ends at length(norm)); segment k runs
+    # from the previous end + 1 to ends[k]
+    ends = (
+        f"array_distinct(concat(transform({cuts}, c -> c + {CDC_WINDOW - 1}), "
+        "array(length(norm))))"
+    )
+    return (
+        # NULL text is treated as empty (normalize(NULL) is NULL, which
+        # would silently DROP the document — same pitfall as chunk_fixed)
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            normalize_text(F.coalesce(F.col(text_col), F.lit(""))).alias("norm"),
+        )
+        .selectExpr("doc_id", "norm", f"{ends} AS ends")
+        .select(
+            "doc_id",
+            "norm",
+            "ends",
+            F.posexplode("ends").alias("chunk_id", "e"),
+        )
+        .withColumn(
+            "s",
+            F.when(F.col("chunk_id") == 0, F.lit(1)).otherwise(
+                F.element_at("ends", F.col("chunk_id")) + 1
+            ),
+        )
+        .filter((F.col("e") >= F.col("s")) | ((F.col("chunk_id") == 0) & (F.col("e") == 0)))
+        .selectExpr(
+            "doc_id",
+            "CAST(chunk_id AS BIGINT) AS chunk_id",
+            "CAST(s AS BIGINT) AS start",
+            "CAST(e - s + 1 AS BIGINT) AS chunk_len",
+            "md5(substr(norm, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS chunk_md5",
+        )
+    )
+
+
 PACK_BUDGET = 256  # tokens per packed sequence
 # Fixed stream count for the registry entry (its SQL oracle replays the
 # same 8-stream hash split); pack_sequences itself defaults n_groups to the

@@ -124,6 +124,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # the window — displacing olap_semi_join: green r03 on unchanged code,
 # and olap_exists_correlated keeps the semi-join physical shape
 # in-window (EXISTS plans as a semi join with a residual).
+#
+# Sixth round-4 rotation: llm_cdc_chunks (rolling-hash content-defined
+# chunking, the brief's named fingerprinting primitive) is new with no
+# driver row — promoted, displacing llm_chunk_tokens: green r03 on
+# unchanged code, with the chunking family still in-window via
+# llm_cdc_chunks + llm_pack_sequences and both fixed chunkers holding
+# green rows + the shuffle-free plan pin in tests.
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -170,7 +177,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "dedup_embedding_cosine",
     "dedup_components",
     "llm_dedup_incremental",
-    "llm_chunk_tokens",
+    "llm_cdc_chunks",
     "llm_url_canonical_dedup",
     "llm_pii_redact",
     "llm_unigram_logprob",
@@ -197,6 +204,7 @@ EXTENDED_ORDER: tuple[str, ...] = (
     "olap_semi_join",
     "multimodal_image_decode",
     "llm_chunk_fixed",
+    "llm_chunk_tokens",
     "llm_embed_quantize_int8",
     "olap_window_time_range",
     "q17_top_k",

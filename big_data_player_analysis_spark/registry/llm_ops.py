@@ -1425,6 +1425,64 @@ def line_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------- content-defined chunking (CDC)
+
+from big_data_player_analysis_spark.operators.chunking import (  # noqa: E402
+    CDC_DIVISOR,
+    CDC_POW,
+    CDC_PRIME,
+    CDC_WINDOW,
+    cdc_chunks,
+)
+
+_CDC_POLY = " + ".join(
+    f"CAST(ascii(substr(norm, CAST(i+{j} AS INT), 1)) AS BIGINT) * {CDC_POW[j]}"
+    for j in range(CDC_WINDOW)
+)
+
+# NULL-safe normalization twin (cdc_chunks preserves NULL-text documents
+# as one empty chunk)
+_SQL_NORM_NN = SQL_NORM.replace("lower(text)", "lower(coalesce(text, ''))")
+
+SQL_CDC_CHUNKS = f"""
+WITH d AS (SELECT doc_id, {_SQL_NORM_NN} AS norm FROM documents),
+pos AS (
+  SELECT doc_id, norm, unnest(range(1, greatest(len(norm) - {CDC_WINDOW - 2}, 1))) AS i
+  FROM d),
+cuts AS (
+  SELECT doc_id, i FROM pos
+  WHERE (({_CDC_POLY}) % {CDC_PRIME}) % {CDC_DIVISOR} = 0),
+ends AS (
+  SELECT DISTINCT doc_id, e FROM (
+    SELECT doc_id, i + {CDC_WINDOW - 1} AS e FROM cuts
+    UNION ALL
+    SELECT doc_id, len(norm) AS e FROM d)),
+seg AS (
+  SELECT doc_id, e,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY e) - 1 AS BIGINT)
+           AS chunk_id,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s
+  FROM ends)
+SELECT seg.doc_id, chunk_id,
+       CAST(s AS BIGINT) AS start,
+       CAST(e - s + 1 AS BIGINT) AS chunk_len,
+       md5(substr(norm, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS chunk_md5
+FROM seg JOIN d ON seg.doc_id = d.doc_id
+WHERE e >= s OR (chunk_id = 0 AND e = 0)
+"""
+
+
+@query("llm_cdc_chunks", sql=SQL_CDC_CHUNKS, tags=("llm", "chunking", "dedup"))
+def cdc_chunks_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking by rolling polynomial hash
+    (operators/chunking.py:cdc_chunks): boundaries follow content, not
+    offsets, so edit-shifted near-copies keep identical chunk md5s — the
+    fingerprinting primitive behind delta dedup of file-like blobs. Pure
+    built-ins, no shuffle, no UDF; the oracle replays the identical
+    integer polynomial and segment construction."""
+    return cdc_chunks(t(spark, sf, "documents"), "doc_id", "text")
+
+
 # ------------------------------------------------- deterministic sharding
 
 SHARD_COUNT = 16

@@ -326,3 +326,57 @@ class TestApplyMix:
             by_doc.setdefault(r.doc_id, []).append(r.epoch)
         for d, es in by_doc.items():
             assert sorted(es) == list(range(len(es)))
+
+
+class TestCdcChunks:
+    """Content-defined chunking: reconstruction, document preservation, and
+    the defining edit-shift boundary stability property."""
+
+    def _chunks(self, spark, rows):
+        from big_data_player_analysis_spark.operators.chunking import cdc_chunks
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return cdc_chunks(df, "doc_id", "text").collect()
+
+    def test_chunks_tile_the_document(self, spark):
+        import hashlib
+        import random
+        import re
+
+        rng = random.Random(3)
+        text = "".join(rng.choice("abcdefgh 012") for _ in range(2000))
+        norm = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", "", text.lower())).strip()
+        out = sorted(self._chunks(spark, [(1, text)]), key=lambda r: r.chunk_id)
+        assert out[0].start == 1
+        pos = 1
+        for r in out:
+            assert r.start == pos
+            piece = norm[r.start - 1 : r.start - 1 + r.chunk_len]
+            assert hashlib.md5(piece.encode()).hexdigest() == r.chunk_md5
+            pos += r.chunk_len
+        assert pos - 1 == len(norm)  # chunks tile the whole normalized text
+        assert len(out) > 3  # boundaries actually fired on 2000 chars
+
+    def test_short_and_empty_docs_preserved(self, spark):
+        out = self._chunks(spark, [(1, "tiny"), (2, ""), (3, None)])
+        by_doc = {r.doc_id: r for r in out}
+        assert set(by_doc) == {1, 2, 3}
+        assert by_doc[1].chunk_len == 4
+        assert by_doc[2].chunk_len == 0 and by_doc[3].chunk_len == 0
+
+    def test_edit_shift_keeps_downstream_chunk_hashes(self, spark):
+        """Prepending text must leave every chunk after the first
+        content-defined boundary byte-identical (same md5 multiset tail) —
+        the property offset-based chunking cannot have, and the reason CDC
+        exists."""
+        import random
+
+        rng = random.Random(11)
+        body = "".join(rng.choice("abcdefgh 012") for _ in range(3000))
+        shifted = "zz9 " + body
+        base = {r.chunk_md5 for r in self._chunks(spark, [(1, body)])}
+        edit = {r.chunk_md5 for r in self._chunks(spark, [(1, shifted)])}
+        shared = base & edit
+        # everything beyond the first boundary after the edit is shared
+        assert len(shared) >= max(1, len(base) - 2)
+        assert base != edit  # the head chunk did change

@@ -65,7 +65,7 @@ def test_primary_window():
         "dedup_exact", "llm_near_dedup_survivors", "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_embedding_cosine", "dedup_components", "sim_bruteforce_topk",
-        "llm_dedup_incremental", "llm_chunk_tokens", "llm_url_canonical_dedup",
+        "llm_dedup_incremental", "llm_cdc_chunks", "llm_url_canonical_dedup",
         "llm_pii_redact", "llm_unigram_logprob", "multimodal_image_resize",
         "multimodal_audio_decode", "llm_quality_filters",
         "llm_line_dedup", "llm_shard_assign", "llm_mix_weights",
