@@ -125,30 +125,50 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     [a-z0-9 ] alphabet are single-byte in both engines and the polynomial
     stays within int64 (122 * sum(31^0..31^7) < 2^45).
 
-    Scale shape: pure built-in expressions end-to-end — the window scan,
-    boundary filter, segment construction (array ops on the cut list),
-    and md5 all run in whole-stage codegen with NO shuffle and NO UDF;
-    chunk rows stay on their document's scan split like the other
-    chunkers (plan-pinned)."""
+    Scale shape: one narrow Arrow pass computes each document's chunk-end
+    list (see the in-function note on the measured rejection of the
+    pure-expression forms); segment construction, substr, and md5 are
+    JVM expressions. NO shuffle anywhere: chunk rows stay on their
+    document's scan split like the other chunkers (plan-pinned)."""
     from big_data_player_analysis_spark.functions.text import normalize_text
 
-    poly = " + ".join(
-        f"ascii(substr(norm, CAST(i+{j} AS INT), 1)) * {CDC_POW[j]}L"
-        for j in range(CDC_WINDOW)
-    )
-    cuts = (
-        f"filter(CASE WHEN length(norm) >= {CDC_WINDOW} "
-        f"THEN sequence(1, length(norm)-{CDC_WINDOW - 1}) "
-        f"ELSE CAST(array() AS ARRAY<INT>) END, "
-        f"i -> (({poly}) % {CDC_PRIME}L) % {CDC_DIVISOR} = 0)"
-    )
-    # chunk ends = cut-window ends plus the document end, deduplicated (a
-    # cut at the last window already ends at length(norm)); segment k runs
-    # from the previous end + 1 to ends[k]
-    ends = (
-        f"array_distinct(concat(transform({cuts}, c -> c + {CDC_WINDOW - 1}), "
-        "array(length(norm))))"
-    )
+    # The window-hash scan runs as ONE vectorized Arrow pass per row (the
+    # minhash_signatures design): numpy's sliding_window_view over the
+    # normalized text's single-byte codes gives the window matrix with
+    # zero copies and one matvec computes every window's polynomial.
+    # Pure-expression forms were tried and measured first: substr(norm, i,
+    # 1) per window is O(len^2) (UTF8String seeks from the start — a
+    # multi-minute stall at 64x), and a Horner chain of zip_with's over
+    # shifted slices of the code array, though linear, pays interpreted
+    # higher-order-lambda cost per element (~8 ms/doc, 80x the Arrow
+    # pass). Segment construction and hashing stay JVM-side expressions.
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    w, p, div = CDC_WINDOW, CDC_PRIME, CDC_DIVISOR
+
+    def _ends_fn(norm):
+        import numpy as np
+
+        pows = np.asarray(CDC_POW, dtype=np.int64)
+        out = []
+        for s in norm:
+            raw = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+            if raw.size < w:
+                out.append([int(raw.size)])  # one (possibly empty) chunk
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(raw, w).astype(np.int64)
+            h = ((win @ pows) % p) % div
+            # 0-based window index i -> 1-based chunk end i + w
+            ends = np.unique(np.append(np.nonzero(h == 0)[0] + w, raw.size))
+            out.append([int(x) for x in ends])
+        return pd.Series(out)
+
+    # `from __future__ import annotations` stringifies hints module-wide;
+    # pandas_udf needs REAL annotation objects (same fix as pack_sequences)
+    _ends_fn.__annotations__ = {"norm": pd.Series, "return": pd.Series}
+    _chunk_ends = pandas_udf(_ends_fn, "array<int>")
+
     return (
         # NULL text is treated as empty (normalize(NULL) is NULL, which
         # would silently DROP the document — same pitfall as chunk_fixed)
@@ -156,7 +176,7 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             F.col(id_col).alias("doc_id"),
             normalize_text(F.coalesce(F.col(text_col), F.lit(""))).alias("norm"),
         )
-        .selectExpr("doc_id", "norm", f"{ends} AS ends")
+        .withColumn("ends", _chunk_ends("norm"))
         .select(
             "doc_id",
             "norm",

@@ -1477,9 +1477,10 @@ def cdc_chunks_q(spark: SparkSession, sf: str) -> DataFrame:
     """Content-defined chunking by rolling polynomial hash
     (operators/chunking.py:cdc_chunks): boundaries follow content, not
     offsets, so edit-shifted near-copies keep identical chunk md5s — the
-    fingerprinting primitive behind delta dedup of file-like blobs. Pure
-    built-ins, no shuffle, no UDF; the oracle replays the identical
-    integer polynomial and segment construction."""
+    fingerprinting primitive behind delta dedup of file-like blobs. One
+    narrow Arrow boundary scan + JVM segment expressions, no shuffle; the
+    oracle replays the identical integer polynomial and segment
+    construction."""
     return cdc_chunks(t(spark, sf, "documents"), "doc_id", "text")
 
 

@@ -128,12 +128,15 @@ def test_heroic_iteration_plan_shape_and_no_growth(spark, specs):
 def test_chunking_is_shuffle_free(spark, specs):
     """All three chunkers are narrow explode plans: chunk rows stay
     co-located with their source scan split — no Exchange anywhere; the
-    CDC chunker additionally runs with no Python UDF (pure built-ins)."""
+    CDC chunker's boundary scan is the Arrow-vectorized path
+    (ArrowEvalPython), never a row-at-a-time Python UDF."""
     for name in ("llm_chunk_fixed", "llm_chunk_tokens", "llm_cdc_chunks"):
         p = plan_str(specs[name].fn(spark, SF))
         assert "Exchange" not in p, name
         assert "Generate" in p, name  # the explode
-    assert "EvalPython" not in plan_str(specs["llm_cdc_chunks"].fn(spark, SF))
+    p = plan_str(specs["llm_cdc_chunks"].fn(spark, SF))
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
 
 
 def test_pii_redact_is_narrow_projection(spark, specs):

@@ -29,6 +29,7 @@ from big_data_player_analysis_spark.multimodal import (
     decode_audio_features,
 )
 from big_data_player_analysis_spark.operators.chunking import (
+    cdc_chunks,
     chunk_fixed,
     pack_sequences,
 )
@@ -251,6 +252,7 @@ def probe_set(docs, emb, events=None):
             emb, emb.filter(F.col("vec_id") < 5), k=3
         ),
         "llm_chunk_fixed": lambda: chunk_fixed(docs, "doc_id", "text"),
+        "llm_cdc_chunks": lambda: cdc_chunks(docs, "doc_id", "text"),
         "llm_line_dedup": lambda: remove_repeated_windows(docs, "doc_id", "text"),
         "llm_shard_assign": lambda: shard_assign(docs, "doc_id", 16).select(
             "doc_id", "shard", "pos"
