@@ -131,6 +131,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # unchanged code, with the chunking family still in-window via
 # llm_cdc_chunks + llm_pack_sequences and both fixed chunkers holding
 # green rows + the shuffle-free plan pin in tests.
+#
+# Seventh round-4 rotation: llm_semantic_dedup (SemDeDup-style sign-bucket
+# clustering + within-bucket cosine prune, fully SQL-replayed) is new
+# with no driver row — promoted, displacing multimodal_audio_decode:
+# green r03 on unchanged code, and the real-decode mapInPandas pipeline
+# shape stays in-window via multimodal_png_decode (zlib inflate +
+# unfilter strictly supersets the wave parse's plumbing).
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -185,7 +192,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_apply_mix",
     "sim_bruteforce_topk",
     "multimodal_png_decode",
-    "multimodal_audio_decode",
+    "llm_semantic_dedup",
     # streaming tier (7)
     "stream_tumbling_counts",
     "stream_dedup_by_id",
@@ -201,6 +208,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "multimodal_audio_decode",
     "olap_semi_join",
     "multimodal_image_decode",
     "llm_chunk_fixed",

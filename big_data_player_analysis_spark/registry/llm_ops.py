@@ -42,6 +42,7 @@ from big_data_player_analysis_spark.operators.dedup import (
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
     dedup_simhash,
+    semantic_dedup,
 )
 from big_data_player_analysis_spark.operators.repetition import (
     REPEAT_MIN_DOCS,
@@ -558,6 +559,45 @@ def dedup_cosine_q(spark: SparkSession, sf: str) -> DataFrame:
     the brute-force SQL; outputs are bit-identical."""
     return dedup_embedding_cosine(
         t(spark, sf, "embeddings"), "vec_id", "embedding", COSINE_DUP_THRESHOLD
+    )
+
+
+SEMANTIC_DEDUP_THRESHOLD = 0.4
+SEMANTIC_BUCKET_BITS = 6
+_SQL_SEM_BUCKET = " + ".join(
+    f"CASE WHEN e[{d + 1}] > 0 THEN {1 << d} ELSE 0 END"
+    for d in range(SEMANTIC_BUCKET_BITS)
+)
+
+
+@query(
+    "llm_semantic_dedup",
+    sql=f"""
+    WITH v AS ({SQL_VEC}),
+    b AS (SELECT vec_id, e, CAST({_SQL_SEM_BUCKET} AS BIGINT) AS bucket FROM v),
+    dropped AS (
+      SELECT DISTINCT b2.vec_id AS vec_id
+      FROM b b1 JOIN b b2 ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+      WHERE {SQL_COS.format(a='b1.e', b='b2.e')} >= {SEMANTIC_DEDUP_THRESHOLD}
+    )
+    SELECT vec_id, bucket FROM b
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+    tags=("llm", "dedup", "bench"),
+)
+def semantic_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: deterministic sign-bucket coarse
+    clusters (2**6 here; 2**20 is the web-scale knob), within-bucket
+    cosine >= 0.4 prune keeping the lowest id per epsilon-ball. The
+    pairwise cosine runs only inside buckets (the SemDeDup contract) as a
+    JVM zip_with fold; the oracle replays bucket + prune as one SQL
+    statement."""
+    return semantic_dedup(
+        t(spark, sf, "embeddings"),
+        "vec_id",
+        "embedding",
+        SEMANTIC_DEDUP_THRESHOLD,
+        SEMANTIC_BUCKET_BITS,
     )
 
 
@@ -1472,7 +1512,7 @@ WHERE e >= s OR (chunk_id = 0 AND e = 0)
 """
 
 
-@query("llm_cdc_chunks", sql=SQL_CDC_CHUNKS, tags=("llm", "chunking", "dedup"))
+@query("llm_cdc_chunks", sql=SQL_CDC_CHUNKS, tags=("llm", "chunking", "dedup", "bench"))
 def cdc_chunks_q(spark: SparkSession, sf: str) -> DataFrame:
     """Content-defined chunking by rolling polynomial hash
     (operators/chunking.py:cdc_chunks): boundaries follow content, not

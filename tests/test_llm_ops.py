@@ -1187,3 +1187,83 @@ def test_embed_quantize_int8_roundtrip_error_bound(spark, emb):
             q = round(x / scale)
             assert -127 <= q <= 127
             assert abs(x - q * scale) <= scale / 2 + 1e-12
+
+
+# ------------------------------------------------------------ semantic dedup
+
+
+class TestSemanticDedup:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    def test_in_bucket_near_dup_collapses_to_senior(self, spark):
+        from big_data_player_analysis_spark.operators.dedup import semantic_dedup
+
+        # ids 1 and 5: identical direction (cosine 1.0), same sign bucket
+        # -> the lower id survives; id 9 is orthogonal-ish in the same
+        # bucket and survives.
+        rows = [
+            (1, [1.0, 1.0, 1.0, 0.5, 0.5, 0.5, 0.1, 0.2]),
+            (5, [2.0, 2.0, 2.0, 1.0, 1.0, 1.0, 0.2, 0.4]),
+            (9, [1.0, -1.0, 1.0, -0.5, 0.5, -0.5, 0.3, 0.1]),
+        ]
+        out = semantic_dedup(self._df(spark, rows), "vec_id", "embedding", 0.9, 3)
+        got = {(r.vec_id, r.bucket) for r in out.collect()}
+        # buckets: id1/id5 signs (+,+,+) -> 0b111 = 7; id9 (+,-,+) -> 0b101 = 5
+        assert got == {(1, 7), (9, 5)}
+
+    def test_cross_bucket_near_dups_not_compared(self, spark):
+        from big_data_player_analysis_spark.operators.dedup import semantic_dedup
+
+        # identical magnitudes but opposite first-dim sign -> different
+        # buckets, so both survive: the documented SemDeDup recall
+        # tradeoff (the exact path is dedup_embedding_cosine).
+        rows = [
+            (1, [0.01, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+            (2, [-0.01, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]),
+        ]
+        out = semantic_dedup(self._df(spark, rows), "vec_id", "embedding", 0.9, 3)
+        assert {r.vec_id for r in out.collect()} == {1, 2}
+
+    def test_matches_numpy_twin_on_corpus(self, spark, sf_small):
+        from big_data_player_analysis_spark.operators.dedup import semantic_dedup
+
+        emb = load_table(spark, sf_small, "embeddings")
+        out = semantic_dedup(emb, "vec_id", "embedding", 0.4, 6)
+        got = {(r.vec_id, r.bucket) for r in out.collect()}
+
+        pdf = emb.select("vec_id", "embedding").toPandas()
+        ids = pdf["vec_id"].to_numpy()
+        V = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+        buckets = (V[:, :6] > 0).astype(np.int64) @ (1 << np.arange(6))
+        Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+        dropped = set()
+        for bkt in np.unique(buckets):
+            sel = np.nonzero(buckets == bkt)[0]
+            order = sel[np.argsort(ids[sel])]
+            S = np.round(Vn[order] @ Vn[order].T, 6)
+            for j in range(1, len(order)):
+                if (S[:j, j] >= 0.4).any():
+                    dropped.add(ids[order[j]])
+        want = {
+            (int(i), int(b)) for i, b in zip(ids, buckets) if int(i) not in dropped
+        }
+        assert got == want
+
+    def test_plan_equi_joins_only(self, spark, sf_small):
+        from big_data_player_analysis_spark.operators.dedup import semantic_dedup
+
+        emb = load_table(spark, sf_small, "embeddings")
+        plan = (
+            semantic_dedup(emb, "vec_id", "embedding", 0.4, 6)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the within-bucket pairwise prune must ride an equi-join on the
+        # bucket key, never a nested-loop/cartesian all-pairs
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan

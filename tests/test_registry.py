@@ -67,7 +67,7 @@ def test_primary_window():
         "dedup_embedding_cosine", "dedup_components", "sim_bruteforce_topk",
         "llm_dedup_incremental", "llm_cdc_chunks", "llm_url_canonical_dedup",
         "llm_pii_redact", "llm_unigram_logprob", "multimodal_image_resize",
-        "multimodal_audio_decode", "llm_quality_filters",
+        "llm_semantic_dedup", "llm_quality_filters",
         "llm_line_dedup", "llm_shard_assign", "llm_mix_weights",
         "llm_pack_sequences", "llm_embed_dim_stats", "llm_corpus_curation",
         "llm_apply_mix", "multimodal_png_decode", "olap_table_profile",
