@@ -7,6 +7,15 @@ The applyInPandasWithState operator keeps O(1) state per user (count, sum,
 max-ts triple), the canonical shape for running per-entity aggregates at
 100 TB: state lives in the state store partitioned by the grouping key, and
 each micro-batch touches only the keys present in that batch.
+
+Environment gate: Spark 4's successor API, transformWithStateInPandas
+(typed Value/Map/List state, timers, TTL), is NOT used here because its
+state-server protocol imports google.protobuf, which this sandbox lacks
+(verified: the pre-init driver worker crashes with ImportError in
+pyspark/sql/streaming/proto/StateMessage_pb2.py). applyInPandasWithState
+carries no such dependency and expresses the same per-key-state semantics;
+swapping to transformWithState where protobuf exists is a mechanical port
+of _update_user_stats into a StatefulProcessor.handleInputRows.
 """
 
 from __future__ import annotations

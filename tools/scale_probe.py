@@ -206,14 +206,21 @@ def url_dedup(docs):
     )
 
 
-def probe_set(docs, emb, events=None):
+def probe_set(docs, emb, events=None, factor=1):
     """name -> zero-arg builder; timed() constructs the plan per run so
     operator-internal persist marks survive the preceding clearCache.
     ``events`` is optional so older two-table call sites (warmup) still
-    work; when present the events-derived probes are included."""
+    work; when present the events-derived probes are included. ``factor``
+    lets occupancy-knob operators grow their granularity with the corpus
+    (semantic dedup widens its bucket count with n — the SemDeDup
+    contract holds k/n roughly constant, and the probe measures THAT
+    operating curve, not a fixed-k quadratic)."""
+    import math
+
     from big_data_player_analysis_spark.operators.dedup import (
         dedup_embedding_cosine,
         near_dedup_survivors,
+        semantic_dedup,
     )
     from big_data_player_analysis_spark.multimodal import (
         attach_png_payload,
@@ -250,6 +257,13 @@ def probe_set(docs, emb, events=None):
         ),
         "knn_join_vectorized": lambda: knn_join_vectorized(
             emb, emb.filter(F.col("vec_id") < 5), k=3
+        ),
+        # constant-occupancy probe: bucket bits grow with the corpus
+        # (6 bits at 1x -> 12 at 64x keeps ~31 vectors/bucket), matching
+        # how SemDeDup scales k with n; within-bucket work per vector is
+        # then constant and the row should read near-linear
+        "llm_semantic_dedup": lambda: semantic_dedup(
+            emb, "vec_id", "embedding", 0.4, 6 + round(math.log2(factor))
         ),
         "llm_chunk_fixed": lambda: chunk_fixed(docs, "doc_id", "text"),
         "llm_cdc_chunks": lambda: cdc_chunks(docs, "doc_id", "text"),
@@ -303,8 +317,8 @@ def main():
     base_events = load_table(spark, SF_DIR, "events")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
-    def probes(docs, emb, events):
-        full = probe_set(docs, emb, events)
+    def probes(docs, emb, events, factor=1):
+        full = probe_set(docs, emb, events, factor=factor)
         return {n: b for n, b in full.items() if only is None or n in only}
 
     # Warmup: run every probe once untimed at 1x so the first timed scale
@@ -331,7 +345,7 @@ def main():
         rows[s] = docs.count()
         emb.count()
         events.count()
-        for name, build in probes(docs, emb, events).items():
+        for name, build in probes(docs, emb, events, factor=s).items():
             results.setdefault(name, {})[s] = timed(build)
             # drop THIS probe's operator-internal persists (shingle tables,
             # signatures, candidates) before timing the next one — retained
