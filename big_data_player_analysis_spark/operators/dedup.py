@@ -655,24 +655,58 @@ def near_dedup_survivors(
     text_col: str,
     k: int = 8,
     threshold: float = 0.6,
+    quality_col: str | None = None,
 ) -> DataFrame:
     """End-to-end fuzzy dedup: MinHash+LSH verified pairs -> connected
-    components -> keep exactly one document per component (the min id),
-    drop the rest — the operation a curation run actually executes, lifted
-    from exact composite keys (reference exercise_3.py:10-22) to
-    near-duplicate clusters. Returns every surviving row of ``df`` plus
-    ``group_size`` (how many near-dup documents the survivor represents;
-    1 for documents with no near-duplicate).
+    components -> keep exactly one document per component, drop the rest —
+    the operation a curation run actually executes, lifted from exact
+    composite keys (reference exercise_3.py:10-22) to near-duplicate
+    clusters. Returns every surviving row of ``df`` plus ``group_size``
+    (how many near-dup documents the survivor represents; 1 for documents
+    with no near-duplicate).
 
-    Scale shape: the cluster tables (components, group sizes, non-canonical
-    ids) hold only documents that appear in at least one verified pair —
-    a small fraction of the corpus — and the removal is a keyed LEFT ANTI
-    join on the id, so the corpus never joins against anything larger than
-    the duplicate set; no forced broadcast (AQE converts the anti-join when
-    the dup set is small, a skew-safe shuffle handles a pathological one).
+    Survivor policy: the min id per component by default; when
+    ``quality_col`` is given, the highest-quality member instead (ties
+    broken by lower id) — what a production curation run keeps, since the
+    canonical-id member is rarely the best-written copy.
+
+    Scale shape: the cluster tables (components, group sizes, winners,
+    loser ids) hold only documents that appear in at least one verified
+    pair — a small fraction of the corpus — and the removal is a keyed
+    LEFT ANTI join on the id, so the corpus never joins against anything
+    larger than the duplicate set; no forced broadcast (AQE converts the
+    anti-join when the dup set is small, a skew-safe shuffle handles a
+    pathological one). The quality policy adds one keyed join of the
+    cluster table against the corpus's (id, quality) projection — narrow
+    columns, duplicate-set-sized output — and a per-component max_by.
     """
     pairs = dedup_minhash_lsh(df, id_col, text_col, k=k, threshold=threshold)
     comp = dedup_components(pairs).persist()
+    if quality_col is not None:
+        scored = comp.join(
+            df.select(F.col(id_col).alias("node"), F.col(quality_col).alias("_q")),
+            "node",
+        )
+        winners = scored.groupBy("component").agg(
+            F.max_by(
+                "node", F.struct(F.col("_q"), (-F.col("node")).alias("_neg"))
+            ).alias("_winner"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        losers = (
+            comp.join(winners.select("component", "_winner"), "component")
+            .filter(F.col("node") != F.col("_winner"))
+            .select(F.col("node").alias(id_col))
+        )
+        return (
+            df.join(losers, id_col, "left_anti")
+            .join(
+                winners.select(F.col("_winner").alias(id_col), "group_size"),
+                id_col,
+                "left",
+            )
+            .withColumn("group_size", F.coalesce("group_size", F.lit(1)))
+        )
     group_sizes = comp.groupBy("component").agg(
         F.count(F.lit(1)).alias("group_size")
     )

@@ -138,6 +138,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # green r03 on unchanged code, and the real-decode mapInPandas pipeline
 # shape stays in-window via multimodal_png_decode (zlib inflate +
 # unfilter strictly supersets the wave parse's plumbing).
+#
+# Eighth round-4 rotation: llm_near_dedup_best_quality (the production
+# survivor policy — per-cluster argmax over a quality column instead of
+# min id; also changes near_dedup_survivors' closure, which is already
+# in-window) is new with no driver row — promoted, displacing
+# llm_mix_weights: green r03 on unchanged code, and llm_apply_mix keeps
+# the identical per-source weights computation in-window (apply_mix
+# composes source_mix_weights internally).
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -174,11 +182,11 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_quality_filters",
     "llm_line_dedup",
     "llm_shard_assign",
-    "llm_mix_weights",
     "llm_pack_sequences",
     "llm_embed_dim_stats",
     "dedup_exact",
     "llm_near_dedup_survivors",
+    "llm_near_dedup_best_quality",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
@@ -208,6 +216,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "llm_mix_weights",
     "multimodal_audio_decode",
     "olap_semi_join",
     "multimodal_image_decode",

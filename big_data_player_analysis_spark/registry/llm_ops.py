@@ -469,6 +469,65 @@ def near_dedup_survivors_q(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "source", "group_size")
 
 
+SQL_SURVIVORS_BEST = f"""
+WITH RECURSIVE {SQL_SHINGLES_CTE.strip()},
+jp AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes na ON na.doc = i.doc_a
+  JOIN sizes nb ON nb.doc = i.doc_b
+  WHERE round(1.0 * n_common / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+),
+und AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
+reach(a, b) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+ranked AS (
+  SELECT c.component, c.node,
+         row_number() OVER (
+           PARTITION BY c.component
+           ORDER BY length(d.text) DESC, c.node ASC
+         ) AS rn,
+         count(*) OVER (PARTITION BY c.component) AS gs
+  FROM comp c JOIN documents d ON d.doc_id = c.node
+),
+win AS (SELECT node AS winner, CAST(gs AS BIGINT) AS group_size
+        FROM ranked WHERE rn = 1)
+SELECT d.doc_id, d.source,
+       CAST(coalesce(w.group_size, 1) AS BIGINT) AS group_size
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.node
+LEFT JOIN win w ON w.winner = d.doc_id
+WHERE c.node IS NULL OR w.winner IS NOT NULL
+"""
+
+
+@query(
+    "llm_near_dedup_best_quality",
+    sql=SQL_SURVIVORS_BEST,
+    tags=("llm", "dedup", "pipeline"),
+)
+def near_dedup_best_quality_q(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end fuzzy dedup with the PRODUCTION survivor policy: per
+    near-dup cluster keep the highest-quality member (here quality =
+    text length; ties -> lower id), not the canonical min id — a real
+    curation run keeps the best-written copy. Same pairs -> components
+    machinery as llm_near_dedup_survivors; the winner is a per-component
+    max_by over the cluster-sized (id, quality) projection."""
+    from big_data_player_analysis_spark.operators.dedup import near_dedup_survivors
+
+    docs = t(spark, sf, "documents").withColumn(
+        "_quality", F.length("text").cast("long")
+    )
+    return near_dedup_survivors(
+        docs, "doc_id", "text",
+        k=SHINGLE_K, threshold=JACCARD_THRESHOLD, quality_col="_quality",
+    ).select("doc_id", "source", "group_size")
+
+
 CURATION_MIN_QUALITY = 0.36
 
 SQL_CURATION = f"""

@@ -262,6 +262,41 @@ def test_near_dedup_survivors_planted_groups(spark):
     assert out == {10: 3, 20: 2, 30: 1, 31: 1}
 
 
+def test_near_dedup_survivors_best_quality_policy(spark):
+    """quality_col survivor policy: the highest-quality cluster member
+    wins (not the min id); ties break to the lower id; quality of unique
+    docs is irrelevant."""
+    from big_data_player_analysis_spark.operators.dedup import near_dedup_survivors
+
+    base_a = (
+        "the quick brown fox jumps over the lazy dog while the cat sleeps "
+        "quietly near the warm fireplace on a cold winter evening tonight"
+    )
+    base_b = (
+        "distributed query engines shuffle partitioned data across the "
+        "cluster network before aggregating grouped results into columnar "
+        "output files for downstream consumers"
+    )
+    rows = [
+        # group A: id 12 has the highest quality -> survivor despite max id
+        (10, base_a + " alpha", 5),
+        (11, base_a + " bravo", 7),
+        (12, base_a + " delta", 9),
+        # group B: quality tie -> lower id 20 survives
+        (20, base_b + " one", 4),
+        (21, base_b + " two", 4),
+        (30, "a completely unrelated short document about gardening tips", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q long")
+    out = {
+        r.doc_id: r.group_size
+        for r in near_dedup_survivors(
+            df, "doc_id", "text", quality_col="q"
+        ).collect()
+    }
+    assert out == {12: 3, 20: 2, 30: 1}
+
+
 def test_near_dedup_survivors_no_dups_is_identity(spark):
     """A corpus with no near-duplicates must come back complete, every doc
     with group_size 1 (the empty-pairs path through components/anti-join)."""

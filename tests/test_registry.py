@@ -68,7 +68,7 @@ def test_primary_window():
         "llm_dedup_incremental", "llm_cdc_chunks", "llm_url_canonical_dedup",
         "llm_pii_redact", "llm_unigram_logprob", "multimodal_image_resize",
         "llm_semantic_dedup", "llm_quality_filters",
-        "llm_line_dedup", "llm_shard_assign", "llm_mix_weights",
+        "llm_line_dedup", "llm_shard_assign", "llm_near_dedup_best_quality",
         "llm_pack_sequences", "llm_embed_dim_stats", "llm_corpus_curation",
         "llm_apply_mix", "multimodal_png_decode", "olap_table_profile",
         "llm_top_ngrams", "stream_late_data_drop",
