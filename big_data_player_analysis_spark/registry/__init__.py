@@ -146,6 +146,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # llm_mix_weights: green r03 on unchanged code, and llm_apply_mix keeps
 # the identical per-source weights computation in-window (apply_mix
 # composes source_mix_weights internally).
+#
+# Ninth round-4 rotation: multimodal_video_decode (REAL RIFF/AVI container
+# walk + per-frame DIB decode — closes the round-3 verdict's last stubbed
+# modality) is new with no driver row — promoted, displacing
+# llm_pii_redact: green r03 on unchanged code, and the narrow
+# regex-built-in projection shape it pins stays in-window via
+# llm_url_canonical_dedup (same regexp_replace family over text).
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -194,7 +201,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_dedup_incremental",
     "llm_cdc_chunks",
     "llm_url_canonical_dedup",
-    "llm_pii_redact",
+    "multimodal_video_decode",
     "llm_unigram_logprob",
     "multimodal_image_resize",
     "llm_apply_mix",
@@ -216,6 +223,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "llm_pii_redact",
     "llm_mix_weights",
     "multimodal_audio_decode",
     "olap_semi_join",

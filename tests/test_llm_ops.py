@@ -676,6 +676,77 @@ def test_png_decode_rejects_non_png(spark):
         decode_png_features(df).collect()
 
 
+def test_video_decode_roundtrip(spark):
+    """Real AVI decode: one row per frame, geometry + channel means equal
+    the closed forms (B = x, G = y, R = red0 + frame index)."""
+    from big_data_player_analysis_spark.multimodal import (
+        _avi_params,
+        attach_avi_payload,
+        decode_video_frames,
+    )
+
+    ids = (0, 1, 5, 12, 255, 9999)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = decode_video_frames(attach_avi_payload(df, "doc_id")).collect()
+    assert len(out) == sum(_avi_params(i)[2] for i in ids)  # explode fan-out
+    for r in out:
+        w, h, nf, red0 = _avi_params(r.doc_id)
+        assert (r.width, r.height) == (w, h) and 0 <= r.frame_no < nf
+        assert r.mean_b == (w - 1) / 2
+        assert r.mean_g == (h - 1) / 2
+        assert r.mean_r == float(red0 + r.frame_no)
+
+
+def test_video_decode_checks_frame_count(spark):
+    """A movi list missing a declared frame must raise (avih dwTotalFrames
+    cross-check), not silently emit fewer rows."""
+    import struct
+
+    from big_data_player_analysis_spark.multimodal import (
+        decode_video_frames,
+        synth_avi_payload,
+    )
+
+    good = synth_avi_payload(5)  # 6 frames
+    # truncate the last '00db' chunk off the movi list and fix up the
+    # RIFF + movi LIST sizes so the container stays structurally valid
+    last = good.rfind(b"00db")
+    (flen,) = struct.unpack_from("<I", good, last + 4)
+    cut = 8 + flen + (flen % 2)
+    bad = bytearray(good[: last] + good[last + cut :])
+    struct.pack_into("<I", bad, 4, len(bad) - 8)
+    movi = bad.find(b"LIST", 12, len(bad))
+    while bad[movi + 8 : movi + 12] != b"movi":
+        (ll,) = struct.unpack_from("<I", bad, movi + 4)
+        movi = bad.find(b"LIST", movi + 8 + ll)
+    (mlen,) = struct.unpack_from("<I", bad, movi + 4)
+    struct.pack_into("<I", bad, movi + 4, mlen - cut)
+    df = spark.createDataFrame([(1, bytes(bad))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="declares 6 frames"):
+        decode_video_frames(df).collect()
+
+
+def test_video_decode_rejects_compressed_and_non_avi(spark):
+    import struct
+
+    from big_data_player_analysis_spark.multimodal import (
+        decode_video_frames,
+        synth_avi_payload,
+    )
+
+    df = spark.createDataFrame([(1, b"RIFFxxxxWAVE")], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="not an AVI"):
+        decode_video_frames(df).collect()
+    # flip the strf biCompression field to a codec fourcc: must route to
+    # the decode_video hook, never mis-decode
+    comp = bytearray(synth_avi_payload(3))
+    strf = comp.find(b"strf")
+    struct.pack_into("<I", comp, strf + 8 + 16, 0x34363248)  # 'H264'
+    df2 = spark.createDataFrame([(1, bytes(comp))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="compressed/non-24bpp"):
+        decode_video_frames(df2).collect()
+
+
 # ---------------------------------------------------------- text functions
 
 

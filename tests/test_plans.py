@@ -209,6 +209,14 @@ def test_png_decode_is_narrow(spark, specs):
     assert "Exchange" not in p
 
 
+def test_video_decode_is_narrow(spark, specs):
+    """AVI synth + per-frame DIB decode is scan -> pandas_udf ->
+    mapInPandas with no Exchange: frame bytes never shuffle; the
+    frames-per-clip fan-out happens inside the narrow map."""
+    p = plan_str(specs["multimodal_video_decode"].fn(spark, SF))
+    assert "Exchange" not in p
+
+
 def test_image_resize_is_narrow(spark, specs):
     """Decode + nearest-neighbor resize is scan -> pandas_udf ->
     mapInPandas with no Exchange: pixels never shuffle."""
