@@ -1,0 +1,173 @@
+"""Distributed BPE tokenizer training (LLM-data-pipeline extension tier).
+
+Byte-pair-encoding merge learning (Sennrich et al. 2016, "Neural Machine
+Translation of Rare Words with Subword Units") re-expressed Spark-first —
+the tokenizer-construction step of a training-data pipeline, and the repo's
+second iterative driver-loop plan after plans/heroic.py.
+
+Scale shape, designed for the 100 TB corpus:
+
+* The only corpus-sized job is the WORD HISTOGRAM — one explode + hash
+  aggregate (map-side partial combine), after which the working set is the
+  distinct-word table weighted by frequency. Everything iterative runs over
+  that vocab-sized table, independent of corpus row count — the classic
+  BPE trick (pair statistics are a function of the word histogram, not of
+  the raw text).
+* ``max_words`` caps the vocab table at the top-N words by frequency
+  (TakeOrderedAndProject shape, no global sort); rare-word truncation is
+  the standard trainer knob that bounds per-iteration cost.
+* Each merge iteration is: adjacent-pair explode over the symbol arrays
+  (JVM `transform`, no UDF) -> vocab-sized hash aggregate -> 1-row argmax
+  (`max_by` with lexicographic tie-break; the single `.first()` is the
+  per-iteration driver scalar, same contract as heroic's convergence
+  probe) -> greedy left-to-right pair merge as a pure `F.aggregate` fold
+  over each symbol array (JVM-side, matches the reference algorithm's
+  non-overlapping single-pass replace) -> ``localCheckpoint`` so the plan
+  does not grow with the iteration count.
+* Determinism: ties on pair count break on the pair's lexicographic order,
+  so the learned merge table is a pure function of the corpus.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EOW = "▁"  # end-of-word sentinel symbol (SentencePiece-style marker)
+
+
+def word_histogram(docs: DataFrame, text_col: str, max_words: int) -> DataFrame:
+    """(word, freq) for the top ``max_words`` words — the one corpus-sized
+    job. Lowercased, split on non-letter runs so the symbol universe stays
+    alphabetic; empty tokens dropped. Ordered-limit plans as
+    TakeOrderedAndProject (no global sort)."""
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^a-z]+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return words.orderBy(F.desc("freq"), F.asc("word")).limit(max_words)
+
+
+def _initial_symbols() -> F.Column:
+    """word -> its character array plus the end-of-word sentinel."""
+    return F.concat(F.split("word", ""), F.array(F.lit(EOW)))
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the symbol arrays: JVM transform
+    over positions 0..n-2 (pair encoded 'left right'; symbols never contain
+    a space — the splitter is non-letter runs and EOW is non-space), then
+    explode + hash aggregate. Vocab-sized, partial-agg combined."""
+    pairs = F.transform(
+        F.slice("symbols", 1, F.size("symbols") - 1),
+        lambda s, i: F.concat_ws(" ", s, F.element_at("symbols", i + 2)),
+    )
+    return (
+        vocab.select(F.explode(pairs).alias("pair"), "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+    )
+
+
+def _merge_pair(vocab: DataFrame, left: str, right: str) -> DataFrame:
+    """Greedy left-to-right non-overlapping merge of (left, right) in every
+    symbol array — a pure JVM fold: append each symbol, but when the
+    accumulator ends with ``left`` and the incoming symbol is ``right``,
+    replace the tail with the merged token. Matches the reference
+    algorithm's single-pass replace semantics ('aaaa' with pair (a,a) ->
+    'aa','aa': a merged token is never immediately re-used as the left
+    element within the same pass, because the tail comparison sees the
+    MERGED token, not ``left``)."""
+    merged = left + right
+    fold = F.aggregate(
+        "symbols",
+        F.expr("cast(array() as array<string>)"),
+        lambda acc, s: F.when(
+            # try_element_at: NULL (not an ANSI index error) on the empty
+            # accumulator, which makes the whole condition fall through
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return vocab.select("word", "freq", fold.alias("symbols"))
+
+
+@dataclass
+class BpeResult:
+    merges: list[tuple[str, str, int]] = field(default_factory=list)
+    vocab: DataFrame | None = None
+    iterations: int = 0
+
+
+def bpe_train(
+    docs: DataFrame,
+    text_col: str,
+    n_merges: int = 20,
+    max_words: int = 50_000,
+    checkpoint_every: int = 4,
+) -> BpeResult:
+    """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
+    merge table and the final symbolized vocab. Stops early when no
+    adjacent pair is left (fully merged vocab).
+
+    checkpoint_every bounds plan growth: the merge fold nests one
+    expression layer per iteration, so every k-th iteration materializes
+    the vocab with localCheckpoint (vocab-sized, cheap) and resets the
+    lineage — the same no-growth contract plans/heroic.py pins."""
+    vocab = (
+        word_histogram(docs, text_col, max_words)
+        .select("word", "freq", _initial_symbols().alias("symbols"))
+        .localCheckpoint()
+    )
+    result = BpeResult()
+    for it in range(n_merges):
+        # deterministic argmax in ONE vocab-sized aggregate: min_by over
+        # (-count, pair) = highest count, ties to the lexicographically
+        # smallest pair; an empty pair table (fully merged vocab) returns
+        # a null row -> early stop
+        best = (
+            _pair_counts(vocab)
+            .agg(
+                F.max("n").alias("mx"),
+                F.min_by(
+                    "pair", F.struct((-F.col("n")).alias("neg_n"), F.col("pair"))
+                ).alias("pair"),
+            )
+            .first()
+        )
+        if best["mx"] is None:
+            break
+        left, right = best["pair"].split(" ", 1)
+        result.merges.append((left, right, int(best["mx"])))
+        vocab = _merge_pair(vocab, left, right)
+        if (it + 1) % checkpoint_every == 0:
+            vocab = vocab.localCheckpoint()
+        result.iterations = it + 1
+    result.vocab = vocab
+    return result
+
+
+def bpe_merges_df(docs: DataFrame, text_col: str, n_merges: int = 20,
+                  max_words: int = 50_000) -> DataFrame:
+    """The learned merge table as a DataFrame (merge_rank, left, right,
+    merged, pair_count) — the registry/driver surface. Iterative, hence
+    rows-only at the driver (same class as q16); exact parity vs a pure
+    Python reference implementation is pinned in tests/test_bpe.py."""
+    res = bpe_train(docs, text_col, n_merges=n_merges, max_words=max_words)
+    spark = docs.sparkSession
+    return spark.createDataFrame(
+        [
+            (i, l, r, l + r, n)
+            for i, (l, r, n) in enumerate(res.merges)
+        ],
+        "merge_rank long, left string, right string, merged string, pair_count long",
+    )

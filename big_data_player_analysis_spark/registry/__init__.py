@@ -153,6 +153,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # llm_pii_redact: green r03 on unchanged code, and the narrow
 # regex-built-in projection shape it pins stays in-window via
 # llm_url_canonical_dedup (same regexp_replace family over text).
+#
+# Tenth round-4 rotation: llm_bpe_train (distributed BPE merge learning —
+# iterative vocab-table driver loop, exact parity vs the published
+# algorithm pinned in tests/test_bpe.py) is new with no driver row —
+# promoted, displacing llm_unigram_logprob: green r03 on unchanged code,
+# and the corpus-term-aggregate + exchange-reuse shape it pins stays
+# in-window via llm_top_ngrams.
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -202,7 +209,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_cdc_chunks",
     "llm_url_canonical_dedup",
     "multimodal_video_decode",
-    "llm_unigram_logprob",
+    "llm_bpe_train",
     "multimodal_image_resize",
     "llm_apply_mix",
     "sim_bruteforce_topk",
@@ -223,6 +230,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "llm_unigram_logprob",
     "llm_pii_redact",
     "llm_mix_weights",
     "multimodal_audio_decode",

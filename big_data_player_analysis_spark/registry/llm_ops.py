@@ -1844,3 +1844,24 @@ def top_ngrams_q(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("gram"))
         .limit(TOP_NGRAMS_K)
     )
+
+
+# ------------------------------------------------------------ BPE training
+
+
+@query("llm_bpe_train", sql=None, tags=("llm", "tokenizer", "iterative"))
+def bpe_train_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE merge learning (Sennrich et al. 2016) — the
+    tokenizer-construction step of a training-data pipeline. The only
+    corpus-sized job is the word histogram (explode + partial-agg count);
+    all 12 merge iterations run over the vocab-sized symbol table with JVM
+    pair-explode aggregates, a 1-row deterministic argmax, and a pure
+    F.aggregate fold for the greedy merge (no UDF anywhere). Iterative,
+    hence rows-only at the driver (same class as q16_heroic);
+    tests/test_bpe.py pins EXACT merge-table parity against a pure-Python
+    reference implementation of the published algorithm, plus the greedy
+    non-overlapping fold semantics and plan no-growth across
+    localCheckpoint boundaries."""
+    from big_data_player_analysis_spark.plans.bpe import bpe_merges_df
+
+    return bpe_merges_df(t(spark, sf, "documents"), "text", n_merges=12)

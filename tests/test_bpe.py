@@ -1,0 +1,112 @@
+"""Distributed BPE training (plans/bpe.py): exact parity against a pure
+Python implementation of the published merge-learning algorithm (Sennrich
+et al. 2016), greedy fold semantics, early stop, and plan no-growth."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from big_data_player_analysis_spark.plans.bpe import (
+    EOW,
+    _merge_pair,
+    bpe_merges_df,
+    bpe_train,
+)
+
+CORPUS = [
+    ("the lowest newest widest lower newer low new",),
+    ("low low low lower lower newest newest newest newest",),
+    ("wider wide widest new newer the the the",),
+]
+
+
+def python_bpe(rows, n_merges):
+    """Reference implementation: word histogram, then repeat (count
+    adjacent pairs weighted by word freq; merge the argmax pair with
+    lexicographic tie-break, greedy left-to-right non-overlapping)."""
+    wc = Counter()
+    for (txt,) in rows:
+        for w in re.split(r"[^a-z]+", txt.lower()):
+            if w:
+                wc[w] += 1
+    vocab = {tuple(list(w) + [EOW]): c for w, c in wc.items()}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        new_vocab: dict[tuple, int] = {}
+        for syms, c in vocab.items():
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_matches_reference_algorithm(spark):
+    """Twelve merges over a corpus engineered for shared subwords (low/
+    lower/lowest, new/newer/newest, wide/wider/widest) must reproduce the
+    Python reference EXACTLY — order, pairs, and counts — including
+    EOW-involving merges and count ties broken lexicographically."""
+    docs = spark.createDataFrame(CORPUS, "text string")
+    got = bpe_train(docs, "text", n_merges=12).merges
+    assert got == python_bpe(CORPUS, 12)
+
+
+def test_bpe_merge_fold_is_greedy_non_overlapping(spark):
+    """'aaaa' with pair (a, a) must merge to ['aa', 'aa'] — left-to-right
+    non-overlapping, and a just-merged token is not reused as the left
+    element within the same pass."""
+    df = spark.createDataFrame(
+        [("aaaa", 1, ["a", "a", "a", "a"])], "word string, freq long, symbols array<string>"
+    )
+    out = _merge_pair(df, "a", "a").select("symbols").first()[0]
+    assert out == ["aa", "aa"]
+
+
+def test_bpe_stops_when_fully_merged(spark):
+    """Single-letter words exhaust their pairs after merging with the EOW
+    sentinel; the loop must stop early instead of spinning on an empty
+    pair table."""
+    docs = spark.createDataFrame([("a a b",)], "text string")
+    res = bpe_train(docs, "text", n_merges=10)
+    assert res.iterations == 2  # (a, EOW) then (b, EOW)
+    assert [m[:2] for m in res.merges] == [("a", EOW), ("b", EOW)]
+
+
+def test_bpe_plan_does_not_grow(spark):
+    """The merge fold nests one expression layer per iteration;
+    localCheckpoint must reset lineage so the vocab after many merges
+    plans as a bounded tree over a materialized RDD scan, not a
+    12-iteration expression pyramid."""
+    docs = spark.createDataFrame(CORPUS, "text string")
+    res = bpe_train(docs, "text", n_merges=12, checkpoint_every=4)
+    plan = res.vocab._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    # at most checkpoint_every merge folds above the checkpoint scan
+    assert plan.count("aggregate(") <= 4 * 2
+
+
+def test_bpe_merges_df_schema(spark):
+    docs = spark.createDataFrame(CORPUS, "text string")
+    df = bpe_merges_df(docs, "text", n_merges=3)
+    assert [f.name for f in df.schema.fields] == [
+        "merge_rank", "left", "right", "merged", "pair_count",
+    ]
+    rows = df.orderBy("merge_rank").collect()
+    assert [(r.left, r.right, r.pair_count) for r in rows] == python_bpe(CORPUS, 3)
+    assert all(r.merged == r.left + r.right for r in rows)
