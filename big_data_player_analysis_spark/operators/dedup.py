@@ -820,7 +820,8 @@ def dedup_embedding_cosine(
     id_col: str,
     vec_col: str,
     threshold: float = 0.45,
-    n_blocks: int = 8,
+    n_blocks: int | None = None,
+    target_block_rows: int = 8192,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine >= threshold — EXACT, via
     blocked all-pairs GEMM instead of a theta join.
@@ -843,13 +844,30 @@ def dedup_embedding_cosine(
         candidates are re-verified JVM-side with the exact expression, so
         results match the brute-force baseline bit-for-bit.
 
-    B tunes task granularity: pick B ~ so one block (n/B vectors * dim *
-    8 bytes) fits comfortably in an executor's working memory; flops per
-    task are (n/B)^2 * dim at BLAS speed. The plan contains no
-    BroadcastNestedLoopJoin/CartesianProduct (pinned in tests/test_plans.py)."""
+    B tunes task granularity: one block is n/B vectors * dim * 8 bytes and
+    one task's cosine matrix is (n/B)^2 * 8 bytes; flops per task are
+    (n/B)^2 * dim at BLAS speed. By default B is SIZED FROM THE DATA
+    (ceil(n / target_block_rows), one count job) so the per-task matrix
+    stays ~0.5 GB regardless of corpus size — a fixed B is a scale trap:
+    the 64x probe measured the default-8 blocks at 320k rows building
+    13 GB matrices per task (333 s of allocation/GC for ~30 s of BLAS).
+    Pass n_blocks explicitly to pin task count instead. The plan contains
+    no BroadcastNestedLoopJoin/CartesianProduct (pinned in
+    tests/test_plans.py)."""
+    import math
+
     import pandas as pd
 
     spark = df.sparkSession
+    if n_blocks is None:
+        # the one driver-side scalar: |df| -> block count (same contract
+        # as semantic_dedup's occupancy knob; metadata-cheap on parquet).
+        # Floor: enough block pairs (B(B+1)/2) to occupy every core even
+        # on a small corpus — the probe measured B=3 at 20k rows leaving
+        # 26 of 32 cores idle (5.8 s) while B=10 at 80k rows ran 3.9 s.
+        par = df.sparkSession.sparkContext.defaultParallelism
+        min_b = math.ceil((math.sqrt(8 * par + 1) - 1) / 2)
+        n_blocks = max(min_b, math.ceil(df.count() / target_block_rows))
     route_df = F.broadcast(
         spark.createDataFrame(
             _block_routes(n_blocks), "block int, bi int, bj int, role string"
