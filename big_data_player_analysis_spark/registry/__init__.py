@@ -160,6 +160,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # promoted, displacing llm_unigram_logprob: green r03 on unchanged code,
 # and the corpus-term-aggregate + exchange-reuse shape it pins stays
 # in-window via llm_top_ngrams.
+#
+# Eleventh round-4 rotation: olap_zorder_key (Morton interleave behind the
+# z-order data-skipping layout; row-group pruning pinned with real parquet
+# metadata in tests/test_layout.py) is new with no driver row — promoted,
+# displacing olap_window_topk_per_group: green r03 on unchanged code, with
+# per-group ordered processing still pinned in-window by
+# olap_apply_in_pandas_longest_run (same partitionBy + secondary-sort
+# shape) and ordered-limit physical plans by llm_top_ngrams'
+# TakeOrderedAndProject pin.
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -180,7 +189,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "olap_grouping_sets",
     "olap_table_profile",
-    "olap_window_topk_per_group",
+    "olap_zorder_key",
     "llm_corpus_curation",
     "olap_month_json",
     "olap_exists_correlated",
@@ -230,6 +239,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "olap_window_topk_per_group",
     "llm_unigram_logprob",
     "llm_pii_redact",
     "llm_mix_weights",

@@ -1270,7 +1270,7 @@ FROM documents, LATERAL unnest(range(1 + doc_id % 6)) AS t(f)
 """
 
 
-@query("multimodal_video_decode", sql=SQL_VIDEO_DECODE, tags=("llm", "multimodal"))
+@query("multimodal_video_decode", sql=SQL_VIDEO_DECODE, tags=("llm", "multimodal", "bench"))
 def multimodal_video_q(spark: SparkSession, sf: str) -> DataFrame:
     """REAL video decode, full oracle: per-doc AVI payloads (genuine RIFF
     'AVI ' containers — MainAVIHeader, stream header LIST, uncompressed
@@ -1849,7 +1849,7 @@ def top_ngrams_q(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------------------ BPE training
 
 
-@query("llm_bpe_train", sql=None, tags=("llm", "tokenizer", "iterative"))
+@query("llm_bpe_train", sql=None, tags=("llm", "tokenizer", "iterative", "bench"))
 def bpe_train_q(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed BPE merge learning (Sennrich et al. 2016) — the
     tokenizer-construction step of a training-data pipeline. The only

@@ -945,3 +945,38 @@ def partition_pruned_scan(spark: SparkSession, sf: str) -> DataFrame:
             F.max("event_id").alias("last_event"),
         )
     )
+
+
+# ------------------------------------------------------------ z-order layout
+
+from big_data_player_analysis_spark.operators.layout import (  # noqa: E402
+    zorder_key,
+    zorder_key_sql,
+)
+
+_Z_SQL = f"""
+WITH q AS (
+  SELECT event_id,
+         ((user_id % 256) + 256) % 256 AS x,
+         ((CAST(floor(value) AS BIGINT) % 256) + 256) % 256 AS y
+  FROM events)
+SELECT event_id, x, y, {zorder_key_sql(["x", "y"], 8)} AS zvalue FROM q
+"""
+
+
+@query("olap_zorder_key", sql=_Z_SQL, tags=("olap", "layout", "pruning"))
+def zorder_key_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Morton (z-order) key over two quantized event dimensions — the
+    clustering key behind multi-dimensional data skipping (Delta/Iceberg
+    OPTIMIZE ZORDER). The interleave is a fixed unrolled OR/shift
+    expression tree (operators/layout.py:zorder_key — JVM codegen, no
+    UDF), replayed exactly by the oracle's arithmetic form. The write-side
+    layout (repartitionByRange + sortWithinPartitions) and the row-group
+    pruning property it buys are pinned with real parquet metadata in
+    tests/test_layout.py."""
+    ev = t(spark, sf, "events").select(
+        "event_id",
+        F.pmod(F.col("user_id"), F.lit(256)).cast("long").alias("x"),
+        F.pmod(F.floor("value").cast("long"), F.lit(256)).alias("y"),
+    )
+    return ev.select("event_id", "x", "y", zorder_key(["x", "y"], 8).alias("zvalue"))
