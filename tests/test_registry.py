@@ -59,19 +59,21 @@ def test_primary_window():
     assert sum(n.startswith("stream_") or n == "olap_session_window" for n in window) == 7
     # round-4 rotations: dedup_ngram_jaccard -> llm_near_dedup_survivors,
     # multimodal_image_decode (BMP) -> multimodal_png_decode,
-    # llm_chunk_fixed -> llm_dedup_incremental (see PRIMARY_ORDER's
+    # llm_chunk_fixed -> llm_dedup_incremental, llm_pii_redact ->
+    # multimodal_video_decode, llm_unigram_logprob -> llm_bpe_train,
+    # olap_window_topk_per_group -> olap_zorder_key (see PRIMARY_ORDER's
     # rotation notes)
     assert {
         "dedup_exact", "llm_near_dedup_survivors", "dedup_minhash_lsh",
         "dedup_simhash",
         "dedup_embedding_cosine", "dedup_components", "sim_bruteforce_topk",
         "llm_dedup_incremental", "llm_cdc_chunks", "llm_url_canonical_dedup",
-        "llm_pii_redact", "llm_unigram_logprob", "multimodal_image_resize",
+        "multimodal_video_decode", "llm_bpe_train", "multimodal_image_resize",
         "llm_semantic_dedup", "llm_quality_filters",
         "llm_line_dedup", "llm_shard_assign", "llm_near_dedup_best_quality",
         "llm_pack_sequences", "llm_embed_dim_stats", "llm_corpus_curation",
         "llm_apply_mix", "multimodal_png_decode", "olap_table_profile",
-        "llm_top_ngrams", "stream_late_data_drop",
+        "llm_top_ngrams", "stream_late_data_drop", "olap_zorder_key",
         "olap_sessionization", "olap_partition_pruned_scan",
     } <= window
 
