@@ -156,6 +156,70 @@ def bpe_train(
     return result
 
 
+def bpe_encode_tokens(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[tuple[str, str]],
+) -> DataFrame:
+    """Apply a learned merge list: tokenize every document and return
+    (id_col, n_words, n_tokens) — the sequence-length accounting that
+    feeds pack_sequences/mix planning.
+
+    Scale shape: the encode loop (apply each merge in rank order — the
+    published inference procedure) runs ONLY over the DISTINCT-word table
+    inside one Arrow pandas_udf batch pass (vocab-sized work, merges
+    captured in the closure — a tokenizer file is executor-memory-small by
+    definition, same contract as broadcasting it). The corpus-sized side
+    is a word explode joined back to the encoded vocab (AQE broadcasts the
+    vocab when it measures small; otherwise a plain hash join on the word
+    key) and a per-doc aggregate. Token text never shuffles with the
+    corpus — only (word, token_count)."""
+    import pandas as pd
+
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^a-z]+")
+        ).alias("word"),
+    ).filter(F.col("word") != "")
+
+    def _n_tokens(ws):
+        def enc(w: str) -> int:
+            syms = list(w) + [EOW]
+            for a, b in merges:
+                out: list[str] = []
+                for s in syms:
+                    if out and out[-1] == a and s == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(s)
+                syms = out
+                if len(syms) == 1:
+                    break
+            return len(syms)
+
+        return ws.map(enc)
+
+    # `from __future__ import annotations` stringifies hints module-wide;
+    # pandas_udf infers the UDF kind from REAL annotation objects (same
+    # fix as registry/olap.py's UDAF and operators/chunking.py's packer)
+    _n_tokens.__annotations__ = {"ws": pd.Series, "return": pd.Series}
+    n_tokens_of = F.pandas_udf(_n_tokens, "int")
+
+    vocab_tok = words.select("word").distinct().withColumn(
+        "word_tokens", n_tokens_of("word")
+    )
+    return (
+        words.join(vocab_tok, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("word_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 def bpe_merges_df(docs: DataFrame, text_col: str, n_merges: int = 20,
                   max_words: int = 50_000) -> DataFrame:
     """The learned merge table as a DataFrame (merge_rank, left, right,

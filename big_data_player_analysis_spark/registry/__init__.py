@@ -161,6 +161,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # and the corpus-term-aggregate + exchange-reuse shape it pins stays
 # in-window via llm_top_ngrams.
 #
+# Twelfth round-4 rotation: llm_bpe_encode (tokenizer application — the
+# distinct-word Arrow encode + join-back that completes the train->encode
+# tokenizer story; exact token-count parity pinned in tests/test_bpe.py)
+# is new with no driver row — promoted, displacing llm_embed_dim_stats:
+# green r03 on unchanged code, with the partial-agg moments family still
+# pinned in-window by olap_table_profile and embedding-array expressions
+# by llm_semantic_dedup / dedup_embedding_cosine / sim_bruteforce_topk.
+#
 # Eleventh round-4 rotation: olap_zorder_key (Morton interleave behind the
 # z-order data-skipping layout; row-group pruning pinned with real parquet
 # metadata in tests/test_layout.py) is new with no driver row — promoted,
@@ -206,7 +214,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_line_dedup",
     "llm_shard_assign",
     "llm_pack_sequences",
-    "llm_embed_dim_stats",
+    "llm_bpe_encode",
     "dedup_exact",
     "llm_near_dedup_survivors",
     "llm_near_dedup_best_quality",
@@ -239,6 +247,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "llm_embed_dim_stats",
     "olap_window_topk_per_group",
     "llm_unigram_logprob",
     "llm_pii_redact",

@@ -1865,3 +1865,21 @@ def bpe_train_q(spark: SparkSession, sf: str) -> DataFrame:
     from big_data_player_analysis_spark.plans.bpe import bpe_merges_df
 
     return bpe_merges_df(t(spark, sf, "documents"), "text", n_merges=12)
+
+
+@query("llm_bpe_encode", sql=None, tags=("llm", "tokenizer", "iterative"))
+def bpe_encode_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer application end-to-end: learn 12 merges from the corpus
+    (llm_bpe_train's loop), then encode every document with them and emit
+    per-doc (n_words, n_tokens) — the sequence-length accounting that
+    feeds pack_sequences and mixture planning. The encode loop runs only
+    over the DISTINCT-word table in one Arrow batch pass; the corpus side
+    is an explode + join-back + per-doc aggregate (plans/bpe.py:
+    bpe_encode_tokens). Iterative merges make it rows-only at the driver;
+    tests/test_bpe.py pins exact token-count parity against the
+    pure-Python reference encode."""
+    from big_data_player_analysis_spark.plans.bpe import bpe_encode_tokens, bpe_train
+
+    docs = t(spark, sf, "documents")
+    merges = [(l, r) for l, r, _ in bpe_train(docs, "text", n_merges=12).merges]
+    return bpe_encode_tokens(docs, "doc_id", "text", merges)

@@ -101,6 +101,38 @@ def test_bpe_plan_does_not_grow(spark):
     assert plan.count("aggregate(") <= 4 * 2
 
 
+def test_bpe_encode_matches_reference(spark):
+    """Token counts from the distributed encode (distinct-word Arrow pass
+    + join-back) must equal applying the merge list per word in Python —
+    including words unseen at train time (the encode vocabulary is open)."""
+    from big_data_player_analysis_spark.plans.bpe import bpe_encode_tokens
+
+    docs = spark.createDataFrame(
+        list(CORPUS) + [("brand unseen lowly words",)], "text string"
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    merges = [(a, b) for a, b, _ in python_bpe(CORPUS, 8)]
+
+    def py_encode_len(w):
+        syms = list(w) + [EOW]
+        for a, b in merges:
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            syms = out
+        return len(syms)
+
+    got = {
+        r.doc_id: (r.n_words, r.n_tokens)
+        for r in bpe_encode_tokens(docs, "doc_id", "text", merges).collect()
+    }
+    for row in docs.collect():
+        ws = [w for w in re.split(r"[^a-z]+", row.text.lower()) if w]
+        assert got[row.doc_id] == (len(ws), sum(py_encode_len(w) for w in ws))
+
+
 def test_bpe_merges_df_schema(spark):
     docs = spark.createDataFrame(CORPUS, "text string")
     df = bpe_merges_df(docs, "text", n_merges=3)
