@@ -161,6 +161,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # and the corpus-term-aggregate + exchange-reuse shape it pins stays
 # in-window via llm_top_ngrams.
 #
+# Thirteenth round-4 rotation: stream_near_dedup_ingest (foreachBatch
+# near-dedup ingestion with an idempotent batch-partition sink — the
+# streaming composition of the fuzzy-dedup tier; single-batch driver
+# shape hash-checks against the survivor closure oracle) is new with no
+# driver row — promoted, displacing stream_static_enrich: green r03 on
+# unchanged code, the stream-join family stays in-window via
+# stream_stream_interval_join (the stateful, harder case) and the
+# broadcast-dim enrichment shape via q10's batch join chain.
+#
 # Twelfth round-4 rotation: llm_bpe_encode (tokenizer application — the
 # distinct-word Arrow encode + join-back that completes the train->encode
 # tokenizer story; exact token-count parity pinned in tests/test_bpe.py)
@@ -236,7 +245,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "stream_tumbling_counts",
     "stream_dedup_by_id",
     "stream_stateful_user_stats",
-    "stream_static_enrich",
+    "stream_near_dedup_ingest",
     "stream_stream_interval_join",
     "stream_late_data_drop",
     "olap_session_window",
@@ -247,6 +256,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "stream_static_enrich",
     "llm_embed_dim_stats",
     "olap_window_topk_per_group",
     "llm_unigram_logprob",

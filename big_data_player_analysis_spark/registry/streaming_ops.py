@@ -244,3 +244,48 @@ def stream_late_data_q(spark: SparkSession, sf: str) -> DataFrame:
     epoch-aligned to {TUMBLE_SEC} s while the generator's max ts sits
     hundreds of seconds off-boundary at every SF."""
     return run_stream_to_table(tumbling_event_stats(_events_sdf(spark, sf)), "append")
+
+
+# ------------------------------------------------- streaming near-dedup ingest
+
+from big_data_player_analysis_spark.registry.llm_ops import (  # noqa: E402
+    SQL_SURVIVORS,
+)
+
+# One micro-batch over the whole documents table makes the streaming result
+# equal the batch survivor closure — the same recursive-CTE oracle wrapped
+# with the constant batch id the ingest partitions on.
+SQL_INGEST = f"""
+SELECT s.doc_id, s.source, s.group_size, CAST(0 AS INT) AS batch
+FROM ({SQL_SURVIVORS.strip()}) s
+"""
+
+
+@query("stream_near_dedup_ingest", sql=SQL_INGEST, tags=("streaming", "dedup", "llm"))
+def stream_ingest_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming near-dedup ingestion end-to-end (streaming/ingest.py): a
+    real foreachBatch availableNow run that collapses each arriving
+    micro-batch to one survivor per near-dup cluster, anti-joins it
+    against every previously ingested doc via the incremental MinHash path
+    (corpus never exchanged on the band key), and lands survivors in an
+    idempotent batch=<id> partition — crash replay overwrites identically
+    (exactly-once without a transactional sink). Driver shape: the single
+    source file is one batch, so the accumulated corpus equals the batch
+    survivor closure and hash-checks against the recursive-CTE oracle;
+    cross-batch filtering, replay idempotence, and the documented
+    incremental-vs-global divergence case are pinned in
+    tests/test_streaming_ingest.py."""
+    import uuid
+
+    from big_data_player_analysis_spark.streaming.ingest import (
+        stream_near_dedup_ingest,
+    )
+
+    scratch = f"/tmp/bdpa_ingest/{uuid.uuid4().hex}"
+    corpus = stream_near_dedup_ingest(
+        spark,
+        table_path(sf, "documents"),
+        f"{scratch}/corpus",
+        f"{scratch}/ckpt",
+    )
+    return corpus.select("doc_id", "source", "group_size", "batch")

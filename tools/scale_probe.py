@@ -191,6 +191,23 @@ def timed(build) -> float:
     return round(min(times), 2)
 
 
+def _bpe_probe(docs):
+    from big_data_player_analysis_spark.plans.bpe import bpe_merges_df
+
+    return bpe_merges_df(docs, "text", n_merges=8)
+
+
+def _zorder_probe(docs):
+    from big_data_player_analysis_spark.operators.layout import zorder_key
+
+    q = docs.select(
+        "doc_id",
+        F.pmod(F.xxhash64("doc_id"), F.lit(256)).alias("x"),
+        F.pmod(F.length("text").cast("long"), F.lit(256)).alias("y"),
+    )
+    return q.select("doc_id", zorder_key(["x", "y"], 8).alias("zvalue"))
+
+
 def url_dedup(docs):
     """Registry-shaped URL canonical dedup: synthesize a crawl URL per doc
     and exact-dedup on the canonical form."""
@@ -310,6 +327,11 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None):
         .orderBy(F.desc("n"), F.asc("gram"))
         .limit(20),
         "llm_url_canonical_dedup": lambda: url_dedup(docs),
+        # iterative tokenizer training: histogram is the corpus-sized job;
+        # the 8 merge iterations run over the vocab table, which grows
+        # with the rotated-alphabet corpus (every copy's words are new)
+        "llm_bpe_train": lambda: _bpe_probe(docs),
+        "olap_zorder_key": lambda: _zorder_probe(docs),
         "multimodal_audio_decode": lambda: decode_audio_features(
             attach_wav_payload(docs, "doc_id")
         ),
