@@ -161,6 +161,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # and the corpus-term-aggregate + exchange-reuse shape it pins stays
 # in-window via llm_top_ngrams.
 #
+# Fourteenth round-4 rotation: olap_cdc_upsert (MERGE INTO semantics as
+# one keyed full-outer join with up-front contract validation) and
+# olap_dq_audit (dbt/Deequ-style constraint audit, rules fused into one
+# conditional aggregate per scan) are new with no driver rows — promoted,
+# displacing olap_exists_correlated (green r03 on unchanged code; the
+# decorrelated semi-join-with-residual shape stays via the upsert's
+# validation semi-join and tpch_q5's join stack) and olap_table_profile
+# (green r03 on unchanged code; the same fused one-scan conditional
+# aggregate family the audit now pins, with the long-form unpivot kept
+# under the local oracle gate).
+#
 # Thirteenth round-4 rotation: stream_near_dedup_ingest (foreachBatch
 # near-dedup ingestion with an idempotent batch-partition sink — the
 # streaming composition of the fuzzy-dedup tier; single-batch driver
@@ -205,11 +216,11 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "olap_asof_join",
     "dedup_ngram_jaccard",
     "olap_grouping_sets",
-    "olap_table_profile",
+    "olap_dq_audit",
     "olap_zorder_key",
     "llm_corpus_curation",
     "olap_month_json",
-    "olap_exists_correlated",
+    "olap_cdc_upsert",
     "olap_tpch_q5_region_volume",
     "olap_salted_join",
     "olap_apply_in_pandas_longest_run",
@@ -256,6 +267,8 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "olap_exists_correlated",
+    "olap_table_profile",
     "stream_static_enrich",
     "llm_embed_dim_stats",
     "olap_window_topk_per_group",

@@ -980,3 +980,134 @@ def zorder_key_q(spark: SparkSession, sf: str) -> DataFrame:
         F.pmod(F.floor("value").cast("long"), F.lit(256)).alias("y"),
     )
     return ev.select("event_id", "x", "y", zorder_key(["x", "y"], 8).alias("zvalue"))
+
+
+# ------------------------------------------------------------- CDC upsert
+
+SQL_CDC_UPSERT = """
+WITH agg AS (
+  SELECT o_custkey AS k, round(sum(o_totalprice), 2) AS nb
+  FROM orders GROUP BY o_custkey),
+ch AS (
+  SELECT k, CASE WHEN k % 10 = 0 THEN 'D' ELSE 'U' END AS op, nb FROM agg
+  UNION ALL
+  SELECT k + 1000000 AS k, 'I' AS op, nb FROM agg WHERE k % 7 = 0)
+SELECT coalesce(c.c_custkey, ch.k) AS c_custkey,
+       c.c_name,
+       CASE WHEN ch.op IN ('U', 'I') THEN ch.nb ELSE c.c_acctbal END AS c_acctbal
+FROM customer c FULL OUTER JOIN ch ON c.c_custkey = ch.k
+WHERE ch.op IS NULL
+   OR (ch.op = 'U' AND c.c_custkey IS NOT NULL)
+   OR (ch.op = 'I' AND c.c_custkey IS NULL)
+"""
+
+
+@query("olap_cdc_upsert", sql=SQL_CDC_UPSERT, tags=("olap", "cdc", "lakehouse"))
+def cdc_upsert_q(spark: SparkSession, sf: str) -> DataFrame:
+    """MERGE INTO semantics on plain DataFrames (operators/cdc.py): a
+    deterministic change batch derived from orders (delete every 10th
+    customer, update the rest to their order-value sum, insert offset
+    synthetic keys for every 7th) applied to the customer snapshot in ONE
+    keyed full-outer join — matched deletes drop, matched updates rewrite
+    the balance, unmatched inserts land with NULL carried columns.
+    Conflicting ops and inserts-for-existing-keys raise up front. At scale
+    the change batch broadcasts (AQE) and the snapshot never moves."""
+    from big_data_player_analysis_spark.operators.cdc import cdc_upsert
+
+    cust = t(spark, sf, "customer").select("c_custkey", "c_name", "c_acctbal")
+    agg = (
+        t(spark, sf, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("c_acctbal"))
+    )
+    changes = agg.select(
+        "c_custkey",
+        F.when(F.pmod("c_custkey", F.lit(10)) == 0, F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        "c_acctbal",
+    ).unionByName(
+        agg.filter(F.pmod("c_custkey", F.lit(7)) == 0).select(
+            (F.col("c_custkey") + F.lit(1_000_000)).alias("c_custkey"),
+            F.lit("I").alias("op"),
+            "c_acctbal",
+        )
+    )
+    return cdc_upsert(cust, changes, "c_custkey", ["c_acctbal"])
+
+
+# ---------------------------------------------------------- data-quality audit
+
+SQL_DQ_AUDIT = """
+SELECT 'orders_null_custkey' AS constraint_name,
+       CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_violations
+FROM orders
+UNION ALL
+SELECT 'orders_dup_key', CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+UNION ALL
+SELECT 'orders_orphan_custkey', CAST(count(*) AS BIGINT)
+FROM orders o WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'orders_nonpositive_price', CAST(count(*) FILTER (WHERE o_totalprice <= 0) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'lineitem_orphan_orderkey', CAST(count(*) AS BIGINT)
+FROM lineitem l WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+"""
+
+
+@query("olap_dq_audit", sql=SQL_DQ_AUDIT, tags=("olap", "quality", "audit"))
+def dq_audit_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Constraint audit (dbt-test/Deequ shape): null keys, duplicate
+    primary keys, referential orphans (orders->customer,
+    lineitem->orders), and a value-range rule, emitted long-form as
+    (constraint_name, n_violations). Scale shape: the per-table rules fuse
+    into one conditional aggregate per scan; each referential rule is a
+    left-anti join whose dimension side broadcasts — no rule adds a second
+    pass over a fact table."""
+    orders = t(spark, sf, "orders")
+    cust = t(spark, sf, "customer")
+    li = t(spark, sf, "lineitem")
+
+    def row(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("constraint_name"),
+            F.coalesce(F.first("n"), F.lit(0)).cast("long").alias("n_violations"),
+        )
+
+    per_scan = orders.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_ck"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("bad_price"),
+    )
+    dup = (
+        orders.groupBy("o_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.sum(F.col("count") - 1).alias("n"))
+    )
+    orphan_o = (
+        orders.join(F.broadcast(cust.select("c_custkey")),
+                    orders.o_custkey == F.col("c_custkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    orphan_l = (
+        li.join(orders.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        per_scan.select(
+            F.lit("orders_null_custkey").alias("constraint_name"),
+            F.col("null_ck").cast("long").alias("n_violations"),
+        )
+        .unionByName(row("orders_dup_key", dup))
+        .unionByName(row("orders_orphan_custkey", orphan_o))
+        .unionByName(
+            per_scan.select(
+                F.lit("orders_nonpositive_price").alias("constraint_name"),
+                F.col("bad_price").cast("long").alias("n_violations"),
+            )
+        )
+        .unionByName(row("lineitem_orphan_orderkey", orphan_l))
+    )

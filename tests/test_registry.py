@@ -72,7 +72,7 @@ def test_primary_window():
         "llm_semantic_dedup", "llm_quality_filters",
         "llm_line_dedup", "llm_shard_assign", "llm_near_dedup_best_quality",
         "llm_pack_sequences", "llm_bpe_encode", "llm_corpus_curation",
-        "llm_apply_mix", "multimodal_png_decode", "olap_table_profile",
+        "llm_apply_mix", "multimodal_png_decode", "olap_dq_audit", "olap_cdc_upsert",
         "llm_top_ngrams", "stream_late_data_drop", "olap_zorder_key",
         "olap_sessionization", "olap_partition_pruned_scan",
     } <= window
