@@ -161,6 +161,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # and the corpus-term-aggregate + exchange-reuse shape it pins stays
 # in-window via llm_top_ngrams.
 #
+# Fifteenth round-4 rotation: olap_scd2_history (slowly-changing-dimension
+# type 2 — change log to validity-ranged history via lead() over (key,
+# time, tiebreak)) is new with no driver row — promoted, displacing
+# olap_sessionization: green r03 on unchanged code, sessionization
+# semantics stay in-window via the streaming olap_session_window and the
+# keyed lag/lead window shape via the incoming SCD2 entry itself.
+#
 # Fourteenth round-4 rotation: olap_cdc_upsert (MERGE INTO semantics as
 # one keyed full-outer join with up-front contract validation) and
 # olap_dq_audit (dbt/Deequ-style constraint audit, rules fused into one
@@ -224,7 +231,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "olap_tpch_q5_region_volume",
     "olap_salted_join",
     "olap_apply_in_pandas_longest_run",
-    "olap_sessionization",
+    "olap_scd2_history",
     # LLM-data-pipeline tier (23; text_quality_score rotated out late in
     # r3 — green r01+r02 on unchanged code, overlaps llm_quality_filters'
     # text-quality built-ins — displaced by the new llm_top_ngrams, which
@@ -267,6 +274,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "olap_sessionization",
     "olap_exists_correlated",
     "olap_table_profile",
     "stream_static_enrich",

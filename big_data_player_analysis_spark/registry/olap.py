@@ -1111,3 +1111,39 @@ def dq_audit_q(spark: SparkSession, sf: str) -> DataFrame:
         )
         .unionByName(row("lineitem_orphan_orderkey", orphan_l))
     )
+
+
+# ------------------------------------------------------------ SCD2 history
+
+SQL_SCD2 = """
+SELECT o_custkey AS c_custkey,
+       round(o_totalprice, 2) AS bal,
+       o_orderdate AS valid_from,
+       lead(o_orderdate) OVER w AS valid_to,
+       CAST(lead(o_orderdate) OVER w IS NULL AS BOOLEAN) AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("olap_scd2_history", sql=SQL_SCD2, tags=("olap", "cdc", "lakehouse"))
+def scd2_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: a keyed change log (each order =
+    a new balance version for its customer) turned into validity-ranged
+    history rows — valid_from = the change's date, valid_to = the NEXT
+    change's date via lead() over (key, time, tiebreak id), open-ended
+    rows flagged is_current. One window = one exchange on the key; the
+    companion point-in-time lookup is then a plain BETWEEN filter. The
+    tiebreak on o_orderkey makes same-day changes totally ordered, so the
+    history is deterministic and engine-portable."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = t(spark, sf, "orders")
+    return o.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.round("o_totalprice", 2).alias("bal"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+    )

@@ -74,7 +74,7 @@ def test_primary_window():
         "llm_pack_sequences", "llm_bpe_encode", "llm_corpus_curation",
         "llm_apply_mix", "multimodal_png_decode", "olap_dq_audit", "olap_cdc_upsert",
         "llm_top_ngrams", "stream_late_data_drop", "olap_zorder_key",
-        "olap_sessionization", "olap_partition_pruned_scan",
+        "olap_scd2_history", "olap_partition_pruned_scan",
     } <= window
 
 
