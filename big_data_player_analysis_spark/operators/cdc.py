@@ -2,8 +2,8 @@
 
 The lakehouse maintenance primitive: apply a change batch (insert / update
 / delete ops keyed on the snapshot's primary key) to a snapshot and
-produce the next snapshot. Delta/Iceberg express this as MERGE INTO; on
-plain parquet the same semantics are one keyed outer join:
+produce the next snapshot. Delta/Iceberg express this as MERGE INTO; the
+semantics here:
 
   * matched + op='D'      -> row dropped
   * matched + op='U'      -> row with updated columns, others carried
@@ -11,11 +11,17 @@ plain parquet the same semantics are one keyed outer join:
   * snapshot row, no op   -> carried unchanged
   * unmatched + op='U'/'D' -> no-op (the key does not exist)
 
-Scale shape: ONE shuffle (or none — a change batch is usually tiny next
-to the snapshot, so AQE broadcasts it and the snapshot never moves; with
-both sides bucketed on the key even the shuffle disappears). Conflicting
-ops for one key and inserts for existing keys are rejected up front —
-silently picking an interpretation is how upserts corrupt snapshots.
+Scale shape: a naive FULL OUTER JOIN formulation would be a scale trap —
+Spark cannot broadcast a full outer join, so the 100 TB snapshot would
+shuffle on every change batch regardless of batch size. Instead the merge
+decomposes into (a) snapshot LEFT JOIN changes — broadcastable, the
+snapshot never moves — and (b) a UNION of the validated insert rows,
+which is a zero-shuffle append. Conflicting ops for one key and inserts
+for existing keys are rejected up front — silently picking an
+interpretation is how upserts corrupt snapshots (and it is exactly that
+validation which makes the insert union equivalent to the outer-join
+form). Plan pinned in tests/test_plans.py: BroadcastHashJoin, no
+SortMergeJoin, no Exchange on the snapshot side.
 """
 
 from __future__ import annotations
@@ -52,27 +58,41 @@ def cdc_upsert(
     ):
         raise ValueError("insert op for a key already in the snapshot")
 
-    snap = snapshot.withColumn("_in_snap", F.lit(True))
     ch = changes.select(
         F.col(key_col),
         F.col(op_col).alias("_op"),
         *[F.col(c).alias(f"_new_{c}") for c in update_cols],
     )
-    joined = snap.join(ch, key_col, "full_outer")
-    keep = (
-        F.col("_op").isNull()  # untouched snapshot row
-        | ((F.col("_op") == "U") & F.col("_in_snap").isNotNull())
-        | ((F.col("_op") == "I") & F.col("_in_snap").isNull())
-    )
     carried = [c for c in snapshot.columns if c != key_col]
-    out_cols = [F.col(key_col)] + [
-        (
-            F.when(F.col("_op").isin("U", "I"), F.col(f"_new_{c}"))
-            .otherwise(F.col(c))
-            .alias(c)
-            if c in update_cols
-            else F.col(c).alias(c)
+    # (a) updates/deletes: LEFT join keeps the snapshot un-shuffled (the
+    # change batch is the broadcastable side); unmatched U/D are no-ops
+    # by the join itself
+    updated = (
+        snapshot.join(ch.filter(F.col("_op") != "I"), key_col, "left")
+        .filter((F.col("_op").isNull()) | (F.col("_op") == "U"))
+        .select(
+            F.col(key_col),
+            *[
+                (
+                    F.when(F.col("_op") == "U", F.col(f"_new_{c}"))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                    if c in update_cols
+                    else F.col(c).alias(c)
+                )
+                for c in carried
+            ],
         )
-        for c in carried
-    ]
-    return joined.filter(keep).select(*out_cols)
+    )
+    # (b) inserts: validated key-disjoint above, so a plain zero-shuffle
+    # union replaces the outer join's unmatched-right branch
+    inserts = changes.filter(F.col(op_col) == "I").select(
+        F.col(key_col),
+        *[
+            (F.col(c) if c in update_cols else F.lit(None)).cast(
+                dict(snapshot.dtypes)[c]
+            ).alias(c)
+            for c in carried
+        ],
+    )
+    return updated.unionByName(inserts)

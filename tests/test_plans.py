@@ -224,6 +224,17 @@ def test_image_resize_is_narrow(spark, specs):
     assert "Exchange" not in p
 
 
+def test_cdc_upsert_never_shuffles_snapshot(spark, specs):
+    """MERGE decomposition: the snapshot side must join the change batch
+    via BroadcastHashJoin (a full-outer formulation cannot broadcast, so
+    it would shuffle the 100 TB snapshot on every batch) and the insert
+    branch is a plain union — no SortMergeJoin anywhere."""
+    p = plan_str(specs["olap_cdc_upsert"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Union" in p
+
+
 def test_near_dedup_survivors_keyed_anti_join_no_cross_product(spark, specs):
     """The survivor materialization must stay a keyed anti/left join on the
     id — no nested loop, no cartesian, and no forced broadcast of the
