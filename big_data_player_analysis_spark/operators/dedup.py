@@ -922,12 +922,17 @@ def dedup_embedding_cosine(
     )
 
 
+SEMANTIC_TARGET_BUCKET_ROWS = 32
+SEMANTIC_MAX_BITS = 20
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.4,
-    n_bits: int = 6,
+    n_bits: int | None = None,
+    target_bucket_rows: int = SEMANTIC_TARGET_BUCKET_ROWS,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication over an embedding column:
     coarse-cluster the corpus, then within each cluster drop every item
@@ -948,16 +953,28 @@ def semantic_dedup(
     aggregate fold evaluated only WITHIN buckets, so total work is
     sum_b |bucket_b|^2 * dim — bounded by the quantizer granularity, the
     same contract SemDeDup runs at web scale. n_bits is the knob: 2**20
-    buckets ~= the paper's k=110k at LAION scale; the local default 6
-    (64 buckets over 5k docs) keeps the same docs-per-bucket ratio. The
-    dropped-id set is output-bounded and flows into an un-forced anti-join
-    (AQE broadcasts it only when it measures small). Cross-bucket recall
-    loss is the documented SemDeDup tradeoff; the exact-product path is
+    buckets ~= the paper's k=110k at LAION scale. BY DEFAULT it is SIZED
+    FROM THE DATA — max(6, ceil(log2(n / target_bucket_rows))), capped at
+    SEMANTIC_MAX_BITS, one count job — because a fixed bucket count is a
+    scale trap: occupancy grows linearly with the corpus and within-bucket
+    work quadratically (the composed-sf1 bench measured fixed-6-bits at
+    21.9 s for 10x the vectors; adaptive bits keep rows/bucket ~constant,
+    the paper's k-grows-with-n contract). The dropped-id set is
+    output-bounded and flows into an un-forced anti-join (AQE broadcasts
+    it only when it measures small). Cross-bucket recall loss is the
+    documented SemDeDup tradeoff; the exact-product path is
     dedup_embedding_cosine (blocked GEMM).
 
     Reference parity: the reference engine has no embedding tier — this
     is extension surface mandated by the curation brief (dedup family).
     """
+    if n_bits is None:
+        import math
+
+        n_bits = min(
+            SEMANTIC_MAX_BITS,
+            max(6, math.ceil(math.log2(max(1, df.count()) / target_bucket_rows))),
+        )
     bucket = F.lit(0)
     for d in range(n_bits):
         bucket = bucket + F.when(

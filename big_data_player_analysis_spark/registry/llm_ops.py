@@ -622,18 +622,24 @@ def dedup_cosine_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SEMANTIC_DEDUP_THRESHOLD = 0.4
-SEMANTIC_BUCKET_BITS = 6
-_SQL_SEM_BUCKET = " + ".join(
-    f"CASE WHEN e[{d + 1}] > 0 THEN {1 << d} ELSE 0 END"
-    for d in range(SEMANTIC_BUCKET_BITS)
-)
 
 
 @query(
     "llm_semantic_dedup",
+    # the oracle replays the ADAPTIVE bucket width: bits =
+    # max(6, ceil(log2(n / 32))) capped at 20 (the operator's occupancy
+    # rule — SemDeDup's k-grows-with-n contract), then the sign-bit bucket
+    # as a conditional sum over the first `bits` dimensions
     sql=f"""
     WITH v AS ({SQL_VEC}),
-    b AS (SELECT vec_id, e, CAST({_SQL_SEM_BUCKET} AS BIGINT) AS bucket FROM v),
+    n AS (SELECT least(20, greatest(6,
+                 CAST(ceil(log2(count(*) / 32.0)) AS INT))) AS bits FROM v),
+    b AS (
+      SELECT vec_id, e,
+             (SELECT CAST(sum(CASE WHEN t.d < n.bits AND e[t.d + 1] > 0
+                                   THEN power(2, t.d) ELSE 0 END) AS BIGINT)
+              FROM range(20) t(d), n) AS bucket
+      FROM v),
     dropped AS (
       SELECT DISTINCT b2.vec_id AS vec_id
       FROM b b1 JOIN b b2 ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
@@ -646,17 +652,18 @@ _SQL_SEM_BUCKET = " + ".join(
 )
 def semantic_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup-style semantic dedup: deterministic sign-bucket coarse
-    clusters (2**6 here; 2**20 is the web-scale knob), within-bucket
-    cosine >= 0.4 prune keeping the lowest id per epsilon-ball. The
-    pairwise cosine runs only inside buckets (the SemDeDup contract) as a
-    JVM zip_with fold; the oracle replays bucket + prune as one SQL
+    clusters with DATA-SIZED width (rows/bucket held ~constant — the
+    composed-sf1 bench caught the previous fixed 2**6 at 21.9 s for 10x
+    the vectors; 2**20 is the web-scale cap), within-bucket cosine >= 0.4
+    prune keeping the lowest id per epsilon-ball. The pairwise cosine runs
+    only inside buckets (the SemDeDup contract) as a JVM zip_with fold;
+    the oracle replays the adaptive width, bucket, and prune as one SQL
     statement."""
     return semantic_dedup(
         t(spark, sf, "embeddings"),
         "vec_id",
         "embedding",
         SEMANTIC_DEDUP_THRESHOLD,
-        SEMANTIC_BUCKET_BITS,
     )
 
 

@@ -1064,8 +1064,9 @@ def dq_audit_q(spark: SparkSession, sf: str) -> DataFrame:
     lineitem->orders), and a value-range rule, emitted long-form as
     (constraint_name, n_violations). Scale shape: the per-table rules fuse
     into one conditional aggregate per scan; each referential rule is a
-    left-anti join whose dimension side broadcasts — no rule adds a second
-    pass over a fact table."""
+    keyed left-anti join with no forced hint (the key sides scale with SF
+    here, so AQE broadcasts only when they measure small) — no rule adds a
+    second pass over a fact table."""
     orders = t(spark, sf, "orders")
     cust = t(spark, sf, "customer")
     li = t(spark, sf, "lineitem")
@@ -1086,8 +1087,11 @@ def dq_audit_q(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("count") > 1)
         .agg(F.sum(F.col("count") - 1).alias("n"))
     )
+    # no forced broadcast hint: customer scales with SF in this schema, so
+    # the anti-join side is only conditionally small — AQE broadcasts it
+    # when it measures under the threshold, else plain shuffle anti
     orphan_o = (
-        orders.join(F.broadcast(cust.select("c_custkey")),
+        orders.join(cust.select("c_custkey"),
                     orders.o_custkey == F.col("c_custkey"), "left_anti")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -208,6 +208,28 @@ def _zorder_probe(docs):
     return q.select("doc_id", zorder_key(["x", "y"], 8).alias("zvalue"))
 
 
+def _cdc_probe(docs):
+    """MERGE-shaped upsert over a docs-derived snapshot: the snapshot is
+    the corpus (scales with the probe), the change batch a fixed-rate
+    derived subset — the production ratio. Near-linear growth = the
+    broadcast-left-join decomposition holds (a full-outer formulation
+    would re-shuffle the snapshot every batch)."""
+    from big_data_player_analysis_spark.operators.cdc import cdc_upsert
+
+    snap = docs.select("doc_id", "source", F.length("text").cast("double").alias("score"))
+    changes = (
+        docs.filter(F.pmod("doc_id", F.lit(50)) < 3)
+        .select(
+            "doc_id",
+            F.when(F.pmod("doc_id", F.lit(50)) == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            (F.length("text") * 2).cast("double").alias("score"),
+        )
+    )
+    return cdc_upsert(snap, changes, "doc_id", ["score"])
+
+
 def url_dedup(docs):
     """Registry-shaped URL canonical dedup: synthesize a crawl URL per doc
     and exact-dedup on the canonical form."""
@@ -223,7 +245,7 @@ def url_dedup(docs):
     )
 
 
-def probe_set(docs, emb, events=None, factor=1, events_path=None):
+def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None):
     """name -> zero-arg builder; timed() constructs the plan per run so
     operator-internal persist marks survive the preceding clearCache.
     ``events`` is optional so older two-table call sites (warmup) still
@@ -235,7 +257,6 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None):
     dir of the scaled events) enables the streaming probe: a REAL
     availableNow micro-batch run per timing, checkpoint + watermark +
     windowed-state cost included."""
-    import math
 
     from big_data_player_analysis_spark.operators.dedup import (
         dedup_embedding_cosine,
@@ -250,6 +271,35 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None):
     extra = {}
     if events is not None:
         extra["q16_heroic_iterative"] = lambda: heroic_probe(events)
+
+        def scd2_probe():
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("user_id").orderBy("ts", "event_id")
+            return events.select(
+                "user_id",
+                F.col("value").alias("val"),
+                F.col("ts").alias("valid_from"),
+                F.lead("ts").over(w).alias("valid_to"),
+                F.lead("ts").over(w).isNull().alias("is_current"),
+            )
+
+        extra["olap_scd2_history"] = scd2_probe
+    if docs_path is not None:
+
+        def ingest_probe():
+            import uuid
+
+            from big_data_player_analysis_spark.streaming.ingest import (
+                stream_near_dedup_ingest,
+            )
+
+            scratch = f"/tmp/bdpa_ingest_probe/{uuid.uuid4().hex}"
+            return stream_near_dedup_ingest(
+                docs.sparkSession, docs_path, f"{scratch}/corpus", f"{scratch}/ckpt"
+            )
+
+        extra["stream_near_dedup_ingest"] = ingest_probe
     if events_path is not None:
         from big_data_player_analysis_spark.streaming.events import (
             events_stream,
@@ -295,13 +345,12 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None):
         "knn_join_vectorized": lambda: knn_join_vectorized(
             emb, emb.filter(F.col("vec_id") < 5), k=3
         ),
-        # constant-occupancy probe: bucket bits grow with the corpus
-        # (6 bits at 1x -> 12 at 64x keeps ~31 vectors/bucket), matching
-        # how SemDeDup scales k with n; within-bucket work per vector is
-        # then constant and the row should read near-linear
-        "llm_semantic_dedup": lambda: semantic_dedup(
-            emb, "vec_id", "embedding", 0.4, 6 + round(math.log2(factor))
-        ),
+        # the operator's own adaptive occupancy rule (bits from |df|, ~32
+        # vectors/bucket — identical widths to the old explicit
+        # 6 + log2(factor) at every probed scale), so the row measures the
+        # DEFAULT operating curve; within-bucket work per vector is
+        # constant and the row should read near-linear
+        "llm_semantic_dedup": lambda: semantic_dedup(emb, "vec_id", "embedding", 0.4),
         "llm_chunk_fixed": lambda: chunk_fixed(docs, "doc_id", "text"),
         "llm_cdc_chunks": lambda: cdc_chunks(docs, "doc_id", "text"),
         "llm_line_dedup": lambda: remove_repeated_windows(docs, "doc_id", "text"),
@@ -332,6 +381,7 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None):
         # with the rotated-alphabet corpus (every copy's words are new)
         "llm_bpe_train": lambda: _bpe_probe(docs),
         "olap_zorder_key": lambda: _zorder_probe(docs),
+        "olap_cdc_upsert": lambda: _cdc_probe(docs),
         "multimodal_audio_decode": lambda: decode_audio_features(
             attach_wav_payload(docs, "doc_id")
         ),
@@ -359,8 +409,11 @@ def main():
     base_events = load_table(spark, SF_DIR, "events")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
-    def probes(docs, emb, events, factor=1, events_path=None):
-        full = probe_set(docs, emb, events, factor=factor, events_path=events_path)
+    def probes(docs, emb, events, factor=1, events_path=None, docs_path=None):
+        full = probe_set(
+            docs, emb, events, factor=factor,
+            events_path=events_path, docs_path=docs_path,
+        )
         return {n: b for n, b in full.items() if only is None or n in only}
 
     def write_events(events, factor: int) -> str:
@@ -370,12 +423,20 @@ def main():
         events.write.mode("overwrite").parquet(path)
         return path
 
+    def write_docs(docs, factor: int) -> str:
+        path = f"/tmp/bdpa_scale_probe_docs/{factor}x"
+        docs.write.mode("overwrite").parquet(path)
+        return path
+
     # Warmup: run every probe once untimed at 1x so the first timed scale
     # doesn't absorb codegen/JIT/broadcast initialization.
     wdocs = scaled_docs(spark, base_docs, 1).persist()
     wemb = scaled_embeddings(spark, base_emb, 1).persist()
     wev = scaled_events(spark, base_events, 1).persist()
-    for build in probes(wdocs, wemb, wev, events_path=write_events(wev, 1)).values():
+    for build in probes(
+        wdocs, wemb, wev,
+        events_path=write_events(wev, 1), docs_path=write_docs(wdocs, 1),
+    ).values():
         timed(build)
     wdocs.unpersist()
     wemb.unpersist()
@@ -395,7 +456,10 @@ def main():
         emb.count()
         events.count()
         ev_path = write_events(events, s)
-        for name, build in probes(docs, emb, events, factor=s, events_path=ev_path).items():
+        d_path = write_docs(docs, s)
+        for name, build in probes(
+            docs, emb, events, factor=s, events_path=ev_path, docs_path=d_path
+        ).items():
             results.setdefault(name, {})[s] = timed(build)
             # drop THIS probe's operator-internal persists (shingle tables,
             # signatures, candidates) before timing the next one — retained
