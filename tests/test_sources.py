@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from big_data_player_analysis_spark.sources.text import (
     read_duels_text,
     write_tab_text,
@@ -114,3 +116,52 @@ def test_partitioned_layout_invalidates_on_source_change(spark, tmp_path):
     assert p2 != p1  # new fingerprint, new layout
     assert spark.read.parquet(p2).count() == 5
     assert os.path.exists(os.path.join(p2, "_SUCCESS"))
+
+
+def test_json_permissive_captures_corrupt_records(spark, tmp_path):
+    """Dirty-lake ingestion contract: PERMISSIVE mode (Spark's default)
+    must land malformed JSONL lines in the declared _corrupt_record column
+    with every typed column NULL, never abort the scan or silently drop
+    rows — the audit-then-quarantine pattern a 100 TB ingest needs."""
+    from big_data_player_analysis_spark.sources.formats import read_table
+
+    p = tmp_path / "dirty.jsonl"
+    p.write_text(
+        '{"id": 1, "v": 10.5}\n'
+        "this is not json at all\n"
+        '{"id": 2, "v": 20.0}\n'
+        '{"id": 3, "v": }\n'
+    )
+    schema = "id long, v double, _corrupt_record string"
+    df = read_table(
+        spark, str(p), fmt="json", schema=schema, mode="PERMISSIVE"
+    ).cache()  # Spark disallows a _corrupt_record-only projection unless cached
+    assert df.count() == 4
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert bad.count() == 2
+    assert {r.id for r in df.filter(F.col("_corrupt_record").isNull()).collect()} == {1, 2}
+    # quarantine split: good rows keep full fidelity
+    good = df.filter(F.col("_corrupt_record").isNull()).select("id", "v")
+    assert {(r.id, r.v) for r in good.collect()} == {(1, 10.5), (2, 20.0)}
+    df.unpersist()
+
+
+def test_csv_dropmalformed_and_failfast_modes(spark, tmp_path):
+    """DROPMALFORMED silently keeps only parseable rows (the lossy knob —
+    callers opt in); FAILFAST surfaces the first bad row as an error
+    instead of producing partial data."""
+    import pytest
+
+    from big_data_player_analysis_spark.sources.formats import read_table
+
+    p = tmp_path / "dirty.csv"
+    p.write_text("id,v\n1,10.5\n2,not_a_number\n3,30.0\n")
+    schema = "id long, v double"
+    dropped = read_table(
+        spark, str(p), fmt="csv", schema=schema, mode="DROPMALFORMED"
+    )
+    assert {(r.id, r.v) for r in dropped.collect()} == {(1, 10.5), (3, 30.0)}
+    with pytest.raises(Exception, match="Malformed|FAILFAST"):
+        read_table(
+            spark, str(p), fmt="csv", schema=schema, mode="FAILFAST"
+        ).collect()
