@@ -161,6 +161,18 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # and the corpus-term-aggregate + exchange-reuse shape it pins stays
 # in-window via llm_top_ngrams.
 #
+# Sixteenth round-4 rotation: olap_funnel_conversion (ordered three-step
+# funnel with exchange-reuse across stages) and olap_retention_cohorts
+# (weekly cohort retention matrix) are new with no driver rows — the
+# product-analytics pair native to the reference's player-events domain.
+# Promoted, displacing olap_month_json (green r03 on unchanged code; its
+# date_trunc bucketing shape is the same family as the incoming
+# retention's week truncation, and JSON extraction keeps its
+# local-oracle-gated twin olap_json_extract with a green r01 row) and
+# olap_grouping_sets (green r03 on unchanged code; the Expand-based
+# multi-grouping family keeps green r01/r02 rows on rollup/cube/pivot
+# plus the local oracle gate).
+#
 # Fifteenth round-4 rotation: olap_scd2_history (slowly-changing-dimension
 # type 2 — change log to validity-ranged history via lead() over (key,
 # time, tiebreak)) is new with no driver row — promoted, displacing
@@ -222,11 +234,11 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "olap_partition_pruned_scan",
     "olap_asof_join",
     "dedup_ngram_jaccard",
-    "olap_grouping_sets",
+    "olap_funnel_conversion",
     "olap_dq_audit",
     "olap_zorder_key",
     "llm_corpus_curation",
-    "olap_month_json",
+    "olap_retention_cohorts",
     "olap_cdc_upsert",
     "olap_tpch_q5_region_volume",
     "olap_salted_join",
@@ -274,6 +286,8 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "olap_month_json",
+    "olap_grouping_sets",
     "olap_sessionization",
     "olap_exists_correlated",
     "olap_table_profile",

@@ -1151,3 +1151,103 @@ def scd2_q(spark: SparkSession, sf: str) -> DataFrame:
         F.lead("o_orderdate").over(w).alias("valid_to"),
         F.lead("o_orderdate").over(w).isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------- funnel analysis
+
+SQL_FUNNEL = """
+WITH a AS (
+  SELECT user_id, min(ts) AS ta FROM events WHERE event_type = 'view' GROUP BY user_id),
+b AS (
+  SELECT e.user_id, min(e.ts) AS tb
+  FROM events e JOIN a ON e.user_id = a.user_id
+  WHERE e.event_type = 'click' AND e.ts > a.ta GROUP BY e.user_id),
+c AS (
+  SELECT e.user_id, min(e.ts) AS tc
+  FROM events e JOIN b ON e.user_id = b.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > b.tb GROUP BY e.user_id)
+SELECT 1 AS step, 'view' AS event_type, CAST((SELECT count(*) FROM a) AS BIGINT) AS n_users
+UNION ALL
+SELECT 2, 'click', CAST((SELECT count(*) FROM b) AS BIGINT)
+UNION ALL
+SELECT 3, 'purchase', CAST((SELECT count(*) FROM c) AS BIGINT)
+"""
+
+
+@query("olap_funnel_conversion", sql=SQL_FUNNEL, tags=("olap", "analytics", "events"))
+def funnel_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): a user advances a step
+    only with an event strictly AFTER their first event of the previous
+    step — the product-analytics conversion query. Each stage is one
+    min-aggregate on user_id; all three stages and the stage joins share
+    the same hashpartitioning(user_id) so Catalyst reuses the exchange
+    instead of re-shuffling the events table per step. Output is the
+    long-form step table a funnel chart consumes."""
+    ev = t(spark, sf, "events").select("user_id", "event_type", "ts")
+
+    def first_after(etype: str, prev: DataFrame | None) -> DataFrame:
+        step = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            step = step.join(prev, "user_id").filter(F.col("ts") > F.col("t_prev"))
+        return step.groupBy("user_id").agg(F.min("ts").alias("t_prev"))
+
+    a = first_after("view", None)
+    b = first_after("click", a)
+    c = first_after("purchase", b)
+
+    def row(step: int, etype: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(step).cast("int").alias("step"),
+            F.lit(etype).alias("event_type"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+
+    return row(1, "view", a).unionByName(row(2, "click", b)).unionByName(
+        row(3, "purchase", c)
+    )
+
+
+# --------------------------------------------------------- retention cohorts
+
+SQL_RETENTION = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week FROM events GROUP BY user_id),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         CAST(floor(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) / 7)
+              AS INT) AS week_no
+  FROM events e JOIN first_seen f ON e.user_id = f.user_id)
+SELECT cohort_week, week_no, CAST(count(*) AS BIGINT) AS n_active
+FROM activity GROUP BY cohort_week, week_no
+"""
+
+
+@query("olap_retention_cohorts", sql=SQL_RETENTION, tags=("olap", "analytics", "events"))
+def retention_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-seen week, counted
+    once per (cohort, weeks-since-cohort) they were active in — the
+    retention-curve matrix. Two aggregates on user_id (first-seen, then
+    the distinct activity grid) plus one counting aggregate; the user_id
+    exchange is shared between the first-seen aggregate and the join
+    back. Week arithmetic is date_trunc-based so both engines bucket
+    identically (ISO Monday weeks)."""
+    ev = t(spark, sf, "events").select("user_id", "ts")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_no"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_active")
+    )

@@ -65,6 +65,7 @@ def test_primary_window():
     # rotation notes)
     assert {
         "dedup_exact", "llm_near_dedup_survivors", "dedup_minhash_lsh",
+        "olap_funnel_conversion", "olap_retention_cohorts",
         "dedup_simhash",
         "dedup_embedding_cosine", "dedup_components", "sim_bruteforce_topk",
         "llm_dedup_incremental", "llm_cdc_chunks", "llm_url_canonical_dedup",
