@@ -1178,11 +1178,13 @@ SELECT 3, 'purchase', CAST((SELECT count(*) FROM c) AS BIGINT)
 def funnel_q(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered funnel (view -> click -> purchase): a user advances a step
     only with an event strictly AFTER their first event of the previous
-    step — the product-analytics conversion query. Each stage is one
-    min-aggregate on user_id; all three stages and the stage joins share
-    the same hashpartitioning(user_id) so Catalyst reuses the exchange
-    instead of re-shuffling the events table per step. Output is the
-    long-form step table a funnel chart consumes."""
+    step — the product-analytics conversion query. Plan shape (pinned in
+    tests/test_plans.py): each stage's first-event table is an aggregate
+    over only ITS event type's filtered scan, and that per-user table
+    BROADCASTS into the next stage's join — the events table itself never
+    shuffles for a stage join, and each exchange carries one step's
+    filtered subset, not the corpus. Output is the long-form step table a
+    funnel chart consumes."""
     ev = t(spark, sf, "events").select("user_id", "event_type", "ts")
 
     def first_after(etype: str, prev: DataFrame | None) -> DataFrame:

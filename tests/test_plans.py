@@ -224,6 +224,16 @@ def test_image_resize_is_narrow(spark, specs):
     assert "Exchange" not in p
 
 
+def test_funnel_broadcasts_step_tables(spark, specs):
+    """Funnel stage joins must broadcast the per-user first-event tables
+    into the filtered event scans — never sort-merge (which would shuffle
+    an events subset per stage) and never a nested loop."""
+    p = plan_str(specs["olap_funnel_conversion"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
 def test_cdc_upsert_never_shuffles_snapshot(spark, specs):
     """MERGE decomposition: the snapshot side must join the change batch
     via BroadcastHashJoin (a full-outer formulation cannot broadcast, so
