@@ -216,6 +216,20 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # olap_apply_in_pandas_longest_run (same partitionBy + secondary-sort
 # shape) and ordered-limit physical plans by llm_top_ngrams'
 # TakeOrderedAndProject pin.
+# Seventeenth round-4 rotation: olap_key_skew_profile (exact-percentile
+# skew diagnostics via a count-of-counts histogram — the pre-shuffle
+# check that decides salting/AQE-skew handling at 100 TB) and
+# olap_hll_shard_merge (two-phase mergeable Datasketches HLL — the
+# O(shards * sketch) replacement for a global count-distinct exchange;
+# rows-only, with merged==single-pass parity pinned in
+# tests/test_operators.py) are new with no driver rows — promoted,
+# displacing olap_salted_join (green r03 on unchanged code; skew
+# handling stays represented in-window by the incoming profiler plus the
+# session's AQE skew-join config, and the salting rewrite keeps its
+# equivalence test + local oracle gate) and llm_shard_assign (green r03
+# on unchanged code; deterministic hash-bucket routing stays in-window
+# via llm_apply_mix's bucket predicates, and the sampling family keeps
+# green rows + the local oracle gate).
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -241,7 +255,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "olap_retention_cohorts",
     "olap_cdc_upsert",
     "olap_tpch_q5_region_volume",
-    "olap_salted_join",
+    "olap_key_skew_profile",
     "olap_apply_in_pandas_longest_run",
     "olap_scd2_history",
     # LLM-data-pipeline tier (23; text_quality_score rotated out late in
@@ -251,7 +265,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_top_ngrams",
     "llm_quality_filters",
     "llm_line_dedup",
-    "llm_shard_assign",
+    "olap_hll_shard_merge",
     "llm_pack_sequences",
     "llm_bpe_encode",
     "dedup_exact",
@@ -286,6 +300,8 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "olap_salted_join",
+    "llm_shard_assign",
     "olap_month_json",
     "olap_grouping_sets",
     "olap_sessionization",

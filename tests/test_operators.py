@@ -204,3 +204,43 @@ def test_salted_join_equals_plain_join(spark):
     got = rows_set(salted_join(big, dim, on="k", num_salts=4))
     want = rows_set(big.join(dim, "k"))
     assert got == want
+
+
+def test_hll_shard_merge_properties(spark, sf_small):
+    """The rows-only entry's strong properties: the union of disjoint
+    per-shard sketches is register-wise the whole-corpus sketch, so the
+    merged estimate equals the single-pass estimate EXACTLY; both sit
+    within the sketch's rated error of the exact distinct count."""
+    from big_data_player_analysis_spark.registry.olap import hll_shard_merge
+
+    row = hll_shard_merge(spark, sf_small).collect()[0]
+    assert row.merged_estimate == row.single_pass_estimate
+    rel_err = abs(row.merged_estimate - row.exact_distinct) / row.exact_distinct
+    assert rel_err < 0.05
+
+
+def test_key_skew_profile_planted(spark, tmp_path):
+    """Histogram-interpolated exact percentiles on a planted distribution
+    where the answers are known in closed form: 9 keys with 1 row each +
+    one hot key with 91 rows -> n=10; p50 = 1.0; p90 interpolates rank
+    8.1 between the last 1 and the 91: 1 + 0.1*90 = 10.0; p99 at rank
+    8.91: 1 + 0.91*90 = 82.9."""
+    import pyspark.sql.functions as F
+
+    from big_data_player_analysis_spark.registry.olap import key_skew_profile
+
+    rows = [(k, i) for k in range(9) for i in range(1)] + [
+        (99, i) for i in range(91)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_id long")
+    d = str(tmp_path / "skew")
+    ev.write.parquet(d + "/events.parquet")
+    r = key_skew_profile(spark, d).collect()[0]
+    assert r.total_rows == 100
+    assert r.distinct_keys == 10
+    assert r.max_rows_per_key == 91
+    assert abs(r.avg_rows_per_key - 10.0) < 1e-9
+    assert r.p50_rows_per_key == 1.0
+    assert abs(r.p90_rows_per_key - 10.0) < 1e-6
+    assert abs(r.p99_rows_per_key - 82.9) < 1e-6
+    assert abs(r.skew_factor - 9.1) < 1e-9

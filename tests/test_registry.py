@@ -61,8 +61,9 @@ def test_primary_window():
     # multimodal_image_decode (BMP) -> multimodal_png_decode,
     # llm_chunk_fixed -> llm_dedup_incremental, llm_pii_redact ->
     # multimodal_video_decode, llm_unigram_logprob -> llm_bpe_train,
-    # olap_window_topk_per_group -> olap_zorder_key (see PRIMARY_ORDER's
-    # rotation notes)
+    # olap_window_topk_per_group -> olap_zorder_key, olap_salted_join ->
+    # olap_key_skew_profile, llm_shard_assign -> olap_hll_shard_merge
+    # (see PRIMARY_ORDER's rotation notes)
     assert {
         "dedup_exact", "llm_near_dedup_survivors", "dedup_minhash_lsh",
         "olap_funnel_conversion", "olap_retention_cohorts",
@@ -71,11 +72,11 @@ def test_primary_window():
         "llm_dedup_incremental", "llm_cdc_chunks", "llm_url_canonical_dedup",
         "multimodal_video_decode", "llm_bpe_train", "multimodal_image_resize",
         "llm_semantic_dedup", "llm_quality_filters",
-        "llm_line_dedup", "llm_shard_assign", "llm_near_dedup_best_quality",
+        "llm_line_dedup", "olap_key_skew_profile", "llm_near_dedup_best_quality",
         "llm_pack_sequences", "llm_bpe_encode", "llm_corpus_curation",
         "llm_apply_mix", "multimodal_png_decode", "olap_dq_audit", "olap_cdc_upsert",
         "llm_top_ngrams", "stream_late_data_drop", "olap_zorder_key",
-        "olap_scd2_history", "olap_partition_pruned_scan",
+        "olap_scd2_history", "olap_partition_pruned_scan", "olap_hll_shard_merge",
     } <= window
 
 
