@@ -1002,7 +1002,7 @@ WHERE ch.op IS NULL
 """
 
 
-@query("olap_cdc_upsert", sql=SQL_CDC_UPSERT, tags=("olap", "cdc", "lakehouse"))
+@query("olap_cdc_upsert", sql=SQL_CDC_UPSERT, tags=("olap", "cdc", "lakehouse", "bench"))
 def cdc_upsert_q(spark: SparkSession, sf: str) -> DataFrame:
     """MERGE INTO semantics on plain DataFrames (operators/cdc.py): a
     deterministic change batch derived from orders (delete every 10th
@@ -1130,7 +1130,7 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
-@query("olap_scd2_history", sql=SQL_SCD2, tags=("olap", "cdc", "lakehouse"))
+@query("olap_scd2_history", sql=SQL_SCD2, tags=("olap", "cdc", "lakehouse", "bench"))
 def scd2_q(spark: SparkSession, sf: str) -> DataFrame:
     """Slowly-changing-dimension type 2: a keyed change log (each order =
     a new balance version for its customer) turned into validity-ranged
@@ -1174,7 +1174,7 @@ SELECT 3, 'purchase', CAST((SELECT count(*) FROM c) AS BIGINT)
 """
 
 
-@query("olap_funnel_conversion", sql=SQL_FUNNEL, tags=("olap", "analytics", "events"))
+@query("olap_funnel_conversion", sql=SQL_FUNNEL, tags=("olap", "analytics", "events", "bench"))
 def funnel_q(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered funnel (view -> click -> purchase): a user advances a step
     only with an event strictly AFTER their first event of the previous
@@ -1224,7 +1224,7 @@ FROM activity GROUP BY cohort_week, week_no
 """
 
 
-@query("olap_retention_cohorts", sql=SQL_RETENTION, tags=("olap", "analytics", "events"))
+@query("olap_retention_cohorts", sql=SQL_RETENTION, tags=("olap", "analytics", "events", "bench"))
 def retention_q(spark: SparkSession, sf: str) -> DataFrame:
     """Weekly retention cohorts: users grouped by first-seen week, counted
     once per (cohort, weeks-since-cohort) they were active in — the
@@ -1274,7 +1274,7 @@ FROM c
 """
 
 
-@query("olap_key_skew_profile", sql=SQL_KEY_SKEW, tags=("olap", "profile", "skew"))
+@query("olap_key_skew_profile", sql=SQL_KEY_SKEW, tags=("olap", "profile", "skew", "bench"))
 def key_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Key-distribution skew profile for a prospective join/agg key: row
     counts, distinct keys, max/avg rows per key, EXACT interpolated
