@@ -392,3 +392,28 @@ def test_top_ngrams_partial_agg_and_ordered_limit(spark, specs):
     # operator); a literal "Sort [" exclusion was formatting-brittle
     # (round-3 ADVICE)
     assert "TakeOrderedAndProject" in p
+
+
+def test_key_skew_profile_never_sorts_per_key_counts(spark, specs):
+    """The profiler's percentiles must come from the count-of-counts
+    histogram, not a global sort/percentile over all per-key counts: no
+    range partitioning anywhere (the only global-order operator is the
+    cumulative window over the tiny histogram, which plans as a
+    SinglePartition exchange), and both aggregation levels (keys, then
+    count values) keep map-side partial aggregation."""
+    p = plan_str(specs["olap_key_skew_profile"].fn(spark, SF))
+    assert "rangepartitioning" not in p.lower()
+    assert "partial_count" in p
+    assert "Window" in p
+    assert "BroadcastNestedLoopJoin" in p  # the 1-row totals broadcast
+
+
+def test_hll_shard_merge_partial_sketches(spark, specs):
+    """Sketch building must partial-aggregate map-side (the whole point of
+    a mergeable sketch: shards exchange ~1.5KB sketches, not values), and
+    nothing in the plan sorts or exchanges the raw events beyond the
+    sharded sketch agg."""
+    p = plan_str(specs["olap_hll_shard_merge"].fn(spark, SF))
+    assert "ObjectHashAggregate" in p
+    assert "partial_hll_sketch_agg" in p
+    assert "SortMergeJoin" not in p
