@@ -216,6 +216,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # olap_apply_in_pandas_longest_run (same partitionBy + secondary-sort
 # shape) and ordered-limit physical plans by llm_top_ngrams'
 # TakeOrderedAndProject pin.
+# Eighteenth round-4 rotation: stream_incremental_mv (incremental
+# materialized-view maintenance — foreachBatch merge of mergeable
+# partials into a versioned snapshot, the lakehouse refresh pattern;
+# full SQL twin, so its hash row doubles as exactly-once evidence) is
+# new with no driver row — promoted, displacing stream_dedup_by_id:
+# green r03 on unchanged code, and the streaming-dedup shape stays
+# in-window via stream_near_dedup_ingest (the harder fuzzy ingestion
+# case) with the watermark-bounded exact-id variant pinned by
+# tests/test_streaming.py and the local oracle gate.
+#
 # Seventeenth round-4 rotation: olap_key_skew_profile (exact-percentile
 # skew diagnostics via a count-of-counts histogram — the pre-shuffle
 # check that decides salting/AQE-skew handling at 100 TB) and
@@ -287,7 +297,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_semantic_dedup",
     # streaming tier (7)
     "stream_tumbling_counts",
-    "stream_dedup_by_id",
+    "stream_incremental_mv",
     "stream_stateful_user_stats",
     "stream_near_dedup_ingest",
     "stream_stream_interval_join",
@@ -300,6 +310,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "stream_dedup_by_id",
     "olap_salted_join",
     "llm_shard_assign",
     "olap_month_json",

@@ -289,3 +289,45 @@ def stream_ingest_q(spark: SparkSession, sf: str) -> DataFrame:
         f"{scratch}/ckpt",
     )
     return corpus.select("doc_id", "source", "group_size", "batch")
+
+
+SQL_INCREMENTAL_MV = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       sum(value) AS sum_value,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       sum(value) / count(*) AS avg_value
+FROM events GROUP BY event_type
+"""
+
+
+@query(
+    "stream_incremental_mv",
+    sql=SQL_INCREMENTAL_MV,
+    tags=("streaming", "lakehouse", "mv"),
+)
+def stream_incremental_mv_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-view maintenance (streaming/mv.py): a
+    foreachBatch availableNow run merges each micro-batch's MERGEABLE
+    partial aggregate (count/sum/min/max) into a versioned snapshot —
+    batch cost O(batch + keys), never a history rescan — with the
+    versioned-partition idempotence contract (replayed batches re-read
+    the state below their own id and overwrite their own version).
+    Non-mergeable avg derives on read as sum/count. The hash-check
+    against the plain GROUP BY oracle IS the exactly-once evidence: any
+    double-applied or dropped batch changes the sums. Multi-batch merge
+    + crash-replay idempotence are pinned in tests/test_streaming_mv.py."""
+    import uuid
+
+    from big_data_player_analysis_spark.streaming.mv import (
+        stream_incremental_mv,
+    )
+
+    scratch = f"/tmp/bdpa_mv/{uuid.uuid4().hex}"
+    return stream_incremental_mv(
+        spark,
+        table_path(sf, "events"),
+        f"{scratch}/mv",
+        f"{scratch}/ckpt",
+    )

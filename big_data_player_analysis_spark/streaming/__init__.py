@@ -24,6 +24,7 @@ from big_data_player_analysis_spark.streaming.stateful import (
     user_running_stats,
 )
 from big_data_player_analysis_spark.streaming.joins import interval_join
+from big_data_player_analysis_spark.streaming.mv import stream_incremental_mv
 
 __all__ = [
     "events_stream",
@@ -34,4 +35,5 @@ __all__ = [
     "dedup_stream_by_id",
     "user_running_stats",
     "interval_join",
+    "stream_incremental_mv",
 ]
