@@ -18,7 +18,7 @@ quality gates can join/filter on it without schema surgery.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -71,3 +71,100 @@ def profile_table(
         F.col("e.p.min_val").alias("min_val"),
         F.col("e.p.max_val").alias("max_val"),
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Key-distribution skew profile for a prospective join/agg key: row
+    counts, distinct keys, max/avg rows per key, EXACT interpolated
+    p50/p90/p99 of rows-per-key, and the max/avg skew factor — the
+    diagnostic that decides whether a key needs salting or AQE skew-join
+    before a 100 TB shuffle is launched.
+
+    Scale shape: the naive plan (exact `percentile` over one global
+    group) sorts every per-key count on a single task — O(distinct keys)
+    on one machine, which is exactly what this profiler exists to warn
+    about. Instead the per-key counts are compressed to a
+    count-of-counts histogram first (distinct COUNT VALUES, not distinct
+    keys — bounded by the corpus' heaviest key, in practice thousands of
+    rows at any corpus size), and each quantile is interpolated from the
+    histogram's running cumulative: v0 + frac(h) * (v1 - v0) at rank
+    h = q * (n-1), numerically identical to quantile_cont / exact
+    `percentile`. Two partial-agged exchanges (keys, then count values);
+    the global-order window runs over the tiny histogram only. The 1-row
+    totals broadcast into the histogram for rank arithmetic."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    hist = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_keys"))
+    cum_w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("n_keys").over(cum_w))
+    tot = hist.agg(
+        F.sum(F.col("cnt") * F.col("n_keys")).cast("long").alias("total_rows"),
+        F.sum("n_keys").cast("long").alias("distinct_keys"),
+        F.max("cnt").alias("max_rows_per_key"),
+    )
+    joined = cum.crossJoin(F.broadcast(tot))
+    quantiles = {"p50": 0.50, "p90": 0.90, "p99": 0.99}
+    for tag, q in quantiles.items():
+        joined = joined.withColumn(
+            f"h_{tag}",
+            (F.lit(q) * (F.col("distinct_keys") - F.lit(1))).cast("double"),
+        )
+    aggs = [
+        F.first("total_rows").alias("total_rows"),
+        F.first("distinct_keys").alias("distinct_keys"),
+        F.first("max_rows_per_key").alias("max_rows_per_key"),
+    ]
+    for tag in quantiles:
+        h = F.first(F.col(f"h_{tag}"))
+        v0 = F.min(
+            F.when(F.col("cum") >= F.floor(F.col(f"h_{tag}")) + 1, F.col("cnt"))
+        )
+        v1 = F.min(
+            F.when(F.col("cum") >= F.ceil(F.col(f"h_{tag}")) + 1, F.col("cnt"))
+        )
+        aggs.append(
+            (v0 + (h - F.floor(h)) * (v1 - v0)).alias(f"{tag}_rows_per_key")
+        )
+    prof = joined.agg(*aggs)
+    avg = F.col("total_rows").cast("double") / F.col("distinct_keys")
+    return prof.select(
+        "total_rows",
+        "distinct_keys",
+        "max_rows_per_key",
+        avg.alias("avg_rows_per_key"),
+        "p50_rows_per_key",
+        "p90_rows_per_key",
+        "p99_rows_per_key",
+        (F.col("max_rows_per_key") / avg).alias("skew_factor"),
+    )
+
+
+def hll_distinct_shard_merge(
+    df: DataFrame, value_col: str, shard_col: str, n_shards: int = 16
+) -> DataFrame:
+    """Two-phase approximate distinct via MERGEABLE HLL sketches
+    (Datasketches hll_sketch_agg / hll_union_agg): each shard builds its
+    own sketch, the tiny fixed-size sketches are unioned, and the merged
+    estimate is read once — the pattern that replaces a global
+    count-distinct shuffle with an O(shards * 1.5KB) exchange at 100 TB
+    (per-shard sketches can also be persisted and re-merged across days
+    without rescanning history). Output: the merged estimate, the
+    single-pass estimate, and the exact distinct count side by side.
+    tests/test_operators.py pins merged == single-pass EXACTLY
+    (register-wise the union of disjoint-shard sketches is the
+    whole-corpus sketch) and both within rated error of exact."""
+    per_shard = (
+        df.withColumn("shard", F.pmod(F.xxhash64(shard_col), F.lit(n_shards)))
+        .groupBy("shard")
+        .agg(F.hll_sketch_agg(value_col).alias("sk"))
+    )
+    merged = per_shard.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate")
+    )
+    single = df.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg(value_col)).alias(
+            "single_pass_estimate"
+        )
+    )
+    exact = df.agg(F.count_distinct(value_col).alias("exact_distinct"))
+    # three 1-row frames — the crossJoins are scalar broadcasts
+    return merged.crossJoin(single).crossJoin(exact)

@@ -1274,71 +1274,22 @@ FROM c
 """
 
 
-@query("olap_key_skew_profile", sql=SQL_KEY_SKEW, tags=("olap", "profile", "skew", "bench"))
-def key_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
-    """Key-distribution skew profile for a prospective join/agg key: row
-    counts, distinct keys, max/avg rows per key, EXACT interpolated
-    p50/p90/p99 of rows-per-key, and the max/avg skew factor — the
-    diagnostic that decides whether a key needs salting or AQE skew-join
-    before a 100 TB shuffle is launched.
+@query(
+    "olap_key_skew_profile",
+    sql=SQL_KEY_SKEW,
+    tags=("olap", "profile", "skew", "bench"),
+)
+def key_skew_profile_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew diagnostics on the events join key (operators/profiling.py:
+    key_skew_profile): exact p50/p90/p99 rows-per-key interpolated from a
+    count-of-counts histogram — never a global sort of per-key counts;
+    see the operator docstring for the scale argument. The DuckDB twin's
+    quantile_cont validates the interpolation exactly."""
+    from big_data_player_analysis_spark.operators.profiling import (
+        key_skew_profile,
+    )
 
-    Scale shape: the naive plan (exact `percentile` over one global
-    group) sorts every per-key count on a single task — O(distinct keys)
-    on one machine, which is exactly what this profiler exists to warn
-    about. Instead the per-key counts are compressed to a
-    count-of-counts histogram first (distinct COUNT VALUES, not distinct
-    keys — bounded by the corpus' heaviest key, in practice thousands of
-    rows at any corpus size), and each quantile is interpolated from the
-    histogram's running cumulative: v0 + frac(h) * (v1 - v0) at rank
-    h = q * (n-1), numerically identical to quantile_cont / exact
-    `percentile`. Two partial-agged exchanges (keys, then count values);
-    the global-order window runs over the tiny histogram only. The 1-row
-    totals broadcast into the histogram for rank arithmetic."""
-    ev = t(spark, sf, "events")
-    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
-    hist = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_keys"))
-    cum_w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("n_keys").over(cum_w))
-    tot = hist.agg(
-        F.sum(F.col("cnt") * F.col("n_keys")).cast("long").alias("total_rows"),
-        F.sum("n_keys").cast("long").alias("distinct_keys"),
-        F.max("cnt").alias("max_rows_per_key"),
-    )
-    joined = cum.crossJoin(F.broadcast(tot))
-    quantiles = {"p50": 0.50, "p90": 0.90, "p99": 0.99}
-    for tag, q in quantiles.items():
-        joined = joined.withColumn(
-            f"h_{tag}",
-            (F.lit(q) * (F.col("distinct_keys") - F.lit(1))).cast("double"),
-        )
-    aggs = [
-        F.first("total_rows").alias("total_rows"),
-        F.first("distinct_keys").alias("distinct_keys"),
-        F.first("max_rows_per_key").alias("max_rows_per_key"),
-    ]
-    for tag in quantiles:
-        h = F.first(F.col(f"h_{tag}"))
-        v0 = F.min(
-            F.when(F.col("cum") >= F.floor(F.col(f"h_{tag}")) + 1, F.col("cnt"))
-        )
-        v1 = F.min(
-            F.when(F.col("cum") >= F.ceil(F.col(f"h_{tag}")) + 1, F.col("cnt"))
-        )
-        aggs.append(
-            (v0 + (h - F.floor(h)) * (v1 - v0)).alias(f"{tag}_rows_per_key")
-        )
-    prof = joined.agg(*aggs)
-    avg = F.col("total_rows").cast("double") / F.col("distinct_keys")
-    return prof.select(
-        "total_rows",
-        "distinct_keys",
-        "max_rows_per_key",
-        avg.alias("avg_rows_per_key"),
-        "p50_rows_per_key",
-        "p90_rows_per_key",
-        "p99_rows_per_key",
-        (F.col("max_rows_per_key") / avg).alias("skew_factor"),
-    )
+    return key_skew_profile(t(spark, sf, "events"), "user_id")
 
 
 # ------------------------------------------------- mergeable distinct sketch
@@ -1346,34 +1297,15 @@ def key_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("olap_hll_shard_merge", sql=None, tags=("olap", "agg", "approx", "sketch"))
 def hll_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
-    """Two-phase approximate distinct via MERGEABLE HLL sketches
-    (Datasketches hll_sketch_agg / hll_union_agg): each shard builds its
-    own sketch, the tiny fixed-size sketches are unioned, and the merged
-    estimate is read once — the pattern that replaces a global
-    count-distinct shuffle with an O(shards * 1.5KB) exchange at 100 TB
-    (per-shard sketches can also be persisted and re-merged across days
-    without rescanning history). Output: the merged estimate, the
-    single-pass estimate, and the exact distinct count side by side.
-    Sketch register values are engine-specific (DuckDB's
+    """Sharded mergeable-HLL distinct (operators/profiling.py:
+    hll_distinct_shard_merge) over events.user_id, sharded by event_id
+    hash. Sketch register values are engine-specific (DuckDB's
     approx_count_distinct is a different HLL implementation), so this
-    entry is rows-only; tests/test_operators.py pins the strong
-    properties instead: merged == single-pass EXACTLY (register-wise the
-    union of disjoint-shard sketches is the whole-corpus sketch) and
-    both within rated error of the exact count."""
-    ev = t(spark, sf, "events")
-    per_shard = (
-        ev.withColumn("shard", F.pmod(F.xxhash64("event_id"), F.lit(16)))
-        .groupBy("shard")
-        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+    entry is rows-only; the strong properties — merged == single-pass
+    exactly, both within rated error of exact — are pinned in
+    tests/test_operators.py."""
+    from big_data_player_analysis_spark.operators.profiling import (
+        hll_distinct_shard_merge,
     )
-    merged = per_shard.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_estimate")
-    )
-    single = ev.agg(
-        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
-            "single_pass_estimate"
-        )
-    )
-    exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
-    # three 1-row frames — the crossJoins are scalar broadcasts
-    return merged.crossJoin(single).crossJoin(exact)
+
+    return hll_distinct_shard_merge(t(spark, sf, "events"), "user_id", "event_id")

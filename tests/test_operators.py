@@ -211,31 +211,34 @@ def test_hll_shard_merge_properties(spark, sf_small):
     per-shard sketches is register-wise the whole-corpus sketch, so the
     merged estimate equals the single-pass estimate EXACTLY; both sit
     within the sketch's rated error of the exact distinct count."""
-    from big_data_player_analysis_spark.registry.olap import hll_shard_merge
+    from big_data_player_analysis_spark.operators.profiling import (
+        hll_distinct_shard_merge,
+    )
 
-    row = hll_shard_merge(spark, sf_small).collect()[0]
+    from big_data_player_analysis_spark.catalog import load_table
+
+    ev = load_table(spark, sf_small, "events")
+    row = hll_distinct_shard_merge(ev, "user_id", "event_id").collect()[0]
     assert row.merged_estimate == row.single_pass_estimate
     rel_err = abs(row.merged_estimate - row.exact_distinct) / row.exact_distinct
     assert rel_err < 0.05
 
 
-def test_key_skew_profile_planted(spark, tmp_path):
+def test_key_skew_profile_planted(spark):
     """Histogram-interpolated exact percentiles on a planted distribution
     where the answers are known in closed form: 9 keys with 1 row each +
     one hot key with 91 rows -> n=10; p50 = 1.0; p90 interpolates rank
     8.1 between the last 1 and the 91: 1 + 0.1*90 = 10.0; p99 at rank
     8.91: 1 + 0.91*90 = 82.9."""
-    import pyspark.sql.functions as F
-
-    from big_data_player_analysis_spark.registry.olap import key_skew_profile
+    from big_data_player_analysis_spark.operators.profiling import (
+        key_skew_profile,
+    )
 
     rows = [(k, i) for k in range(9) for i in range(1)] + [
         (99, i) for i in range(91)
     ]
     ev = spark.createDataFrame(rows, "user_id long, event_id long")
-    d = str(tmp_path / "skew")
-    ev.write.parquet(d + "/events.parquet")
-    r = key_skew_profile(spark, d).collect()[0]
+    r = key_skew_profile(ev, "user_id").collect()[0]
     assert r.total_rows == 100
     assert r.distinct_keys == 10
     assert r.max_rows_per_key == 91
