@@ -285,6 +285,29 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
             )
 
         extra["olap_scd2_history"] = scd2_probe
+
+        def skew_probe():
+            from big_data_player_analysis_spark.operators.profiling import (
+                key_skew_profile,
+            )
+
+            return key_skew_profile(events, "user_id")
+
+        # exact percentiles from the count-of-counts histogram: the row
+        # should stay scan-bound (near-linear) because the quantile stage
+        # is O(histogram), not O(distinct keys)
+        extra["olap_key_skew_profile"] = skew_probe
+
+        def hll_probe():
+            from big_data_player_analysis_spark.operators.profiling import (
+                hll_distinct_shard_merge,
+            )
+
+            return hll_distinct_shard_merge(events, "user_id", "event_id")
+
+        # sketch exchange is O(shards * 1.5KB) at every scale — the row
+        # should grow only with the scan
+        extra["olap_hll_shard_merge"] = hll_probe
     if docs_path is not None:
 
         def ingest_probe():
@@ -317,6 +340,22 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
             )
 
         extra["stream_tumbling_counts"] = stream_probe
+
+        def mv_probe():
+            import uuid
+
+            from big_data_player_analysis_spark.streaming.mv import (
+                stream_incremental_mv,
+            )
+
+            spark = docs.sparkSession
+            scratch = f"/tmp/bdpa_mv_probe/{uuid.uuid4().hex}"
+            return stream_incremental_mv(
+                spark, events_path, f"{scratch}/mv", f"{scratch}/ckpt"
+            )
+
+        # foreachBatch merge: batch scan + O(keys) snapshot per batch
+        extra["stream_incremental_mv"] = mv_probe
     return {
         # documented-quadratic exact product (blocked GEMM): the SCALE row
         # exists to show the 16x cell grows ~256x in flops but stays
