@@ -58,6 +58,10 @@ AUDITED = [
     "olap_funnel_conversion",
     "olap_retention_cohorts",
     "llm_bpe_train",
+    "olap_cdc_upsert",
+    "olap_scd2_history",
+    "olap_key_skew_profile",
+    "olap_hll_shard_merge",
 ]
 
 
@@ -125,6 +129,17 @@ def _fmt_mb(b: int) -> str:
 # Design explanation per outlier — rendered under the table so the
 # numbers never stand uninterpreted.
 NOTES = {
+    "olap_key_skew_profile": (
+        "global exact percentiles with no global sort: the exchanges are "
+        "the per-key partial count and the KB-scale count-of-counts "
+        "histogram — shuffle stays O(distinct keys) regardless of row "
+        "growth."
+    ),
+    "olap_hll_shard_merge": (
+        "the sketch exchange is O(shards x 1.5KB) at every scale; shuffle "
+        "bytes should stay flat as input grows (the exact-distinct "
+        "comparison column contributes the only data-sized aggregate)."
+    ),
     "dedup_ngram_jaccard": (
         "the 10x-input jump is a one-time broadcast->shuffle transition, "
         "not asymptotic growth: the exact verify attaches each doc's full "
