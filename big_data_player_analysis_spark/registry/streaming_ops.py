@@ -305,7 +305,7 @@ FROM events GROUP BY event_type
 @query(
     "stream_incremental_mv",
     sql=SQL_INCREMENTAL_MV,
-    tags=("streaming", "lakehouse", "mv"),
+    tags=("streaming", "lakehouse", "mv", "bench"),
 )
 def stream_incremental_mv_q(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental materialized-view maintenance (streaming/mv.py): a
