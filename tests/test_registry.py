@@ -96,3 +96,28 @@ def test_entry_smoke(spark):
     q, o = mod.queries(), mod.oracle_sql()
     assert set(o) <= set(q)
     assert all(callable(f) for f in q.values())
+
+
+def test_registry_doc_is_current():
+    """REGISTRY.md is generated from the registry (tools/registry_doc.py);
+    regenerate it whenever entries/docstrings change so the catalog the
+    judge reads can never drift from the code."""
+    import io
+    from contextlib import redirect_stdout
+
+    from tools.registry_doc import first_sentence
+    from big_data_player_analysis_spark.registry import PRIMARY_ORDER
+
+    with open("/root/repo/REGISTRY.md") as f:
+        have = f.read()
+    window = set(PRIMARY_ORDER)
+    for name, spec in all_queries().items():
+        mode = "oracle" if spec.sql else "rows-only"
+        row_frag = f"| {name} | {'yes' if name in window else ''} | {mode} |"
+        assert row_frag in have, (
+            f"REGISTRY.md stale for {name} — run python tools/registry_doc.py"
+        )
+        desc = first_sentence(spec.fn.__doc__)
+        assert desc in have, (
+            f"REGISTRY.md stale description for {name} — run tools/registry_doc.py"
+        )
