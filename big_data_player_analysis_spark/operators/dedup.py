@@ -1000,3 +1000,91 @@ def semantic_dedup(
         .distinct()
     )
     return b.join(dropped, id_col, "left_anti").select(id_col, "bucket")
+
+
+# --------------------------------------------------------- edit-distance
+
+
+def title_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    width: int = 24,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Near-identical document prefixes under substitution (Hamming)
+    distance — the string-similarity-join member of the dedup family
+    (scraped corpora carry title/boilerplate variants differing in a
+    character or two: dates, counters, typo fixes).
+
+    Semantics: normalize each document to a FIXED-WIDTH key (lowercased
+    first ``width`` chars, space-padded) and emit every id-ordered pair
+    whose keys differ in at most ``max_dist`` positions, with the exact
+    distance.
+
+    Scale design — segment-pigeonhole blocking (the PassJoin/Ed-Join
+    candidate scheme specialized to fixed-width substitution distance):
+    the key is cut into ``max_dist + 1`` equal segments at FIXED
+    positions; two keys within Hamming distance ``max_dist`` cannot
+    differ in every segment, so they agree EXACTLY on at least one
+    (segment_idx, segment_text) — candidate generation is therefore an
+    equi-join on that composite key, COMPLETE by pigeonhole (no recall
+    loss; the oracle brute-forces all pairs and must agree). Candidate
+    volume is sum over buckets of C(bucket_size, 2) — the same
+    banded-self-join shape as MinHash LSH, never the O(n^2) cross join.
+    Verification is a single JVM higher-order-function expression
+    (aggregate over character positions), no Python boundary.
+    """
+    n_seg = max_dist + 1
+    seg_w = width // n_seg
+    assert seg_w * n_seg == width, "width must be divisible by max_dist+1"
+    keyed = df.select(
+        F.col(id_col),
+        F.rpad(F.lower(F.substring(text_col, 1, width)), width, " ").alias(
+            "hkey"
+        ),
+    )
+    segs = keyed.select(
+        id_col,
+        "hkey",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg_idx"),
+                        F.substring("hkey", i * seg_w + 1, seg_w).alias(
+                            "seg"
+                        ),
+                    )
+                    for i in range(n_seg)
+                ]
+            )
+        ).alias("s"),
+    ).select(id_col, "hkey", "s.seg_idx", "s.seg")
+    a = segs.select(
+        F.col(id_col).alias("id_a"),
+        F.col("hkey").alias("ka"),
+        "seg_idx",
+        "seg",
+    )
+    b = segs.select(
+        F.col(id_col).alias("id_b"),
+        F.col("hkey").alias("kb"),
+        "seg_idx",
+        "seg",
+    )
+    cand = (
+        a.join(b, ["seg_idx", "seg"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ka", "kb")
+        .distinct()
+    )
+    ham = F.expr(
+        f"aggregate(sequence(1, {width}), 0, (acc, i) -> "
+        "acc + IF(substring(ka, i, 1) = substring(kb, i, 1), 0, 1))"
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_dist)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -240,6 +240,27 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # on unchanged code; deterministic hash-bucket routing stays in-window
 # via llm_apply_mix's bucket predicates, and the sampling family keeps
 # green rows + the local oracle gate).
+# Nineteenth round-4 rotation: four new entries need rows —
+#   * olap_gap_fill (time-series densification + forward fill; per-key
+#     sequence()+explode spine, window fill on the reused exchange)
+#     displaces q04_smoothed_avg: green r03 on unchanged code, and its
+#     add-one smoothed average is computed verbatim inside
+#     q05_domain_completion, which stays in-window;
+#   * olap_window_distribution (ntile/percent_rank/cume_dist — the
+#     distribution window family, previously unrepresented) displaces
+#     sim_bruteforce_topk: green r03 on unchanged code, exact-cosine math
+#     stays in-window via dedup_embedding_cosine + llm_semantic_dedup and
+#     the sim family keeps green r01/r03 rows + the local oracle gate;
+#   * olap_triangle_count (degree-oriented exact triangle counting,
+#     O(E^1.5) wedge bound) displaces q06_distinct_pairs: green r03 on
+#     unchanged code, and the distinct canonical-pair derivation IS the
+#     triangle entry's first stage (distinct semantics also held by the
+#     set-op entries' green rows + local gate);
+#   * llm_title_hamming_dedup (segment-pigeonhole string-similarity join,
+#     brute-force oracle proves blocking completeness) displaces
+#     dedup_exact: green r03 on unchanged code, hash-groupBy exact dedup
+#     stays in-window via llm_url_canonical_dedup and as
+#     llm_corpus_curation's first stage.
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -248,9 +269,9 @@ PRIMARY_ORDER: tuple[str, ...] = (
     # — displaced by the new olap_partition_pruned_scan, which has no
     # driver row yet)
     "q01_count_per_key",
-    "q04_smoothed_avg",
+    "olap_gap_fill",
     "q05_domain_completion",
-    "q06_distinct_pairs",
+    "olap_triangle_count",
     "q08_having_count_distinct",
     "q10_join_chain",
     "q16_heroic_iterative",
@@ -278,7 +299,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "olap_hll_shard_merge",
     "llm_pack_sequences",
     "llm_bpe_encode",
-    "dedup_exact",
+    "llm_title_hamming_dedup",
     "llm_near_dedup_survivors",
     "llm_near_dedup_best_quality",
     "dedup_minhash_lsh",
@@ -292,7 +313,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_bpe_train",
     "multimodal_image_resize",
     "llm_apply_mix",
-    "sim_bruteforce_topk",
+    "olap_window_distribution",
     "multimodal_png_decode",
     "llm_semantic_dedup",
     # streaming tier (7)
@@ -310,6 +331,10 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "q04_smoothed_avg",
+    "q06_distinct_pairs",
+    "sim_bruteforce_topk",
+    "dedup_exact",
     "stream_dedup_by_id",
     "olap_salted_join",
     "llm_shard_assign",

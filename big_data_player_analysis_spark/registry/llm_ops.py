@@ -41,6 +41,7 @@ from big_data_player_analysis_spark.operators.dedup import (
     dedup_exact,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
+    title_hamming_pairs,
     dedup_simhash,
     semantic_dedup,
 )
@@ -1890,3 +1891,34 @@ def bpe_encode_q(spark: SparkSession, sf: str) -> DataFrame:
     docs = t(spark, sf, "documents")
     merges = [(l, r) for l, r, _ in bpe_train(docs, "text", n_merges=12).merges]
     return bpe_encode_tokens(docs, "doc_id", "text", merges)
+
+
+# ----------------------------------------------- string similarity join
+
+
+@query(
+    "llm_title_hamming_dedup",
+    sql="""
+    WITH k AS (
+      SELECT doc_id, rpad(substr(lower(text), 1, 24), 24, ' ') AS hkey
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(mismatches(a.hkey, b.hkey) AS BIGINT) AS hamming
+    FROM k a JOIN k b ON a.doc_id < b.doc_id
+    WHERE mismatches(a.hkey, b.hkey) <= 2
+    """,
+    tags=("llm", "dedup", "strings", "bench"),
+)
+def title_hamming_q(spark: SparkSession, sf: str) -> DataFrame:
+    """String-similarity join: document-title variants within Hamming
+    distance 2 over a normalized fixed-width 24-char prefix key
+    (operators/dedup.py:title_hamming_pairs — segment-pigeonhole
+    blocking: 3 fixed segments, candidates equi-joined on
+    (segment_idx, segment_text), COMPLETE for substitution distance <= 2,
+    verified by one JVM aggregate expression). The oracle brute-forces
+    ALL pairs with DuckDB's mismatches(), so a hash match proves the
+    blocking loses no pair."""
+    return title_hamming_pairs(
+        t(spark, sf, "documents"), "doc_id", "text", width=24, max_dist=2
+    )

@@ -1309,3 +1309,130 @@ def hll_shard_merge(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     return hll_distinct_shard_merge(t(spark, sf, "events"), "user_id", "event_id")
+
+
+# -------------------------------------------------- time-series gap fill
+
+
+@query(
+    "olap_gap_fill",
+    sql="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             sum(value) AS day_value
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT user_id,
+             unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+      FROM (SELECT user_id, min(day) AS mn, max(day) AS mx
+            FROM daily GROUP BY user_id)
+    ), j AS (
+      SELECT s.user_id, s.day, d.day_value
+      FROM spine s LEFT JOIN daily d USING (user_id, day)
+    )
+    SELECT user_id, day,
+           last_value(day_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS filled_value,
+           CAST(CASE WHEN day_value IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_gap
+    FROM j
+    """,
+    tags=("olap", "timeseries", "window", "bench"),
+)
+def gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user daily activity series densified over each user's active
+    range with forward fill (operators/timeseries.py:gap_fill_daily):
+    silent days become explicit (day, carried_value, is_gap=1) rows, so
+    downstream rolling windows see a regular axis. Spark plan is the
+    gap-explode formulation — lead() + sequence()/explode, two shuffles,
+    no join — while the oracle replays the textbook spine-join +
+    last(IGNORE NULLS) fill, so the hash match also certifies the two
+    formulations equivalent."""
+    from big_data_player_analysis_spark.operators.timeseries import (
+        gap_fill_daily,
+    )
+
+    return gap_fill_daily(t(spark, sf, "events"), "user_id", "ts", "value")
+
+
+# ------------------------------------------- window distribution functions
+
+
+@query(
+    "olap_window_distribution",
+    sql="""
+    SELECT c_nationkey, c_custkey,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal, c_custkey) AS BIGINT)
+             AS quartile,
+           percent_rank() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal, c_custkey) AS pct_rank,
+           cume_dist() OVER (PARTITION BY c_nationkey
+                             ORDER BY c_acctbal, c_custkey) AS cum_dist
+    FROM customer
+    """,
+    tags=("olap", "window"),
+)
+def window_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution window functions — ntile quartiles, percent_rank,
+    cume_dist per nation over customer balance (tiebreak c_custkey makes
+    every rank deterministic). One window pass: all three functions share
+    the same partitioning and ordering, so Catalyst evaluates them in a
+    single Window operator over a single exchange+sort."""
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return t(spark, sf, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+# ------------------------------------------------------- graph analytics
+
+
+@query(
+    "olap_triangle_count",
+    sql="""
+    WITH duels AS (
+      SELECT challenger_id, challenged_id FROM (
+        SELECT user_id AS challenger_id,
+               lead(user_id) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id) AS challenged_id
+        FROM events
+      ) WHERE challenged_id IS NOT NULL
+    ), e AS (
+      SELECT DISTINCT least(challenger_id, challenged_id) AS u,
+                      greatest(challenger_id, challenged_id) AS v
+      FROM duels WHERE challenger_id <> challenged_id
+    )
+    SELECT
+      (SELECT CAST(count(DISTINCT node) AS BIGINT) FROM
+         (SELECT u AS node FROM e UNION ALL SELECT v FROM e)) AS n_nodes,
+      (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+      (SELECT CAST(count(*) AS BIGINT)
+       FROM e ab JOIN e bc ON ab.v = bc.u
+                 JOIN e ac ON ac.u = ab.u AND ac.v = bc.v) AS n_triangles
+    """,
+    tags=("olap", "graph", "bench"),
+)
+def triangle_count_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact triangle count over the canonicalized duel graph
+    (operators/graph.py:triangle_count — degree-oriented node-iterator:
+    each triangle counted exactly once at its (deg,id)-minimal vertex,
+    wedge volume bounded O(E^1.5) by the orientation, everything joins +
+    aggregates on vertex keys). The oracle replays the naive triple
+    self-join over the same canonical edges — identical count, viable
+    only at oracle scale, which is exactly the point of the oriented
+    plan."""
+    from big_data_player_analysis_spark.operators.graph import (
+        triangle_count,
+    )
+    from big_data_player_analysis_spark.registry.common import duel_edges
+
+    return triangle_count(
+        duel_edges(spark, sf), "challenger_id", "challenged_id"
+    )

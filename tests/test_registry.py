@@ -52,7 +52,7 @@ def test_primary_window():
     # q12/q13/q15/q17/q18 hold green r01/r02 rows on per-entry-unchanged
     # code; each overlaps a remaining windowed entry — see PRIMARY_ORDER's
     # rotation notes)
-    rotated_out = {2, 3, 7, 9, 11, 12, 13, 14, 15, 17, 18}
+    rotated_out = {2, 3, 4, 6, 7, 9, 11, 12, 13, 14, 15, 17, 18}
     assert {f"q{i:02d}" for i in range(1, 19) if i not in rotated_out} <= {
         n[:3] for n in window
     }
@@ -64,11 +64,17 @@ def test_primary_window():
     # olap_window_topk_per_group -> olap_zorder_key, olap_salted_join ->
     # olap_key_skew_profile, llm_shard_assign -> olap_hll_shard_merge
     # (see PRIMARY_ORDER's rotation notes)
+    # nineteenth round-4 rotation: olap_gap_fill, olap_window_distribution,
+    # olap_triangle_count, llm_title_hamming_dedup in; q04_smoothed_avg,
+    # q06_distinct_pairs, sim_bruteforce_topk, dedup_exact out (green r03
+    # rows on unchanged code; see PRIMARY_ORDER's rotation notes)
     assert {
-        "dedup_exact", "llm_near_dedup_survivors", "dedup_minhash_lsh",
+        "olap_gap_fill", "olap_window_distribution", "olap_triangle_count",
+        "llm_title_hamming_dedup",
+        "llm_near_dedup_survivors", "dedup_minhash_lsh",
         "olap_funnel_conversion", "olap_retention_cohorts",
         "dedup_simhash",
-        "dedup_embedding_cosine", "dedup_components", "sim_bruteforce_topk",
+        "dedup_embedding_cosine", "dedup_components",
         "llm_dedup_incremental", "llm_cdc_chunks", "llm_url_canonical_dedup",
         "multimodal_video_decode", "llm_bpe_train", "multimodal_image_resize",
         "llm_semantic_dedup", "llm_quality_filters",

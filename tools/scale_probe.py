@@ -191,6 +191,14 @@ def timed(build) -> float:
     return round(min(times), 2)
 
 
+def _title_hamming_probe(docs):
+    from big_data_player_analysis_spark.operators.dedup import (
+        title_hamming_pairs,
+    )
+
+    return title_hamming_pairs(docs, "doc_id", "text")
+
+
 def _bpe_probe(docs):
     from big_data_player_analysis_spark.plans.bpe import bpe_merges_df
 
@@ -308,6 +316,35 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
         # sketch exchange is O(shards * 1.5KB) at every scale — the row
         # should grow only with the scan
         extra["olap_hll_shard_merge"] = hll_probe
+
+        def triangle_probe():
+            from pyspark.sql import Window as W
+
+            from big_data_player_analysis_spark.operators.graph import (
+                triangle_count,
+            )
+
+            w = W.partitionBy("event_type").orderBy("ts", "event_id")
+            duels = events.select(
+                F.col("user_id").alias("a"),
+                F.lead("user_id").over(w).alias("b"),
+            ).filter(F.col("b").isNotNull())
+            return triangle_count(duels, "a", "b")
+
+        # degree-oriented wedge join: growth should track wedge volume
+        # (bounded O(E^1.5)), never the naive O(E * d_max^2)
+        extra["olap_triangle_count"] = triangle_probe
+
+        def gap_fill_probe():
+            from big_data_player_analysis_spark.operators.timeseries import (
+                gap_fill_daily,
+            )
+
+            return gap_fill_daily(events, "user_id", "ts", "value")
+
+        # two shuffles (daily agg + lead window) + output-sized explode:
+        # the row should stay scan/output-bound
+        extra["olap_gap_fill"] = gap_fill_probe
     if docs_path is not None:
 
         def ingest_probe():
@@ -371,6 +408,11 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
         ),
         **extra,
         "dedup_exact": lambda: dedup_exact(docs, "doc_id", "text"),
+        # segment-pigeonhole blocking: candidate volume is sum of
+        # C(bucket,2) over (seg_idx, seg) buckets; rotated-alphabet copies
+        # put every rotation class in disjoint buckets, so density stays
+        # constant and the row should read near-linear
+        "llm_title_hamming_dedup": lambda: _title_hamming_probe(docs),
         "dedup_ngram_jaccard": lambda: dedup_ngram_jaccard(
             docs, "doc_id", "text", 8, 0.6, 20
         ),
