@@ -79,3 +79,54 @@ def zorder_layout(
         .repartitionByRange(n_files, key_name)
         .sortWithinPartitions(key_name)
     )
+
+
+def compact_small_files(
+    spark,
+    path: str,
+    dest: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    fmt: str = "parquet",
+) -> dict:
+    """Small-file compaction — the maintenance operation every streaming /
+    incremental sink eventually needs (each micro-batch or CDC merge
+    leaves one-file-per-partition crumbs; at 100 TB a table of millions
+    of tiny files is bottlenecked on file-open/footer-read overhead and
+    NameNode/object-store metadata, not on data bytes).
+
+    Rewrites the table at ``path`` into ``dest`` with file count chosen
+    from the table's ACTUAL on-disk size (sum of data file sizes /
+    ``target_file_bytes``) — measured from the filesystem, not guessed —
+    using a round-robin ``repartition(n)`` so output files are uniformly
+    sized regardless of input skew. Content is preserved exactly
+    (row-identical, schema-identical); only the physical layout changes.
+
+    Returns ``{"files_before", "files_after", "bytes", "target_files"}``.
+    At cluster scale the same operator runs per partition-directory so
+    compaction parallelizes across partitions and never rewrites the
+    whole table at once.
+    """
+    import os
+
+    df = spark.read.format(fmt).load(path)
+    data_files = [
+        os.path.join(dp, f)
+        for dp, _dn, fns in os.walk(path)
+        for f in fns
+        if not f.startswith(("_", "."))
+    ]
+    total = sum(os.path.getsize(f) for f in data_files)
+    n_out = max(1, -(-total // target_file_bytes))  # ceil
+    df.repartition(n_out).write.format(fmt).mode("overwrite").save(dest)
+    out_files = [
+        os.path.join(dp, f)
+        for dp, _dn, fns in os.walk(dest)
+        for f in fns
+        if not f.startswith(("_", ".")) and not f.endswith(".crc")
+    ]
+    return {
+        "files_before": len(data_files),
+        "files_after": len(out_files),
+        "bytes": total,
+        "target_files": n_out,
+    }

@@ -233,3 +233,41 @@ def apply_mix(
             ).alias("epoch"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of ``k`` rows, deterministic
+    across runs/partitionings/engines — the Efraimidis-Spirakis A-ES
+    scheme (each row draws a uniform u and gets priority u^(1/w); the k
+    largest priorities are a weighted sample without replacement) with
+    the uniform supplied by the portable md5 hex bucket instead of an
+    RNG, so the oracle replays it exactly.
+
+    Priorities compare as ln(u)/w (monotone transform of u^(1/w), no
+    underflow for large weights); ties broken by key. Selection is a
+    bounded top-k — Catalyst plans TakeOrderedAndProject (per-partition
+    partial top-k, a k-row exchange, no global sort), so the operator
+    scans once and moves only k rows: the 100 TB shape for "pick the
+    best-weighted k documents" at any corpus size. Rows with
+    non-positive weight are excluded (zero probability mass).
+
+    Returns ``(key, weight, priority)`` with priority rounded for
+    output only (ordering uses the unrounded double).
+    """
+    u = (hex_bucket(F.col(key_col)) + F.lit(0.5)) / F.lit(65536.0)
+    pri = F.log(u) / F.col(weight_col)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(
+            F.col(key_col),
+            F.col(weight_col).cast("long").alias("weight"),
+            pri.alias("_pri"),
+        )
+        .orderBy(F.desc("_pri"), F.asc(key_col))
+        .limit(k)
+        .select(
+            key_col, "weight", F.round("_pri", 6).alias("priority")
+        )
+    )

@@ -261,6 +261,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #     dedup_exact: green r03 on unchanged code, hash-groupBy exact dedup
 #     stays in-window via llm_url_canonical_dedup and as
 #     llm_corpus_curation's first stage.
+# Twentieth round-4 rotation: llm_weighted_sample (Efraimidis-Spirakis
+# weighted sampling without replacement, hash-uniform priorities, bounded
+# top-k selection) is new with no driver row — promoted, displacing
+# llm_apply_mix: green r03 on unchanged code, and the md5-hex-bucket
+# deterministic-routing family it pins stays in-window via the incoming
+# weighted_sample's identical portable-uniform construction (mix
+# semantics keep llm_mix_weights/llm_apply_mix green rows + the local
+# oracle gate).
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -312,7 +320,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "multimodal_video_decode",
     "llm_bpe_train",
     "multimodal_image_resize",
-    "llm_apply_mix",
+    "llm_weighted_sample",
     "olap_window_distribution",
     "multimodal_png_decode",
     "llm_semantic_dedup",
@@ -331,6 +339,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "llm_apply_mix",
     "q04_smoothed_avg",
     "q06_distinct_pairs",
     "sim_bruteforce_topk",

@@ -54,6 +54,7 @@ from big_data_player_analysis_spark.operators.sampling import (
     apply_mix,
     shard_assign,
     source_mix_weights,
+    weighted_sample,
 )
 from big_data_player_analysis_spark.operators.similarity import (
     ann_lsh_buckets,
@@ -1921,4 +1922,38 @@ def title_hamming_q(spark: SparkSession, sf: str) -> DataFrame:
     blocking loses no pair."""
     return title_hamming_pairs(
         t(spark, sf, "documents"), "doc_id", "text", width=24, max_dist=2
+    )
+
+
+# ------------------------------------------- weighted sampling (A-ES)
+
+
+SQL_WEIGHTED_SAMPLE = f"""
+WITH j AS (
+  SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hh
+  FROM documents WHERE n_chars > 0
+), p AS (
+  SELECT doc_id, n_chars,
+         ln((({{bucket}}) + 0.5) / 65536.0) / n_chars AS pri
+  FROM j
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, round(pri, 6) AS priority
+FROM p ORDER BY pri DESC, doc_id LIMIT 100
+""".format(bucket=_SQL_BUCKET)
+
+
+@query(
+    "llm_weighted_sample",
+    sql=SQL_WEIGHTED_SAMPLE,
+    tags=("llm", "sampling"),
+)
+def weighted_sample_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py:weighted_sample): Efraimidis-Spirakis A-ES
+    priorities ln(u)/w with the uniform drawn from the portable md5 hex
+    bucket, weights = n_chars (longer documents proportionally likelier),
+    k=100. Bounded top-k selection — TakeOrderedAndProject, never a
+    global sort."""
+    return weighted_sample(
+        t(spark, sf, "documents"), "doc_id", "n_chars", k=100
     )

@@ -107,3 +107,34 @@ def test_zorder_layout_skips_row_groups_on_both_dimensions(spark, tmp_path):
     assert back.filter(
         (F.col("x") != F.pmod(F.xxhash64("event_id"), F.lit(256)))
     ).count() == 0
+
+
+def test_compact_small_files_preserves_content(spark, tmp_path):
+    """A fragmented table (64 one-row-group files) compacts to the
+    size-derived file count with row-identical content."""
+    from big_data_player_analysis_spark.operators.layout import (
+        compact_small_files,
+    )
+
+    src = str(tmp_path / "fragmented")
+    dest = str(tmp_path / "compacted")
+    df = spark.range(0, 10_000).withColumn(
+        "payload", F.md5(F.col("id").cast("string"))
+    )
+    df.repartition(64).write.parquet(src)
+
+    stats = compact_small_files(
+        spark, src, dest, target_file_bytes=1 * 1024 * 1024
+    )
+    assert stats["files_before"] == 64
+    # ~0.5 MB of data at a 1 MB target -> exactly one output file
+    assert stats["target_files"] == stats["files_after"]
+    assert stats["files_after"] < stats["files_before"]
+
+    back = spark.read.parquet(dest)
+    orig = spark.read.parquet(src)
+    assert back.count() == 10_000
+    assert back.schema == orig.schema
+    # content equality: anti-joins empty both ways
+    assert back.join(orig, ["id", "payload"], "left_anti").count() == 0
+    assert orig.join(back, ["id", "payload"], "left_anti").count() == 0

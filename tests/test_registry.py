@@ -80,7 +80,7 @@ def test_primary_window():
         "llm_semantic_dedup", "llm_quality_filters",
         "llm_line_dedup", "olap_key_skew_profile", "llm_near_dedup_best_quality",
         "llm_pack_sequences", "llm_bpe_encode", "llm_corpus_curation",
-        "llm_apply_mix", "multimodal_png_decode", "olap_dq_audit", "olap_cdc_upsert",
+        "llm_weighted_sample", "multimodal_png_decode", "olap_dq_audit", "olap_cdc_upsert",
         "llm_top_ngrams", "stream_late_data_drop", "olap_zorder_key",
         "olap_scd2_history", "olap_partition_pruned_scan", "olap_hll_shard_merge",
     } <= window
