@@ -269,6 +269,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # weighted_sample's identical portable-uniform construction (mix
 # semantics keep llm_mix_weights/llm_apply_mix green rows + the local
 # oracle gate).
+# Twenty-first round-4 rotation: olap_tpch_q18_large_orders (HAVING-
+# filtered aggregate driving the join — the agg-before-join scale shape)
+# and olap_unpivot (native Expand melt, one scan vs the oracle's 4-way
+# union) are new with no driver rows — promoted, displacing
+# q10_join_chain (green r03 on unchanged code; the chained-equi-join
+# shape stays in-window via olap_tpch_q5's six-table stack and the
+# incoming q18's two-join tail) and llm_top_ngrams (green r03 on
+# unchanged code; the ordered-limit TakeOrderedAndProject physical shape
+# stays in-window via llm_weighted_sample, and heavy-hitters semantics
+# keep the green rows + local oracle gate).
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -281,7 +291,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "q05_domain_completion",
     "olap_triangle_count",
     "q08_having_count_distinct",
-    "q10_join_chain",
+    "olap_tpch_q18_large_orders",
     "q16_heroic_iterative",
     # §2.4 engine-scope representatives (13)
     "olap_partition_pruned_scan",
@@ -301,7 +311,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     # r3 — green r01+r02 on unchanged code, overlaps llm_quality_filters'
     # text-quality built-ins — displaced by the new llm_top_ngrams, which
     # has no driver row yet)
-    "llm_top_ngrams",
+    "olap_unpivot",
     "llm_quality_filters",
     "llm_line_dedup",
     "olap_hll_shard_merge",
@@ -339,6 +349,8 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "q10_join_chain",
+    "llm_top_ngrams",
     "llm_apply_mix",
     "q04_smoothed_avg",
     "q06_distinct_pairs",

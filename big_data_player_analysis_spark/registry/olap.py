@@ -1436,3 +1436,77 @@ def triangle_count_q(spark: SparkSession, sf: str) -> DataFrame:
     return triangle_count(
         duel_edges(spark, sf), "challenger_id", "challenged_id"
     )
+
+
+# --------------------------------------------------- TPC-H Q18 / unpivot
+
+
+@query(
+    "olap_tpch_q18_large_orders",
+    sql="""
+    WITH big AS (
+      SELECT l_orderkey, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 250
+    )
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice, big.sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    tags=("olap", "join", "tpch", "agg"),
+)
+def tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): a HAVING-filtered
+    aggregate drives the join — sum(l_quantity) per order is computed
+    FIRST (partial-agged, output O(orders)), the > 250 filter shrinks it
+    to a small driver set, and AQE's runtime statistics then broadcast
+    that set into the orders join instead of exchanging the big side.
+    The agg-then-semi-join ordering is the scale lesson: filtering after
+    a 3-way join would shuffle every lineitem row twice."""
+    li = t(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    o = t(spark, sf, "orders")
+    c = t(spark, sf, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
+@query(
+    "olap_unpivot",
+    sql="""
+    SELECT l_orderkey, l_linenumber, metric, value FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+             l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    )
+    """,
+    tags=("olap", "reshape"),
+)
+def unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot / melt — wide measure columns to long (metric, value) rows,
+    the inverse of pivot and the standard reshape before long-form
+    analytics. Spark's native unpivot plans ONE Expand pass over a single
+    scan (each input row emits 4 output rows in-place — narrow, no
+    shuffle, no self-union); the oracle replays it as the portable
+    4-way UNION ALL, which scans the table four times — the difference
+    IS the scale argument."""
+    return t(spark, sf, "lineitem").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )

@@ -469,3 +469,25 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_unpivot_is_one_expand_pass(spark, specs):
+    """Native unpivot: ONE scan + one Expand node — never the 4-way
+    self-union (4 scans) the portable oracle SQL uses."""
+    import re
+
+    p = plan_str(specs["olap_unpivot"].fn(spark, SF))
+    assert "Expand" in p, p
+    # formatted explain prints each node twice (tree + detail): one scan
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Union" not in p, p
+
+
+def test_tpch_q18_agg_before_join(spark, specs):
+    """Q18: the quantity aggregate (with its partial combine) runs BEFORE
+    the joins, and the customer dimension joins as a broadcast."""
+    p = plan_str(specs["olap_tpch_q18_large_orders"].fn(spark, SF))
+    assert "partial_sum" in p, p
+    # the filtered agg output and the customer dim are both broadcast-able
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p

@@ -52,7 +52,7 @@ def test_primary_window():
     # q12/q13/q15/q17/q18 hold green r01/r02 rows on per-entry-unchanged
     # code; each overlaps a remaining windowed entry — see PRIMARY_ORDER's
     # rotation notes)
-    rotated_out = {2, 3, 4, 6, 7, 9, 11, 12, 13, 14, 15, 17, 18}
+    rotated_out = {2, 3, 4, 6, 7, 9, 10, 11, 12, 13, 14, 15, 17, 18}
     assert {f"q{i:02d}" for i in range(1, 19) if i not in rotated_out} <= {
         n[:3] for n in window
     }
@@ -81,7 +81,8 @@ def test_primary_window():
         "llm_line_dedup", "olap_key_skew_profile", "llm_near_dedup_best_quality",
         "llm_pack_sequences", "llm_bpe_encode", "llm_corpus_curation",
         "llm_weighted_sample", "multimodal_png_decode", "olap_dq_audit", "olap_cdc_upsert",
-        "llm_top_ngrams", "stream_late_data_drop", "olap_zorder_key",
+        "olap_tpch_q18_large_orders", "olap_unpivot",
+        "stream_late_data_drop", "olap_zorder_key",
         "olap_scd2_history", "olap_partition_pruned_scan", "olap_hll_shard_merge",
     } <= window
 
