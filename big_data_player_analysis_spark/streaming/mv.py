@@ -127,3 +127,56 @@ def stream_incremental_mv(
         if q.isActive:
             q.stop()
     return read_mv(spark, mv_dir)
+
+
+def mv_versions(mv_dir: str) -> list[int]:
+    """Committed snapshot versions, ascending."""
+    versions = []
+    for p in _glob.glob(f"{mv_dir}/v=*"):
+        try:
+            versions.append(int(p.rsplit("=", 1)[1]))
+        except ValueError:
+            continue
+    return sorted(versions)
+
+
+def read_mv_at(spark: SparkSession, mv_dir: str, version: int) -> DataFrame:
+    """Time travel: the MV as of snapshot ``version`` (the latest
+    committed version <= the requested one — the Delta/Iceberg
+    VERSION AS OF contract). Because every batch writes a complete
+    snapshot, time travel is a single partition-directory read: no log
+    replay, no reconstruction."""
+    snap = _read_snapshot(spark, mv_dir, version + 1)
+    return snap.select(
+        "event_type",
+        "n_events",
+        "sum_value",
+        "min_value",
+        "max_value",
+        (F.col("sum_value") / F.col("n_events")).alias("avg_value"),
+    )
+
+
+def vacuum_mv(mv_dir: str, keep_last: int = 2) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` snapshot versions
+    (never fewer than one). Complements
+    operators/layout.py:compact_small_files — compaction bounds file
+    count, vacuum bounds version history; together they are the
+    maintenance pair every versioned sink needs (each retained version is
+    a full O(keys) snapshot, so unbounded history costs
+    O(batches * keys) storage). Returns the removed version ids.
+
+    Crash-safety interaction: the merge reads the latest version strictly
+    below the CURRENT batch id, so vacuuming old versions can never
+    change what a replayed batch reads as long as ``keep_last >= 1``
+    (the replay of batch N reads the newest version < N, which is the
+    latest or second-latest — both retained at the default)."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = mv_versions(mv_dir)
+    drop = versions[:-keep_last] if len(versions) > keep_last else []
+    for v in drop:
+        shutil.rmtree(f"{mv_dir}/v={v}")
+    return drop

@@ -83,3 +83,46 @@ def test_double_apply_would_be_detected(spark, sf_small, tmp_path):
     doubled = {r.event_type: r.n_events for r in read_mv(spark, mv_dir).collect()}
     want = {r.event_type: 2 * r.n_events for r in _expected(ev).collect()}
     assert doubled == want
+
+
+def test_time_travel_and_vacuum(spark, sf_small, tmp_path):
+    """read_mv_at returns each intermediate snapshot (VERSION AS OF
+    contract: latest committed <= requested); vacuum_mv drops old
+    versions, never the newest, and leaves current reads intact."""
+    from big_data_player_analysis_spark.streaming.mv import (
+        mv_versions,
+        read_mv_at,
+        vacuum_mv,
+    )
+
+    ev = load_table(spark, sf_small, "events")
+    src = str(tmp_path / "src")
+    mv_dir = str(tmp_path / "mv")
+    ev.repartition(3).write.parquet(src)
+    final = stream_incremental_mv(
+        spark, src, mv_dir, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    versions = mv_versions(mv_dir)
+    assert len(versions) >= 3
+
+    # each committed version is monotone: n_events totals never decrease
+    totals = [
+        read_mv_at(spark, mv_dir, v).agg(F.sum("n_events")).first()[0]
+        for v in versions
+    ]
+    assert totals == sorted(totals)
+    # the final version equals read_mv / the one-shot aggregate
+    assert _rows(read_mv_at(spark, mv_dir, versions[-1])) == _rows(final)
+    # requesting a version between commits resolves downward
+    assert _rows(read_mv_at(spark, mv_dir, versions[-1] + 100)) == _rows(final)
+
+    removed = vacuum_mv(mv_dir, keep_last=2)
+    assert removed == versions[:-2]
+    assert mv_versions(mv_dir) == versions[-2:]
+    # current read unchanged after vacuum
+    assert _rows(read_mv(spark, mv_dir)) == _rows(final)
+    # keep_last floors at one version
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        vacuum_mv(mv_dir, keep_last=0)

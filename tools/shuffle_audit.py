@@ -62,6 +62,11 @@ AUDITED = [
     "olap_scd2_history",
     "olap_key_skew_profile",
     "olap_hll_shard_merge",
+    "olap_triangle_count",
+    "olap_gap_fill",
+    "llm_title_hamming_dedup",
+    "llm_weighted_sample",
+    "olap_tpch_q18_large_orders",
 ]
 
 
