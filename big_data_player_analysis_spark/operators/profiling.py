@@ -168,3 +168,57 @@ def hll_distinct_shard_merge(
     exact = df.agg(F.count_distinct(value_col).alias("exact_distinct"))
     # three 1-row frames — the crossJoins are scalar broadcasts
     return merged.crossJoin(single).crossJoin(exact)
+
+
+def quantile_binning(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    sample_fraction: float = 0.25,
+    probs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Equi-depth discretization: bin a continuous column by quantile
+    boundaries estimated on a DETERMINISTIC hash sample — the
+    feature-engineering "bucketize" step, built the way it must be built
+    at 100 TB.
+
+    The naive form — ``ntile(k) OVER (ORDER BY value)`` — needs a global
+    sort/rank of every row. This operator instead (1) takes the md5-bucket
+    deterministic sample (operators/sampling.py semantics: reproducible
+    across runs/engines, no RNG), (2) computes EXACT interpolated
+    quantiles of the sample — a bounded aggregate, and (3) assigns every
+    row its bucket with three scalar comparisons against the broadcast
+    1-row boundary table: one bounded agg + a narrow map, no global sort.
+    Sampled boundary estimation is the same strategy Spark's own
+    RangePartitioner uses to pick range-partition split points.
+
+    Returns ``(o_orderkey-style id columns are the caller's concern)``:
+    every input row with a ``bucket`` in 1..len(probs)+1. The boundary
+    estimate differs from the full-data quantiles by the sampling error;
+    the ORACLE replays the identical sample, so correctness checking is
+    exact while the statistical contract stays honest.
+    """
+    from big_data_player_analysis_spark.operators.sampling import (
+        hash_threshold,
+        hash_prefix,
+    )
+
+    thr = hash_threshold(sample_fraction)
+    # sample keyed on a stable ID column, never the double value itself:
+    # md5(CAST(double AS STRING)) would couple the sample to each engine's
+    # float-formatting rules (Java flips to scientific notation at 1e7,
+    # DuckDB does not), while integer-key casts agree everywhere
+    sample = df.filter(hash_prefix(F.col(key_col)) < F.lit(thr))
+    probs_sql = ", ".join(str(p) for p in probs)
+    bounds = sample.agg(
+        F.expr(f"percentile({value_col}, array({probs_sql}))").alias("bs")
+    ).select(*[F.col("bs")[i].alias(f"b{i}") for i in range(len(probs))])
+    out = df.crossJoin(F.broadcast(bounds))
+    bucket = F.lit(1)
+    for i in range(len(probs)):
+        bucket = bucket + F.when(
+            F.col(value_col) > F.col(f"b{i}"), F.lit(1)
+        ).otherwise(F.lit(0))
+    return out.select(
+        *df.columns, bucket.cast("long").alias("bucket")
+    )

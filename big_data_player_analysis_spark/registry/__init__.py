@@ -279,6 +279,18 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # unchanged code; the ordered-limit TakeOrderedAndProject physical shape
 # stays in-window via llm_weighted_sample, and heavy-hitters semantics
 # keep the green rows + local oracle gate).
+# Twenty-second round-4 rotation: olap_quantile_binning (equi-depth
+# bucketize via deterministic-sample boundaries — the RangePartitioner
+# strategy replacing a global ntile sort) and olap_rolling_average
+# (7-day trailing frame over the gap-filled daily axis — the payoff
+# composition of olap_gap_fill) are new with no driver rows — promoted,
+# displacing q08_having_count_distinct (green r01/r03 on unchanged code;
+# the HAVING-filtered-aggregate shape stays in-window via
+# olap_tpch_q18_large_orders' agg-driven join and q08 keeps the local
+# oracle gate) and olap_asof_join (green r03 on unchanged code;
+# time-conditioned join semantics stay in-window via
+# stream_stream_interval_join and asof keeps its dedicated unit tests +
+# local oracle gate).
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -290,12 +302,12 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "olap_gap_fill",
     "q05_domain_completion",
     "olap_triangle_count",
-    "q08_having_count_distinct",
+    "olap_quantile_binning",
     "olap_tpch_q18_large_orders",
     "q16_heroic_iterative",
     # §2.4 engine-scope representatives (13)
     "olap_partition_pruned_scan",
-    "olap_asof_join",
+    "olap_rolling_average",
     "dedup_ngram_jaccard",
     "olap_funnel_conversion",
     "olap_dq_audit",
@@ -349,6 +361,8 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "q08_having_count_distinct",
+    "olap_asof_join",
     "q10_join_chain",
     "llm_top_ngrams",
     "llm_apply_mix",

@@ -1510,3 +1510,103 @@ def unpivot(spark: SparkSession, sf: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+# -------------------------------------- quantile binning / rolling stats
+
+
+@query(
+    "olap_quantile_binning",
+    sql="""
+    WITH s AS (
+      SELECT o_totalprice FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '4000'
+    ), b AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS b0,
+             quantile_cont(o_totalprice, 0.5)  AS b1,
+             quantile_cont(o_totalprice, 0.75) AS b2
+      FROM s
+    )
+    SELECT o.o_orderkey, o.o_totalprice,
+           CAST(1 + (CASE WHEN o.o_totalprice > b.b0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN o.o_totalprice > b.b1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN o.o_totalprice > b.b2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS bucket
+    FROM orders o, b
+    """,
+    tags=("olap", "profile", "feature"),
+)
+def quantile_binning_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth binning of order value into quartile buckets
+    (operators/profiling.py:quantile_binning): boundaries are exact
+    interpolated quantiles of a DETERMINISTIC 25% md5 sample (the
+    RangePartitioner strategy), then every row is assigned with scalar
+    comparisons against the broadcast 1-row boundary table — one bounded
+    aggregate + a narrow map, where the naive ntile(4) form needs a
+    global sort of all rows. The oracle replays the identical sample,
+    so the check is exact while the boundary estimate stays
+    sample-based."""
+    from big_data_player_analysis_spark.operators.profiling import (
+        quantile_binning,
+    )
+
+    return quantile_binning(
+        t(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+        "o_orderkey",
+        "o_totalprice",
+        sample_fraction=0.25,
+    )
+
+
+@query(
+    "olap_rolling_average",
+    sql="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             sum(value) AS day_value
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT user_id,
+             unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+      FROM (SELECT user_id, min(day) AS mn, max(day) AS mx
+            FROM daily GROUP BY user_id)
+    ), j AS (
+      SELECT s.user_id, s.day, d.day_value
+      FROM spine s LEFT JOIN daily d USING (user_id, day)
+    ), f AS (
+      SELECT user_id, day,
+             last_value(day_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_value
+      FROM j
+    )
+    SELECT user_id, day,
+           avg(filled_value) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS avg_7d
+    FROM f
+    """,
+    tags=("olap", "timeseries", "window"),
+)
+def rolling_average(spark: SparkSession, sf: str) -> DataFrame:
+    """7-day trailing average per user over the GAP-FILLED daily series —
+    the payoff of olap_gap_fill: a ROWS BETWEEN 6 PRECEDING frame is only
+    a calendar week because the axis is regular (on the raw sparse series
+    it silently averages the last 7 OBSERVATIONS, spanning arbitrary
+    time). Runs on gap_fill_daily's output; the second window re-sorts
+    within partitions but adds NO exchange (partitioning on user_id is
+    preserved through the explode)."""
+    from big_data_player_analysis_spark.operators.timeseries import (
+        gap_fill_daily,
+    )
+
+    filled = gap_fill_daily(t(spark, sf, "events"), "user_id", "ts", "value")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return filled.select(
+        "user_id", "day", F.avg("filled_value").over(w).alias("avg_7d")
+    )

@@ -48,11 +48,11 @@ def test_primary_window():
     assert len(PRIMARY_ORDER) == 50
     assert names[:50] == list(PRIMARY_ORDER)
     window = set(PRIMARY_ORDER)
-    # reference surface minus the rotated-out twins (q02/q03/q07/q09/q11/
-    # q12/q13/q15/q17/q18 hold green r01/r02 rows on per-entry-unchanged
+    # reference surface minus the rotated-out twins (q02/q03/q07/q08/q09/
+    # q11/q12/q13/q15/q17/q18 hold green r01-r03 rows on per-entry-unchanged
     # code; each overlaps a remaining windowed entry — see PRIMARY_ORDER's
     # rotation notes)
-    rotated_out = {2, 3, 4, 6, 7, 9, 10, 11, 12, 13, 14, 15, 17, 18}
+    rotated_out = {2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 17, 18}
     assert {f"q{i:02d}" for i in range(1, 19) if i not in rotated_out} <= {
         n[:3] for n in window
     }
@@ -84,6 +84,7 @@ def test_primary_window():
         "olap_tpch_q18_large_orders", "olap_unpivot",
         "stream_late_data_drop", "olap_zorder_key",
         "olap_scd2_history", "olap_partition_pruned_scan", "olap_hll_shard_merge",
+        "olap_quantile_binning", "olap_rolling_average",
     } <= window
 
 
