@@ -279,6 +279,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # unchanged code; the ordered-limit TakeOrderedAndProject physical shape
 # stays in-window via llm_weighted_sample, and heavy-hitters semantics
 # keep the green rows + local oracle gate).
+# Twenty-third round-4 rotation: llm_bigram_surprisal (conditional
+# bigram-LM quality scoring, the CCNet-style perplexity filter upgrade
+# of the unigram entry) and olap_anomaly_zscore (trailing-window z-score
+# outlier flags on the gap-filled axis) are new with no driver rows —
+# promoted, displacing llm_url_canonical_dedup (green r03 on unchanged
+# code; canonical-URL dedup stays in-window as llm_corpus_curation's
+# first stage, plus the local oracle gate) and dedup_simhash (its driver
+# row is rows-only by design — hash-seeded signatures — so the local
+# parity tests carry the real evidence; the banded-signature dedup
+# family stays in-window via dedup_minhash_lsh).
+#
 # Twenty-second round-4 rotation: olap_quantile_binning (equi-depth
 # bucketize via deterministic-sample boundaries — the RangePartitioner
 # strategy replacing a global ntile sort) and olap_rolling_average
@@ -333,12 +344,12 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_near_dedup_survivors",
     "llm_near_dedup_best_quality",
     "dedup_minhash_lsh",
-    "dedup_simhash",
+    "llm_bigram_surprisal",
     "dedup_embedding_cosine",
     "dedup_components",
     "llm_dedup_incremental",
     "llm_cdc_chunks",
-    "llm_url_canonical_dedup",
+    "olap_anomaly_zscore",
     "multimodal_video_decode",
     "llm_bpe_train",
     "multimodal_image_resize",
@@ -361,6 +372,8 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "llm_url_canonical_dedup",
+    "dedup_simhash",
     "q08_having_count_distinct",
     "olap_asof_join",
     "q10_join_chain",

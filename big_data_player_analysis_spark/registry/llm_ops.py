@@ -1957,3 +1957,87 @@ def weighted_sample_q(spark: SparkSession, sf: str) -> DataFrame:
     return weighted_sample(
         t(spark, sf, "documents"), "doc_id", "n_chars", k=100
     )
+
+
+# ------------------------------------------- bigram conditional surprisal
+
+SQL_BIGRAM = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(
+           trim(regexp_replace(lower(text), '[^a-z]', ' ', 'g')), ' +'),
+           x -> length(x) >= 1) AS ts
+  FROM documents),
+pr AS (
+  SELECT doc_id, unnest(list_zip(ts, ts[2:])) AS z
+  FROM tk WHERE len(ts) >= 2),
+bgr AS (
+  SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM pr
+  WHERE z[2] IS NOT NULL),
+tf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bgr GROUP BY 1, 2, 3),
+bg AS (SELECT w1, w2, sum(tf) AS cbg FROM tf GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(cbg) AS cw1 FROM bg GROUP BY 1),
+v AS (SELECT count(*) AS v FROM ctx)
+SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_bigrams,
+       round(-sum(tf.tf * ln((bg.cbg + 0.5) / (ctx.cw1 + 0.5 * v.v)))
+               / sum(tf.tf), 6) AS avg_bigram_surprisal
+FROM tf JOIN bg USING (w1, w2) JOIN ctx USING (w1), v
+GROUP BY tf.doc_id
+"""
+
+
+@query("llm_bigram_surprisal", sql=SQL_BIGRAM, tags=("llm", "text", "bench"))
+def bigram_surprisal_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram-LM surprisal per document: the corpus's own bigram
+    distribution scores each doc by mean -ln p(w2|w1) with add-k
+    smoothing (k=0.5, V = distinct context words) — the conditional
+    upgrade of llm_unigram_logprob and the statistical stand-in for the
+    CCNet-style perplexity quality filter (low = fluent word order, high
+    = shuffled/noisy text that unigram stats cannot distinguish).
+
+    Shape: adjacent pairs come from zipping the token array with its own
+    tail (arrays_zip over two slices) — a NARROW per-row fan-out, no
+    window/shuffle to line up neighbours. Corpus bigram counts partial-agg
+    from the per-doc counts on the same (w1, w2) key, the context
+    marginals re-aggregate those (counts only, never token instances),
+    and V rides along as a 1-row broadcast. At 100 TB the bigram table
+    exceeds broadcast size, so the tf-model joins are left to AQE exactly
+    like llm_unigram_logprob / llm_tfidf_top_terms."""
+    docs = t(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(
+                F.trim(F.regexp_replace(F.lower("text"), "[^a-z]", " ")),
+                " +",
+            ),
+            lambda x: F.length(x) >= 1,
+        ).alias("ts"),
+    ).filter(F.size("ts") >= 2)
+    pairs = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("ts", 1, F.size("ts") - 1).alias("w1"),
+                F.slice("ts", 2, F.size("ts") - 1).alias("w2"),
+            )
+        ).alias("pr"),
+    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
+    tf = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
+    bg = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cbg"))
+    ctx = bg.groupBy("w1").agg(F.sum("cbg").alias("cw1"))
+    vocab = ctx.agg(F.count(F.lit(1)).alias("v"))
+    k = F.lit(0.5)
+    p = (F.col("cbg") + k) / (F.col("cw1") + k * F.col("v"))
+    return (
+        tf.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.round(
+                -F.sum(F.col("tf") * F.log(p)) / F.sum("tf"), 6
+            ).alias("avg_bigram_surprisal"),
+        )
+    )

@@ -1610,3 +1610,74 @@ def rolling_average(spark: SparkSession, sf: str) -> DataFrame:
     return filled.select(
         "user_id", "day", F.avg("filled_value").over(w).alias("avg_7d")
     )
+
+
+@query(
+    "olap_anomaly_zscore",
+    sql="""
+    WITH daily AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             sum(value) AS day_value
+      FROM events GROUP BY 1, 2
+    ), spine AS (
+      SELECT user_id,
+             unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day
+      FROM (SELECT user_id, min(day) AS mn, max(day) AS mx
+            FROM daily GROUP BY user_id)
+    ), j AS (
+      SELECT s.user_id, s.day, d.day_value
+      FROM spine s LEFT JOIN daily d USING (user_id, day)
+    ), f AS (
+      SELECT user_id, day,
+             last_value(day_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_value
+      FROM j
+    ), zc AS (
+      SELECT user_id, day, filled_value,
+             avg(filled_value) OVER w AS mu,
+             stddev_samp(filled_value) OVER w AS sd
+      FROM f
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, day, filled_value,
+           round(CASE WHEN sd > 0 THEN (filled_value - mu) / sd END, 6) AS z,
+           CAST(CASE WHEN sd > 0 AND abs((filled_value - mu) / sd) > 3.0
+                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM zc
+    """,
+    tags=("olap", "timeseries", "window", "bench"),
+)
+def anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Trailing-window z-score anomaly flags over the gap-filled daily
+    series: each day's value is compared against the mean/stddev of its
+    OWN key's previous 7 days (frame excludes the current row, so a spike
+    cannot suppress its own score); |z| > 3 flags the anomaly. Runs on
+    olap_gap_fill's regular axis — on the raw sparse series the "previous
+    7 rows" baseline would silently span arbitrary wall-clock time. Both
+    window aggregates share one frame spec on the exchange the gap fill
+    already established; days with a constant (sd = 0) or too-short
+    baseline yield z = NULL and are never flagged."""
+    from big_data_player_analysis_spark.operators.timeseries import (
+        gap_fill_daily,
+    )
+
+    filled = gap_fill_daily(t(spark, sf, "events"), "user_id", "ts", "value")
+    base = (
+        Window.partitionBy("user_id").orderBy("day").rowsBetween(-7, -1)
+    )
+    mu = F.avg("filled_value").over(base)
+    sd = F.stddev_samp("filled_value").over(base)
+    z = F.when(sd > 0, (F.col("filled_value") - mu) / sd)
+    return filled.select(
+        "user_id",
+        "day",
+        "filled_value",
+        F.round(z, 6).alias("z"),
+        F.when(F.abs(z) > 3.0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_anomaly"),
+    )

@@ -73,9 +73,9 @@ def test_primary_window():
         "llm_title_hamming_dedup",
         "llm_near_dedup_survivors", "dedup_minhash_lsh",
         "olap_funnel_conversion", "olap_retention_cohorts",
-        "dedup_simhash",
+        "llm_bigram_surprisal", "olap_anomaly_zscore",
         "dedup_embedding_cosine", "dedup_components",
-        "llm_dedup_incremental", "llm_cdc_chunks", "llm_url_canonical_dedup",
+        "llm_dedup_incremental", "llm_cdc_chunks",
         "multimodal_video_decode", "llm_bpe_train", "multimodal_image_resize",
         "llm_semantic_dedup", "llm_quality_filters",
         "llm_line_dedup", "olap_key_skew_profile", "llm_near_dedup_best_quality",
