@@ -73,3 +73,68 @@ def gap_fill_daily(
         F.col("day_value").alias("filled_value"),
         (F.col("day") != F.col("obs_day")).cast("long").alias("is_gap"),
     )
+
+
+def rolling_average_daily(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    days: int = 7,
+) -> DataFrame:
+    """Trailing ``days``-day average per key over the GAP-FILLED daily
+    series. A ``ROWS BETWEEN n PRECEDING`` frame only means "a calendar
+    week" because the axis is regular — on the raw sparse series it
+    silently averages the last n OBSERVATIONS, spanning arbitrary time.
+    The window re-sorts within partitions but adds NO exchange: the
+    gap fill's explode preserves the partitioning on ``key``.
+    """
+    filled = gap_fill_daily(events, key, ts, value)
+    w = (
+        Window.partitionBy(key)
+        .orderBy("day")
+        .rowsBetween(-(days - 1), Window.currentRow)
+    )
+    return filled.select(
+        key, "day", F.avg("filled_value").over(w).alias(f"avg_{days}d")
+    )
+
+
+def anomaly_zscore_daily(
+    events: DataFrame,
+    key: str,
+    ts: str,
+    value: str,
+    baseline_days: int = 7,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window z-score anomaly flags on the gap-filled daily
+    series: each day is scored against the mean/stddev of its OWN key's
+    previous ``baseline_days`` days (frame excludes the current row so a
+    spike cannot suppress its own score); ``|z| > threshold`` flags it.
+    A CONSTANT baseline (sd = 0, the sharpest possible prior) leaves z
+    undefined (NULL) but still flags any deviation from it — sd = 0 is
+    exact there, never a float artifact, because a zero sample stddev
+    means every baseline value was identical. Too-short baselines
+    (sd NULL) are never flagged. Same single-exchange shape as the
+    rolling average: both window aggregates share one frame spec on the
+    gap fill's partitioning.
+    """
+    filled = gap_fill_daily(events, key, ts, value)
+    base = (
+        Window.partitionBy(key).orderBy("day").rowsBetween(-baseline_days, -1)
+    )
+    mu = F.avg("filled_value").over(base)
+    sd = F.stddev_samp("filled_value").over(base)
+    z = F.when(sd > 0, (F.col("filled_value") - mu) / sd)
+    return filled.select(
+        key,
+        "day",
+        "filled_value",
+        F.round(z, 6).alias("z"),
+        F.when(F.abs(z) > threshold, F.lit(1))
+        .when((sd == 0) & (F.col("filled_value") != mu), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("is_anomaly"),
+    )

@@ -2002,42 +2002,8 @@ def bigram_surprisal_q(spark: SparkSession, sf: str) -> DataFrame:
     marginals re-aggregate those (counts only, never token instances),
     and V rides along as a 1-row broadcast. At 100 TB the bigram table
     exceeds broadcast size, so the tf-model joins are left to AQE exactly
-    like llm_unigram_logprob / llm_tfidf_top_terms."""
-    docs = t(spark, sf, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.filter(
-            F.split(
-                F.trim(F.regexp_replace(F.lower("text"), "[^a-z]", " ")),
-                " +",
-            ),
-            lambda x: F.length(x) >= 1,
-        ).alias("ts"),
-    ).filter(F.size("ts") >= 2)
-    pairs = toks.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.slice("ts", 1, F.size("ts") - 1).alias("w1"),
-                F.slice("ts", 2, F.size("ts") - 1).alias("w2"),
-            )
-        ).alias("pr"),
-    ).select("doc_id", F.col("pr.w1").alias("w1"), F.col("pr.w2").alias("w2"))
-    tf = pairs.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("tf"))
-    bg = tf.groupBy("w1", "w2").agg(F.sum("tf").alias("cbg"))
-    ctx = bg.groupBy("w1").agg(F.sum("cbg").alias("cw1"))
-    vocab = ctx.agg(F.count(F.lit(1)).alias("v"))
-    k = F.lit(0.5)
-    p = (F.col("cbg") + k) / (F.col("cw1") + k * F.col("v"))
-    return (
-        tf.join(bg, ["w1", "w2"])
-        .join(ctx, "w1")
-        .crossJoin(F.broadcast(vocab))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("tf").alias("n_bigrams"),
-            F.round(
-                -F.sum(F.col("tf") * F.log(p)) / F.sum("tf"), 6
-            ).alias("avg_bigram_surprisal"),
-        )
-    )
+    like llm_unigram_logprob / llm_tfidf_top_terms
+    (operators/lm.py:bigram_surprisal)."""
+    from big_data_player_analysis_spark.operators.lm import bigram_surprisal
+
+    return bigram_surprisal(t(spark, sf, "documents"), "doc_id", "text")

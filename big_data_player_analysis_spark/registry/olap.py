@@ -1534,7 +1534,7 @@ def unpivot(spark: SparkSession, sf: str) -> DataFrame:
                 AS BIGINT) AS bucket
     FROM orders o, b
     """,
-    tags=("olap", "profile", "feature"),
+    tags=("olap", "profile", "feature", "bench"),
 )
 def quantile_binning_q(spark: SparkSession, sf: str) -> DataFrame:
     """Equi-depth binning of order value into quartile buckets
@@ -1587,7 +1587,7 @@ def quantile_binning_q(spark: SparkSession, sf: str) -> DataFrame:
              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS avg_7d
     FROM f
     """,
-    tags=("olap", "timeseries", "window"),
+    tags=("olap", "timeseries", "window", "bench"),
 )
 def rolling_average(spark: SparkSession, sf: str) -> DataFrame:
     """7-day trailing average per user over the GAP-FILLED daily series —
@@ -1596,19 +1596,14 @@ def rolling_average(spark: SparkSession, sf: str) -> DataFrame:
     it silently averages the last 7 OBSERVATIONS, spanning arbitrary
     time). Runs on gap_fill_daily's output; the second window re-sorts
     within partitions but adds NO exchange (partitioning on user_id is
-    preserved through the explode)."""
+    preserved through the explode)
+    (operators/timeseries.py:rolling_average_daily)."""
     from big_data_player_analysis_spark.operators.timeseries import (
-        gap_fill_daily,
+        rolling_average_daily,
     )
 
-    filled = gap_fill_daily(t(spark, sf, "events"), "user_id", "ts", "value")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("day")
-        .rowsBetween(-6, Window.currentRow)
-    )
-    return filled.select(
-        "user_id", "day", F.avg("filled_value").over(w).alias("avg_7d")
+    return rolling_average_daily(
+        t(spark, sf, "events"), "user_id", "ts", "value", days=7
     )
 
 
@@ -1645,7 +1640,9 @@ def rolling_average(spark: SparkSession, sf: str) -> DataFrame:
     SELECT user_id, day, filled_value,
            round(CASE WHEN sd > 0 THEN (filled_value - mu) / sd END, 6) AS z,
            CAST(CASE WHEN sd > 0 AND abs((filled_value - mu) / sd) > 3.0
-                THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+                     THEN 1
+                     WHEN sd = 0 AND filled_value <> mu THEN 1
+                     ELSE 0 END AS BIGINT) AS is_anomaly
     FROM zc
     """,
     tags=("olap", "timeseries", "window", "bench"),
@@ -1658,26 +1655,19 @@ def anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
     olap_gap_fill's regular axis — on the raw sparse series the "previous
     7 rows" baseline would silently span arbitrary wall-clock time. Both
     window aggregates share one frame spec on the exchange the gap fill
-    already established; days with a constant (sd = 0) or too-short
-    baseline yield z = NULL and are never flagged."""
+    already established; a constant baseline (sd = 0 — exact, since zero
+    sample stddev means identical values) leaves z NULL but still flags
+    any deviation, while too-short baselines are never flagged
+    (operators/timeseries.py:anomaly_zscore_daily)."""
     from big_data_player_analysis_spark.operators.timeseries import (
-        gap_fill_daily,
+        anomaly_zscore_daily,
     )
 
-    filled = gap_fill_daily(t(spark, sf, "events"), "user_id", "ts", "value")
-    base = (
-        Window.partitionBy("user_id").orderBy("day").rowsBetween(-7, -1)
-    )
-    mu = F.avg("filled_value").over(base)
-    sd = F.stddev_samp("filled_value").over(base)
-    z = F.when(sd > 0, (F.col("filled_value") - mu) / sd)
-    return filled.select(
+    return anomaly_zscore_daily(
+        t(spark, sf, "events"),
         "user_id",
-        "day",
-        "filled_value",
-        F.round(z, 6).alias("z"),
-        F.when(F.abs(z) > 3.0, F.lit(1))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("is_anomaly"),
+        "ts",
+        "value",
+        baseline_days=7,
+        threshold=3.0,
     )

@@ -491,3 +491,44 @@ def test_tpch_q18_agg_before_join(spark, specs):
     # the filtered agg output and the customer dim are both broadcast-able
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, p
+
+
+def test_quantile_binning_no_global_sort(spark, specs):
+    """The equi-depth binning claim: boundaries from a bounded sample
+    aggregate + a broadcast scalar compare — never ntile's global sort
+    (a rangepartitioning exchange of every row)."""
+    p = plan_str(specs["olap_quantile_binning"].fn(spark, SF))
+    import re
+
+    assert "rangepartitioning" not in p
+    # bare "ntile" would match inside "percentile(...)"
+    assert not re.search(r"\bntile\(", p)
+    # the 1-row boundary table rides in as a broadcast
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_rolling_windows_reuse_gap_fill_exchange(spark, specs):
+    """rolling_average / anomaly_zscore claim to add NO exchange on top
+    of the gap fill: their frame re-sorts within partitions on the
+    partitioning gap_fill_daily already established."""
+    from big_data_player_analysis_spark.catalog import load_table
+    from big_data_player_analysis_spark.operators.timeseries import (
+        gap_fill_daily,
+    )
+
+    events = load_table(spark, SF, "events")
+    base = plan_str(gap_fill_daily(events, "user_id", "ts", "value"))
+    for name in ("olap_rolling_average", "olap_anomaly_zscore"):
+        p = plan_str(specs[name].fn(spark, SF))
+        assert p.count("Exchange") == base.count("Exchange"), name
+
+
+def test_bigram_surprisal_counts_shuffle_not_instances(spark, specs):
+    """Bigram pair extraction is a narrow zip (no window to line up
+    neighbours); every exchange below the explode moves (key, count)
+    aggregates, pinned by partial aggregation before each one."""
+    p = plan_str(specs["llm_bigram_surprisal"].fn(spark, SF))
+    assert "Window" not in p
+    assert "partial_count" in p or "partial_sum" in p
+    # vocab scalar is a 1-row broadcast, not a shuffled join
+    assert "BroadcastNestedLoopJoin" in p

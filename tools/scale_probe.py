@@ -345,6 +345,51 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
         # two shuffles (daily agg + lead window) + output-sized explode:
         # the row should stay scan/output-bound
         extra["olap_gap_fill"] = gap_fill_probe
+
+        def rolling_probe():
+            from big_data_player_analysis_spark.operators.timeseries import (
+                rolling_average_daily,
+            )
+
+            return rolling_average_daily(events, "user_id", "ts", "value")
+
+        # gap fill + one extra frame pass on the SAME partitioning: the
+        # row should track olap_gap_fill, no new exchange
+        extra["olap_rolling_average"] = rolling_probe
+
+        def anomaly_probe():
+            from big_data_player_analysis_spark.operators.timeseries import (
+                anomaly_zscore_daily,
+            )
+
+            return anomaly_zscore_daily(events, "user_id", "ts", "value")
+
+        # two window aggregates on one shared frame spec: same contract
+        extra["olap_anomaly_zscore"] = anomaly_probe
+
+        def binning_probe():
+            from big_data_player_analysis_spark.operators.profiling import (
+                quantile_binning,
+            )
+
+            return quantile_binning(
+                events.select("event_id", "value"), "event_id", "value"
+            )
+
+        # bounded sample aggregate + broadcast boundary compare: the row
+        # should stay scan-bound (the naive ntile form is a global sort)
+        extra["olap_quantile_binning"] = binning_probe
+
+        def bigram_probe():
+            from big_data_player_analysis_spark.operators.lm import (
+                bigram_surprisal,
+            )
+
+            return bigram_surprisal(docs, "doc_id", "text")
+
+        # corpus-count shuffles move (w1, w2, count) rows, never token
+        # instances: growth should track distinct-bigram volume
+        extra["llm_bigram_surprisal"] = bigram_probe
     if docs_path is not None:
 
         def ingest_probe():

@@ -67,6 +67,10 @@ AUDITED = [
     "llm_title_hamming_dedup",
     "llm_weighted_sample",
     "olap_tpch_q18_large_orders",
+    "olap_quantile_binning",
+    "olap_rolling_average",
+    "olap_anomaly_zscore",
+    "llm_bigram_surprisal",
 ]
 
 
