@@ -279,6 +279,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # unchanged code; the ordered-limit TakeOrderedAndProject physical shape
 # stays in-window via llm_weighted_sample, and heavy-hitters semantics
 # keep the green rows + local oracle gate).
+# Twenty-fourth round-4 rotation: llm_quality_percentile_filter
+# (FineWeb/CCNet-style RELATIVE quality thresholding — drop the worst
+# decile of the corpus's own score distribution, threshold from the
+# deterministic-sample percentile) is new with no driver row — promoted,
+# displacing llm_quality_filters: green r01-r03 on unchanged code, and
+# the quality-scoring family stays in-window via the incoming filter
+# (which composes the same quality_score expression) while the absolute
+# Gopher/C4 rule battery keeps its green rows + the local oracle gate.
+#
 # Twenty-third round-4 rotation: llm_bigram_surprisal (conditional
 # bigram-LM quality scoring, the CCNet-style perplexity filter upgrade
 # of the unigram entry) and olap_anomaly_zscore (trailing-window z-score
@@ -335,7 +344,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     # text-quality built-ins — displaced by the new llm_top_ngrams, which
     # has no driver row yet)
     "olap_unpivot",
-    "llm_quality_filters",
+    "llm_quality_percentile_filter",
     "llm_line_dedup",
     "olap_hll_shard_merge",
     "llm_pack_sequences",
@@ -372,6 +381,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "llm_quality_filters",
     "llm_url_canonical_dedup",
     "dedup_simhash",
     "q08_having_count_distinct",

@@ -2007,3 +2007,62 @@ def bigram_surprisal_q(spark: SparkSession, sf: str) -> DataFrame:
     from big_data_player_analysis_spark.operators.lm import bigram_surprisal
 
     return bigram_surprisal(t(spark, sf, "documents"), "doc_id", "text")
+
+
+# ------------------------------------- relative quality threshold filter
+
+_SQL_QUALITY_EXPR = f"""round(
+        {QUALITY_WEIGHTS['stop_ratio']} * (CAST({_sql_lang_score('en')} AS DOUBLE)
+            / len(regexp_split_to_array(trim(text), '\\s+')))
+      + {QUALITY_WEIGHTS['alpha_ratio']} * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+            / length(text))
+      + {QUALITY_WEIGHTS['len_score']} * least(1.0,
+            len(regexp_split_to_array(trim(text), '\\s+')) / {QUALITY_LEN_NORM}),
+      6)"""
+
+SQL_QUALITY_PCTL = f"""
+WITH p AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents),
+q AS (SELECT doc_id, {_SQL_QUALITY_EXPR} AS quality FROM p),
+s AS (SELECT quality FROM q
+      WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '4000'),
+thr AS (SELECT quantile_cont(quality, 0.10) AS p10 FROM s)
+SELECT q.doc_id, q.quality, round(thr.p10, 6) AS p10
+FROM q, thr WHERE q.quality >= thr.p10
+"""
+
+
+@query(
+    "llm_quality_percentile_filter",
+    sql=SQL_QUALITY_PCTL,
+    tags=("llm", "text", "quality"),
+)
+def quality_percentile_filter_q(spark: SparkSession, sf: str) -> DataFrame:
+    """RELATIVE quality filtering (the FineWeb/CCNet pattern): drop the
+    worst decile of the corpus's OWN quality-score distribution instead
+    of a hand-tuned absolute cutoff — absolute thresholds rot as the
+    corpus mix shifts, a percentile tracks it. The threshold is the
+    exact interpolated P10 of a DETERMINISTIC 25% md5 sample (the same
+    sampled-boundary strategy as olap_quantile_binning / Spark's own
+    RangePartitioner): one bounded aggregate broadcast back over the
+    corpus, never a global sort or an O(distinct-scores) exact
+    percentile over all rows. Scoring itself is quality_score's rounded
+    column expression, so the filter comparison sees bit-identical
+    values in both engines."""
+    from big_data_player_analysis_spark.operators.sampling import (
+        hash_prefix,
+        hash_threshold,
+    )
+
+    docs = t(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id", quality_score(F.col("text")).alias("quality")
+    )
+    sample = scored.filter(
+        hash_prefix(F.col("doc_id")) < F.lit(hash_threshold(0.25))
+    )
+    thr = sample.agg(F.expr("percentile(quality, 0.10)").alias("p10"))
+    return (
+        scored.crossJoin(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("p10"))
+        .select("doc_id", "quality", F.round("p10", 6).alias("p10"))
+    )

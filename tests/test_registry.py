@@ -77,7 +77,7 @@ def test_primary_window():
         "dedup_embedding_cosine", "dedup_components",
         "llm_dedup_incremental", "llm_cdc_chunks",
         "multimodal_video_decode", "llm_bpe_train", "multimodal_image_resize",
-        "llm_semantic_dedup", "llm_quality_filters",
+        "llm_semantic_dedup", "llm_quality_percentile_filter",
         "llm_line_dedup", "olap_key_skew_profile", "llm_near_dedup_best_quality",
         "llm_pack_sequences", "llm_bpe_encode", "llm_corpus_curation",
         "llm_weighted_sample", "multimodal_png_decode", "olap_dq_audit", "olap_cdc_upsert",
