@@ -81,3 +81,40 @@ def test_range_join_matches_bruteforce(spark, vals, ivals):
         if lo <= v < lo + w
     }
     assert got == want
+
+
+binning_values = st.lists(
+    st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False, width=32),
+    min_size=4,
+    max_size=60,
+)
+
+
+@SLOW
+@given(vals=binning_values)
+def test_quantile_binning_matches_bruteforce(spark, vals):
+    """quantile_binning at sample_fraction=1.0 (every row sampled, so the
+    boundaries are the exact interpolated quartiles) against a pure-Python
+    reference: completeness (every input row exactly once), bucket
+    monotone in value, bucket = 1 + #boundaries strictly below the value
+    — including ties ON a boundary, duplicates, and all-equal inputs."""
+    from big_data_player_analysis_spark.operators.profiling import (
+        quantile_binning,
+    )
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    out = quantile_binning(df, "k", "v", sample_fraction=1.0)
+    got = {r.k: r.bucket for r in out.collect()}
+    assert set(got) == {k for k, _ in rows}  # every row, exactly once
+
+    # exact interpolated quartiles (numpy's 'linear' == Spark percentile)
+    import numpy as np
+
+    bounds = np.quantile(sorted(v for _, v in rows), [0.25, 0.5, 0.75])
+    for k, v in rows:
+        expect = 1 + sum(1 for b in bounds if v > b + 1e-9 * max(1, abs(b)))
+        strict = 1 + sum(1 for b in bounds if v > b)
+        # float tolerance: Spark's compare uses exact doubles; accept
+        # either side only when v sits within interpolation ULP of a bound
+        assert got[k] in {expect, strict}, (k, v, bounds, got[k])
