@@ -121,6 +121,10 @@ def main() -> None:
                 "metric": "headline_suite_wall_seconds",
                 "value": total,
                 "unit": "sec",
+                # the suite GROWS as operators ship (bench-tagged registry
+                # entries join automatically), so round-over-round compare
+                # per-query or value/n_queries — never raw totals
+                "n_queries": len(timings),
                 "queries": timings,
                 "runs": runs,
                 "sf": sf,

@@ -190,7 +190,11 @@ def quantile_binning(
     row its bucket with three scalar comparisons against the broadcast
     1-row boundary table: one bounded agg + a narrow map, no global sort.
     Sampled boundary estimation is the same strategy Spark's own
-    RangePartitioner uses to pick range-partition split points.
+    RangePartitioner uses to pick range-partition split points — and like
+    RangePartitioner, ``sample_fraction`` must be sized to a bounded
+    sample COUNT at scale (fraction ~ target/n): the exact percentile's
+    partial aggregate moves the sampled values to one reducer, so the
+    fraction is what keeps that exchange O(target) instead of O(rows).
 
     Returns ``(o_orderkey-style id columns are the caller's concern)``:
     every input row with a ``bucket`` in 1..len(probs)+1. The boundary

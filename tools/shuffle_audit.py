@@ -182,6 +182,30 @@ NOTES = {
         "hash-distinct over the events-derived edge table: the exchange "
         "carries the distinct pairs themselves — O(output), linear."
     ),
+    "olap_triangle_count": (
+        "the exchanged bytes are the oriented edge stream plus the wedge "
+        "join's probe side — O(E^1.5)-bounded by the (deg, id) "
+        "orientation; the composed step scales disjoint duel subgraphs, "
+        "so growth stays at/below linear. The sw:in ratio is an artifact "
+        "of the tiny dictionary-compressed parquet input, not fan-out."
+    ),
+    "olap_quantile_binning": (
+        "the only exchange is the exact sample percentile's "
+        "single-partition merge, which moves the SAMPLED VALUES — "
+        "O(sample_fraction x rows), linear here because the demo keeps "
+        "fraction fixed at 25%. At scale the knob is sized to a bounded "
+        "sample COUNT (fraction ~ target/n, the RangePartitioner "
+        "contract), making this exchange O(target). Bucket assignment "
+        "itself — the part that replaces ntile's global sort — never "
+        "shuffles: a broadcast scalar compare."
+    ),
+    "llm_bigram_surprisal": (
+        "exchanges move (key, count) aggregates — per-doc bigram counts "
+        "(linear in docs) and the corpus model tables (bounded by "
+        "distinct-bigram volume, which the composed corpus holds "
+        "constant) — never token instances; the pair fan-out itself is a "
+        "narrow zip."
+    ),
 }
 
 
