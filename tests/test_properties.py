@@ -118,3 +118,53 @@ def test_quantile_binning_matches_bruteforce(spark, vals):
         # float tolerance: Spark's compare uses exact doubles; accept
         # either side only when v sits within interpolation ULP of a bound
         assert got[k] in {expect, strict}, (k, v, bounds, got[k])
+
+
+gap_rows = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(-5, 5)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@SLOW
+@given(rows=gap_rows)
+def test_gap_fill_matches_bruteforce(spark, rows):
+    """gap_fill_daily against a pure-Python replay on random sparse
+    (key, day-offset, value) events: per key, one row per calendar day
+    between its first and last observed day, filled_value = most recent
+    observed DAILY SUM, is_gap exactly on unobserved days."""
+    import datetime as dt
+
+    from big_data_player_analysis_spark.operators.timeseries import (
+        gap_fill_daily,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    ev = [
+        (k, base + dt.timedelta(days=d, hours=(i * 7) % 24), float(v))
+        for i, (k, d, v) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(ev, "user_id int, ts timestamp, value double")
+    got = {
+        (r.user_id, r.day.date()): (r.filled_value, r.is_gap)
+        for r in gap_fill_daily(df, "user_id", "ts", "value").collect()
+    }
+
+    # brute force: daily sums, then walk each key's calendar range
+    daily: dict[tuple[int, dt.date], float] = {}
+    for k, ts, v in ev:
+        daily[(k, ts.date())] = daily.get((k, ts.date()), 0.0) + v
+    expect = {}
+    for k in {k for k, _ in daily}:
+        days = sorted(d for kk, d in daily if kk == k)
+        cur = None
+        d = days[0]
+        while d <= days[-1]:
+            if (k, d) in daily:
+                cur = daily[(k, d)]
+                expect[(k, d)] = (cur, 0)
+            else:
+                expect[(k, d)] = (cur, 1)
+            d += dt.timedelta(days=1)
+    assert got == expect
