@@ -61,10 +61,14 @@ def bigram_surprisal(
     ctx = bg.groupBy("w1").agg(F.sum("cbg").alias("cw1"))
     vocab = ctx.agg(F.count(F.lit(1)).alias("v"))
     kl = F.lit(float(k))
+    # fold the context marginal into the MODEL-sized bg table first, so
+    # the large per-doc tf table exchanges once (on (w1, w2)) instead of
+    # twice — joining ctx onto tf directly would re-shuffle every tf row
+    # a second time on w1
+    model = bg.join(ctx, "w1")
     p = (F.col("cbg") + kl) / (F.col("cw1") + kl * F.col("v"))
     return (
-        tf.join(bg, ["w1", "w2"])
-        .join(ctx, "w1")
+        tf.join(model, ["w1", "w2"])
         .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(

@@ -277,6 +277,14 @@ def main() -> int:
             f.write(render(all_results))
         print("re-rendered SHUFFLE.md from", out)
         return 0
+    # --only a,b,c: re-measure just those operators (when one
+    # implementation changed), merging into the committed results so the
+    # other rows keep the numbers tied to their unchanged code
+    audited = list(AUDITED)
+    if "--only" in args:
+        i = args.index("--only")
+        audited = [n for n in args[i + 1].split(",") if n in AUDITED]
+        args = args[:i] + args[i + 2 :]
     sf_dirs = args or ["/root/testdata/sf0.1", "/tmp/bdpa_composed/sf1"]
     sf_dirs = [d for d in sf_dirs if os.path.isdir(d)]
     spark = get_spark(
@@ -290,9 +298,14 @@ def main() -> int:
     )
     app_id = _app_id()
     all_results = {}
+    if audited != list(AUDITED) and os.path.exists(out):
+        with open(out) as f:
+            all_results = json.load(f)
     for sf_dir in sf_dirs:
         label = os.path.basename(sf_dir.rstrip("/"))
-        all_results[label] = audit_sf(spark, app_id, sf_dir, AUDITED)
+        all_results.setdefault(label, {}).update(
+            audit_sf(spark, app_id, sf_dir, audited)
+        )
 
     with open(out, "w") as f:
         json.dump(all_results, f, indent=1)
