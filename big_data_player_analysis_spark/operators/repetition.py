@@ -40,7 +40,7 @@ splitting, reference exercise_1.py:41); this is mandated extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 REPEAT_WINDOW_TOKENS = 8  # tokens per window
@@ -129,4 +129,122 @@ def remove_repeated_windows(
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         "n_windows",
         (F.col("n_windows") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    )
+
+
+# ------------------------------------------------------------------ spans
+
+SPAN_WINDOW_TOKENS = 10  # k for OVERLAPPING k-token windows
+SPAN_MIN_COUNT = 2  # a window occurring >= this many times corpus-wide is dup
+
+
+def duplicate_span_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = SPAN_WINDOW_TOKENS,
+    min_count: int = SPAN_MIN_COUNT,
+    broadcast_max_rows: int = REPEAT_BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499): every
+    OVERLAPPING ``window_tokens``-token window occurring >= ``min_count``
+    times in the whole corpus (all occurrences counted, including repeats
+    within one document) marks its token interval as duplicated; per
+    document the intervals are merged into maximal spans.
+
+    Returns (doc_id, n_tokens, n_dup_tokens, n_spans, dup_frac) — the
+    profile a curation run thresholds on (and the exact span bounds a
+    removal pass would cut; this entry reports rather than rewrites, the
+    rewrite is ``remove_repeated_windows``'s job for the non-overlapping
+    case).
+
+    Scale design (100 TB):
+      * window identity is xxhash64 over the SLICED PER-TOKEN-HASH ARRAY
+        (a position-sensitive hash of k int64s, computed inside whole-stage
+        codegen) — the k-token window *text* is never materialized and each
+        token's string is hashed exactly once per doc, so the narrow
+        windowing stage moves only (doc_id, position, int64) triples. Lee
+        et al. build a suffix array on one machine; the distributed trade
+        is O(n*k) vectorized hash work per doc for O(1) shuffle bytes per
+        window occurrence.
+      * the occurrence-count aggregate shuffles one int64 per window
+        position, partial-aggregated map-side; the duplicated-hash set is
+        SIZE-GATED (same policy as remove_repeated_windows) before the
+        semi join back onto the position stream.
+      * interval merging is gaps-and-islands over (doc_id, position) — a
+        shuffle proportional to DUPLICATED positions only, not the corpus.
+    Hash collisions conflate distinct windows with P ~ n^2/2^65 (same
+    equivalence argument as the module docstring); the SQL oracle groups
+    window text itself.
+    """
+    if window_tokens <= 1 or min_count < 2:
+        raise ValueError("need window_tokens > 1 and min_count >= 2")
+    k = window_tokens
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    thash = F.transform(F.col("_toks"), lambda s: F.xxhash64(s))
+    wins = (
+        base.filter(F.col("n_tokens") >= k)
+        .select(
+            "doc_id",
+            thash.alias("_th"),
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_tokens") - k)
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.xxhash64(
+                F.slice(F.col("_th"), F.col("p").cast("int") + 1, k)
+            ).alias("whash"),
+        )
+    )
+    dup = (
+        wins.groupBy("whash")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= F.lit(min_count))
+        .select("whash")
+        .persist()
+    )
+    if broadcast_max_rows > 0 and dup.count() <= broadcast_max_rows:
+        dup = F.broadcast(dup)
+    pos = wins.join(dup, "whash", "left_semi").select(
+        "doc_id", "p", (F.col("p") + k).alias("e")
+    )
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cur = Window.partitionBy("doc_id").orderBy("p")
+    islands = pos.withColumn(
+        "isl",
+        F.sum(
+            F.when(
+                F.col("p") > F.coalesce(F.max("e").over(prev), F.lit(-1)), 1
+            ).otherwise(0)
+        ).over(cur),
+    )
+    spans = islands.groupBy("doc_id", "isl").agg(
+        F.min("p").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s")).alias("n_dup_tokens"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    return base.select("doc_id", "n_tokens").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+        F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+        (
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("double")
+            / F.col("n_tokens")
+        ).alias("dup_frac"),
     )

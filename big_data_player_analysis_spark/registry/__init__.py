@@ -311,6 +311,26 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # time-conditioned join semantics stay in-window via
 # stream_stream_interval_join and asof keeps its dedicated unit tests +
 # local oracle gate).
+# Twenty-fifth round-4 rotation: three new entries need rows —
+#   * llm_substring_dup_spans (Lee et al. EXACTSUBSTR profile over
+#     OVERLAPPING windows — catches duplicated substrings at any
+#     alignment) displaces dedup_minhash_lsh: green r01/r02/r03 on
+#     per-entry-unchanged code (round-4 dedup.py changes are additions
+#     after it), and the banded-MinHash candidate shape stays in-window
+#     via llm_near_dedup_survivors + llm_dedup_incremental, which compose
+#     the identical signature/band/verify stages;
+#   * olap_event_transitions (Markov next-event matrix — lead() window +
+#     tiny normalized aggregate) displaces olap_apply_in_pandas_longest_run:
+#     green r02/r03 on unchanged code, and the groupBy().applyInPandas
+#     sorted-group reducer shape (SURVEY F5/F6) stays in-window via
+#     llm_pack_sequences (same partitionBy + in-group order + imperative
+#     scan) and stream_stateful_user_stats (the stateful variant);
+#   * olap_min_cost_supplier (TPC-H Q2 shape — correlated min decorrelated
+#     into a window over the (part,supplier) aggregate, exact DECIMAL
+#     argmin) displaces olap_tpch_q5_region_volume: green r02/r03 on
+#     unchanged code, and the multi-dim TPC-H join-stack family stays
+#     in-window via olap_tpch_q18_large_orders plus the incoming Q2's
+#     supplier/nation decoration joins.
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -335,9 +355,9 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_corpus_curation",
     "olap_retention_cohorts",
     "olap_cdc_upsert",
-    "olap_tpch_q5_region_volume",
+    "olap_min_cost_supplier",
     "olap_key_skew_profile",
-    "olap_apply_in_pandas_longest_run",
+    "olap_event_transitions",
     "olap_scd2_history",
     # LLM-data-pipeline tier (23; text_quality_score rotated out late in
     # r3 — green r01+r02 on unchanged code, overlaps llm_quality_filters'
@@ -352,7 +372,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_title_hamming_dedup",
     "llm_near_dedup_survivors",
     "llm_near_dedup_best_quality",
-    "dedup_minhash_lsh",
+    "llm_substring_dup_spans",
     "llm_bigram_surprisal",
     "dedup_embedding_cosine",
     "dedup_components",
@@ -381,6 +401,9 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "dedup_minhash_lsh",
+    "olap_apply_in_pandas_longest_run",
+    "olap_tpch_q5_region_volume",
     "llm_quality_filters",
     "llm_url_canonical_dedup",
     "dedup_simhash",

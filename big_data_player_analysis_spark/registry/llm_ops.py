@@ -1628,6 +1628,84 @@ def cdc_chunks_q(spark: SparkSession, sf: str) -> DataFrame:
     return cdc_chunks(t(spark, sf, "documents"), "doc_id", "text")
 
 
+# ------------------------------------- exact-substring duplication spans
+
+from big_data_player_analysis_spark.operators.repetition import (  # noqa: E402
+    SPAN_MIN_COUNT,
+    SPAN_WINDOW_TOKENS,
+    duplicate_span_profile,
+)
+
+SQL_DUP_SPANS = f"""
+WITH d AS (
+  SELECT doc_id, {REPEAT_SQL_TOKS} AS toks FROM documents),
+n AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM d),
+w AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, n_tokens - {SPAN_WINDOW_TOKENS} + 1)) AS BIGINT)
+           AS p,
+         toks
+  FROM n WHERE n_tokens >= {SPAN_WINDOW_TOKENS}),
+wt AS (
+  SELECT doc_id, p,
+         array_to_string(
+           list_slice(toks, CAST(p + 1 AS INT),
+                      CAST(p + {SPAN_WINDOW_TOKENS} AS INT)), ' ') AS wtext
+  FROM w),
+dup AS (
+  SELECT wtext FROM (
+    SELECT wtext, count(*) AS c FROM wt GROUP BY wtext)
+  WHERE c >= {SPAN_MIN_COUNT}),
+dp AS (
+  SELECT doc_id, p, p + {SPAN_WINDOW_TOKENS} AS e
+  FROM wt WHERE wtext IN (SELECT wtext FROM dup)),
+isl AS (
+  SELECT doc_id, p, e,
+         CASE WHEN p > coalesce(
+                max(e) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM dp),
+isl2 AS (
+  SELECT doc_id, p, e,
+         sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM isl),
+spans AS (
+  SELECT doc_id, island, min(p) AS s, max(e) AS ee
+  FROM isl2 GROUP BY doc_id, island),
+agg AS (
+  SELECT doc_id, CAST(sum(ee - s) AS BIGINT) AS n_dup_tokens,
+         count(*) AS n_spans
+  FROM spans GROUP BY doc_id)
+SELECT n.doc_id, n.n_tokens,
+       coalesce(agg.n_dup_tokens, 0) AS n_dup_tokens,
+       coalesce(agg.n_spans, 0) AS n_spans,
+       CAST(coalesce(agg.n_dup_tokens, 0) AS DOUBLE) / n.n_tokens AS dup_frac
+FROM n LEFT JOIN agg ON n.doc_id = agg.doc_id
+"""
+
+
+@query(
+    "llm_substring_dup_spans",
+    sql=SQL_DUP_SPANS,
+    tags=("llm", "dedup", "text", "bench"),
+)
+def substring_dup_spans_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring duplication profile (Lee et al. 2021 EXACTSUBSTR,
+    arXiv:2107.06499) over OVERLAPPING 10-token windows: any window
+    occurring >= 2 times corpus-wide marks its token interval duplicated;
+    intervals are merged per doc into maximal spans
+    (operators/repetition.py:duplicate_span_profile — positional
+    polynomial over per-token xxhash64 inside codegen so window text is
+    never materialized, size-gated dup-set semi join, gaps-and-islands
+    merge shuffling only duplicated positions). The complement of
+    llm_line_dedup: overlapping windows catch duplicated substrings at ANY
+    alignment, not just window-grid boilerplate."""
+    return duplicate_span_profile(t(spark, sf, "documents"), "doc_id", "text")
+
+
 # ------------------------------------------------- deterministic sharding
 
 SHARD_COUNT = 16

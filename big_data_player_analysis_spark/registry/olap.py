@@ -1671,3 +1671,128 @@ def anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
         baseline_days=7,
         threshold=3.0,
     )
+
+
+# ---------------------------------------------------- event transition matrix
+
+SQL_TRANSITIONS = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events),
+c AS (
+  SELECT from_type, to_type, count(*) AS n
+  FROM seq WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+       CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+FROM c
+"""
+
+
+@query(
+    "olap_event_transitions",
+    sql=SQL_TRANSITIONS,
+    tags=("olap", "analytics", "events", "window"),
+)
+def event_transitions_q(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    count (event_type -> next event_type) hops along each user's
+    (ts, event_id)-ordered history, then normalize rows into transition
+    probabilities — the behavioral model behind next-action prediction
+    and funnel-drop diagnosis. Plan: ONE exchange on user_id feeds the
+    lead() window; the pair aggregate partial-aggregates map-side down to
+    |event_types|^2 rows, and the row-normalizing sum() window runs on
+    that tiny aggregate — no second pass over the events table. The
+    (ts, event_id) tiebreak makes each user's sequence a total order, so
+    counts are deterministic and engine-portable (same derivation as
+    registry/common.py:duel_edges, reference exercise_1.py:41's stream
+    pairing lifted to per-user sequences)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        t(spark, sf, "events")
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wrow = W.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wrow)).alias("p"),
+    )
+
+
+# ------------------------------------------------------- min-cost supplier
+
+SQL_MIN_COST_SUPPLIER = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey,
+         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey),
+m AS (
+  SELECT l_partkey, l_suppkey, cost,
+         min(cost) OVER (PARTITION BY l_partkey) AS min_cost
+  FROM ps)
+SELECT m.l_partkey AS p_partkey, s.s_name, n.n_name,
+       CAST(m.cost AS DOUBLE) AS min_cost
+FROM m
+JOIN supplier s ON m.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE m.cost = m.min_cost
+"""
+
+
+@query(
+    "olap_min_cost_supplier",
+    sql=SQL_MIN_COST_SUPPLIER,
+    tags=("olap", "join", "tpch", "window"),
+)
+def min_cost_supplier_q(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for every part, the
+    supplier(s) whose total billed price for that part is the per-part
+    minimum, decorated with supplier and nation names. The correlated
+    `cost = (SELECT min(cost) ...)` subquery is decorrelated into a
+    min() window over the (part, supplier) aggregate. The lineitem side is
+    repartitioned on l_partkey FIRST: hash(l_partkey) satisfies the
+    ClusteredDistribution of both the (l_partkey, l_suppkey) aggregate
+    (subset property) and the window's partitionBy, so ONE exchange over
+    the big table covers both — the naive plan pays two back-to-back
+    shuffles (agg keys, then partkey). The argmin filter keeps ALL tied
+    suppliers (Q2 semantics). Costs are summed as
+    DECIMAL(18,2), so the aggregate is exact and order-independent —
+    double summation would make the cross-engine argmin comparison
+    nondeterministic in the low bits. The supplier join runs on the
+    O(parts) argmin output, nation (25 rows) broadcasts."""
+    li = t(spark, sf, "lineitem")
+    from pyspark.sql import Window as W
+
+    ps = (
+        li.select("l_partkey", "l_suppkey", "l_extendedprice")
+        .repartition(F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("cost"))
+    )
+    m = ps.withColumn(
+        "min_cost", F.min("cost").over(W.partitionBy("l_partkey"))
+    ).filter(F.col("cost") == F.col("min_cost"))
+    sup = t(spark, sf, "supplier")
+    nat = t(spark, sf, "nation")
+    return (
+        m.join(sup, m.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            F.col("cost").cast("double").alias("min_cost"),
+        )
+    )

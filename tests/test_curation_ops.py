@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from big_data_player_analysis_spark.catalog import load_table
 from big_data_player_analysis_spark.operators.repetition import (
+    duplicate_span_profile,
     remove_repeated_windows,
 )
 from big_data_player_analysis_spark.operators.sampling import (
@@ -110,6 +111,120 @@ class TestRemoveRepeatedWindows:
         ).first()
         assert agg.n == docs.count()  # every document survives
         assert agg.bad == 0
+
+
+class TestDuplicateSpanProfile:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @staticmethod
+    def _profile(rows, k=3, min_count=2):
+        """Brute-force reference: mark every overlapping k-window occurring
+        >= min_count times corpus-wide, merge intervals per doc."""
+        toks = {d: t.split() for d, t in rows}
+        from collections import Counter
+
+        c = Counter(
+            tuple(ts[p : p + k])
+            for ts in toks.values()
+            for p in range(len(ts) - k + 1)
+        )
+        out = {}
+        for d, ts in toks.items():
+            ivs = [
+                (p, p + k)
+                for p in range(len(ts) - k + 1)
+                if c[tuple(ts[p : p + k])] >= min_count
+            ]
+            spans = []
+            for s, e in ivs:
+                if spans and s <= spans[-1][1]:
+                    spans[-1][1] = max(spans[-1][1], e)
+                else:
+                    spans.append([s, e])
+            out[d] = (len(ts), sum(e - s for s, e in spans), len(spans))
+        return out
+
+    def test_off_grid_alignment_found(self, spark):
+        # the shared trigram sits at positions 1 and 4 — different
+        # alignments, invisible to a non-overlapping window grid
+        rows = [(1, "u1 a b c u2 u3 u4"), (2, "v1 v2 v3 v4 a b c v5")]
+        got = {
+            r.doc_id: (r.n_tokens, r.n_dup_tokens, r.n_spans)
+            for r in duplicate_span_profile(
+                self._df(spark, rows), "doc_id", "text", window_tokens=3
+            ).collect()
+        }
+        assert got == self._profile(rows)
+
+    def test_within_doc_repeat_counts(self, spark):
+        # Lee et al. count ALL occurrences: a doc repeating its own
+        # substring is duplicated even if no other doc shares it
+        rows = [(1, "x y z q1 q2 x y z"), (2, "r1 r2 r3 r4 r5")]
+        got = {
+            r.doc_id: (r.n_tokens, r.n_dup_tokens, r.n_spans)
+            for r in duplicate_span_profile(
+                self._df(spark, rows), "doc_id", "text", window_tokens=3
+            ).collect()
+        }
+        assert got == self._profile(rows)
+        assert got[1][1] == 6 and got[1][2] == 2  # two disjoint 3-token spans
+        assert got[2] == (5, 0, 0)
+
+    def test_overlapping_windows_merge_to_one_span(self, spark):
+        # a 5-token shared run yields 3 overlapping dup trigrams -> 1 span
+        rows = [(1, "p q r s t u1"), (2, "v1 p q r s t")]
+        got = {
+            r.doc_id: (r.n_dup_tokens, r.n_spans)
+            for r in duplicate_span_profile(
+                self._df(spark, rows), "doc_id", "text", window_tokens=3
+            ).collect()
+        }
+        assert got == {1: (5, 1), 2: (5, 1)}
+
+    def test_short_and_null_docs_profiled_zero(self, spark):
+        rows = [(1, "a b"), (2, None), (3, "a b c d")]
+        got = {
+            r.doc_id: (r.n_tokens, r.n_dup_tokens, r.n_spans, r.dup_frac)
+            for r in duplicate_span_profile(
+                self._df(spark, rows), "doc_id", "text", window_tokens=3
+            ).collect()
+        }
+        assert got[1] == (2, 0, 0, 0.0)
+        assert got[2] == (1, 0, 0, 0.0)  # NULL -> [''] like the line dedup
+        assert got[3] == (4, 0, 0, 0.0)
+
+    def test_random_corpus_matches_bruteforce(self, spark):
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(12)]
+        rows = [
+            (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 40))))
+            for d in range(60)
+        ]
+        got = {
+            r.doc_id: (r.n_tokens, r.n_dup_tokens, r.n_spans)
+            for r in duplicate_span_profile(
+                self._df(spark, rows), "doc_id", "text", window_tokens=4
+            ).collect()
+        }
+        assert got == self._profile(rows, k=4)
+
+    def test_dup_set_join_size_gated(self, spark):
+        df = self._df(spark, [(1, "a b c d"), (2, "a b c d")])
+        plan = (
+            duplicate_span_profile(df, "doc_id", "text", window_tokens=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+        plan_gated = (
+            duplicate_span_profile(
+                df, "doc_id", "text", window_tokens=2, broadcast_max_rows=0
+            )
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "LeftSemi" in plan_gated
 
 
 class TestShardAssign:

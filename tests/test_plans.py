@@ -532,3 +532,45 @@ def test_bigram_surprisal_counts_shuffle_not_instances(spark, specs):
     assert "partial_count" in p or "partial_sum" in p
     # vocab scalar is a 1-row broadcast, not a shuffled join
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_min_cost_supplier_one_exchange_over_lineitem(spark, specs):
+    """The repartition(l_partkey) exchange must satisfy BOTH the
+    (l_partkey, l_suppkey) aggregate (subset clustering) and the window's
+    partitionBy — exactly one shuffle touches lineitem-derived rows, and
+    the aggregate still partial-aggregates map-side."""
+    p = plan_str(specs["olap_min_cost_supplier"].fn(spark, SF))
+    assert "REPARTITION_BY_COL" in p
+    # no second ENSURE_REQUIREMENTS hash exchange between agg and window
+    import re
+
+    ensure = re.findall(r"Exchange hashpartitioning[^\n]*ENSURE_REQUIREMENTS", p)
+    assert not ensure, ensure
+    assert "partial_sum" in p
+    # decimal-exact argmin: the sum aggregates a decimal cast, not a raw double
+    assert "decimal(18,2)" in p
+
+
+def test_event_transitions_single_pass_over_events(spark, specs):
+    """One exchange on user_id feeds the lead() window; the pair counts
+    partial-aggregate before their (tiny) exchange, and the row-normalizing
+    sum() window runs on the aggregate, never re-reading events."""
+    p = plan_str(specs["olap_event_transitions"].fn(spark, SF))
+    # exactly one scan node (formatted explain prints each node twice:
+    # once in the tree, once in the details section)
+    assert p.count("Scan parquet") == 2
+    assert "partial_count" in p
+    # window lead() ordered by (ts, event_id): the deterministic total order
+    assert "lead(" in p
+
+
+def test_substring_dup_spans_narrow_windowing(spark, specs):
+    """Window hashing must stay on the scan split: no exchange may appear
+    below the whash occurrence-count aggregate, the dup-set join back is
+    gated to a broadcast semi at this scale, and the gaps-and-islands merge
+    shuffles only duplicated positions (a second, smaller exchange)."""
+    p = plan_str(specs["llm_substring_dup_spans"].fn(spark, SF))
+    assert "partial_count" in p  # occurrence count combines map-side
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p
+    # token text is hashed once per doc: the scan reads only doc_id + text
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p

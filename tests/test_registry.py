@@ -71,7 +71,8 @@ def test_primary_window():
     assert {
         "olap_gap_fill", "olap_window_distribution", "olap_triangle_count",
         "llm_title_hamming_dedup",
-        "llm_near_dedup_survivors", "dedup_minhash_lsh",
+        "llm_near_dedup_survivors", "llm_substring_dup_spans",
+        "olap_event_transitions", "olap_min_cost_supplier",
         "olap_funnel_conversion", "olap_retention_cohorts",
         "llm_bigram_surprisal", "olap_anomaly_zscore",
         "dedup_embedding_cosine", "dedup_components",
