@@ -40,6 +40,7 @@ splitting, reference exercise_1.py:41); this is mandated extension surface.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -160,14 +161,20 @@ def duplicate_span_profile(
     case).
 
     Scale design (100 TB):
-      * window identity is xxhash64 over the SLICED PER-TOKEN-HASH ARRAY
-        (a position-sensitive hash of k int64s, computed inside whole-stage
-        codegen) — the k-token window *text* is never materialized and each
-        token's string is hashed exactly once per doc, so the narrow
-        windowing stage moves only (doc_id, position, int64) triples. Lee
-        et al. build a suffix array on one machine; the distributed trade
-        is O(n*k) vectorized hash work per doc for O(1) shuffle bytes per
-        window occurrence.
+      * window identity is a 64-bit ROLLING POLYNOMIAL over the canonical
+        window text's bytes, computed for ALL positions of a document in
+        ONE vectorized Arrow pandas_udf (prefix-sum closed form: with odd
+        base B invertible mod 2^64, hash(span [a,b)) = B^(b-1) *
+        (S[b-1] - S[a-1]) where S is the cumsum of byte[j] * B^(-j) —
+        O(n) total per doc, not O(n*k), and zero per-window allocation).
+        A first JVM form (xxhash64 over sliced token-hash arrays) was
+        correct but interpreted expression trees (transform/slice are not
+        codegen'd) allocated per window and went 12x super-linear at the
+        16x probe; this is the same measured lesson as minhash_signatures
+        (dedup.py:285). The narrow windowing stage emits only (doc_id,
+        position, int64) triples. Lee et al. build a suffix array on one
+        machine; the distributed trade is O(n) vectorized hash work per
+        doc for O(1) shuffle bytes per window occurrence.
       * the occurrence-count aggregate shuffles one int64 per window
         position, partial-aggregated map-side; the duplicated-hash set is
         SIZE-GATED (same policy as remove_repeated_windows) before the
@@ -184,26 +191,54 @@ def duplicate_span_profile(
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        toks.alias("_toks"),
+        F.col(text_col).alias("_text"),
         F.size(toks).cast("long").alias("n_tokens"),
     )
-    thash = F.transform(F.col("_toks"), lambda s: F.xxhash64(s))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _window_hashes(texts: pd.Series) -> pd.Series:
+        import numpy as np
+
+        B = np.uint64(0x9E3779B97F4A7C15)  # odd -> invertible mod 2^64
+        BINV = np.uint64(pow(int(B), -1, 1 << 64))
+        out = []
+        for s in texts:
+            tk = (s or "").split()
+            if len(tk) < k:
+                out.append([])
+                continue
+            raw = np.frombuffer(" ".join(tk).encode("utf-8"), dtype=np.uint8)
+            raw64 = raw.astype(np.uint64)
+            m = raw64.size
+            # wrapping power tables [1, B, ..., B^(m-1)] (uint64 cumprod
+            # overflow wraps silently — that IS the mod-2^64 arithmetic)
+            binv_pow = np.concatenate(
+                ([np.uint64(1)], np.cumprod(np.full(m - 1, BINV, dtype=np.uint64)))
+            )
+            b_pow = np.concatenate(
+                ([np.uint64(1)], np.cumprod(np.full(m - 1, B, dtype=np.uint64)))
+            )
+            S = np.cumsum(raw64 * binv_pow, dtype=np.uint64)
+            sp = np.where(raw == 32)[0]
+            starts = np.concatenate(([0], sp + 1))  # byte start of token i
+            ends = np.concatenate((sp, [m]))  # byte end (excl) of token i
+            a = starts[: len(tk) - k + 1]
+            b = ends[k - 1 :]
+            s_hi = S[b - 1]
+            s_lo = np.where(a > 0, S[np.maximum(a, 1) - 1], np.uint64(0))
+            out.append((b_pow[b - 1] * (s_hi - s_lo)).astype(np.int64))
+        return pd.Series(out)
+
     wins = (
         base.filter(F.col("n_tokens") >= k)
+        .select("doc_id", _window_hashes("_text").alias("_wh"))
         .select(
             "doc_id",
-            thash.alias("_th"),
-            F.explode(
-                F.sequence(F.lit(0).cast("long"), F.col("n_tokens") - k)
-            ).alias("p"),
+            F.posexplode("_wh").alias("p", "whash"),
         )
-        .select(
-            "doc_id",
-            "p",
-            F.xxhash64(
-                F.slice(F.col("_th"), F.col("p").cast("int") + 1, k)
-            ).alias("whash"),
-        )
+        .select("doc_id", F.col("p").cast("long").alias("p"), "whash")
     )
     dup = (
         wins.groupBy("whash")

@@ -34,6 +34,7 @@ from big_data_player_analysis_spark.operators.chunking import (
     pack_sequences,
 )
 from big_data_player_analysis_spark.operators.repetition import (
+    duplicate_span_profile,
     remove_repeated_windows,
 )
 from big_data_player_analysis_spark.operators.sampling import apply_mix, shard_assign
@@ -480,6 +481,9 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
         "llm_chunk_fixed": lambda: chunk_fixed(docs, "doc_id", "text"),
         "llm_cdc_chunks": lambda: cdc_chunks(docs, "doc_id", "text"),
         "llm_line_dedup": lambda: remove_repeated_windows(docs, "doc_id", "text"),
+        "llm_substring_dup_spans": lambda: duplicate_span_profile(
+            docs, "doc_id", "text"
+        ),
         "llm_shard_assign": lambda: shard_assign(docs, "doc_id", 16).select(
             "doc_id", "shard", "pos"
         ),
