@@ -295,6 +295,31 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
 
         extra["olap_scd2_history"] = scd2_probe
 
+        def transitions_probe():
+            from pyspark.sql import Window as W
+
+            w = W.partitionBy("user_id").orderBy("ts", "event_id")
+            pairs = events.select(
+                F.col("event_type").alias("from_type"),
+                F.lead("event_type").over(w).alias("to_type"),
+            ).filter(F.col("to_type").isNotNull())
+            counts = pairs.groupBy("from_type", "to_type").agg(
+                F.count(F.lit(1)).alias("n")
+            )
+            return counts.select(
+                "from_type",
+                "to_type",
+                "n",
+                (
+                    F.col("n").cast("double")
+                    / F.sum("n").over(W.partitionBy("from_type"))
+                ).alias("p"),
+            )
+
+        # one user_id exchange + a |types|^2 aggregate: the row should be
+        # window-sort-bound (n log n within partitions), never agg-bound
+        extra["olap_event_transitions"] = transitions_probe
+
         def skew_probe():
             from big_data_player_analysis_spark.operators.profiling import (
                 key_skew_profile,
