@@ -331,6 +331,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #     unchanged code, and the multi-dim TPC-H join-stack family stays
 #     in-window via olap_tpch_q18_large_orders plus the incoming Q2's
 #     supplier/nation decoration joins.
+# Twenty-sixth round-4 rotation: stream_outer_interval_join (watermarked
+# LEFT OUTER stream-stream join — matches emit eagerly, unmatched left
+# rows emit NULLs only after state eviction, with the watermark cutoff
+# replicated exactly in the SQL twin) is new with no driver row —
+# promoted, displacing stream_late_data_drop: green r03 on unchanged
+# code, and the watermark-withholding-replicated-in-SQL family it pins
+# stays in-window via the incoming outer join (the harder case: join
+# state eviction, not window finalization), with late-row dropping still
+# pinned by tests/test_streaming.py and the local oracle gate.
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -392,7 +401,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "stream_stateful_user_stats",
     "stream_near_dedup_ingest",
     "stream_stream_interval_join",
-    "stream_late_data_drop",
+    "stream_outer_interval_join",
     "olap_session_window",
 )
 
@@ -401,6 +410,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "stream_late_data_drop",
     "dedup_minhash_lsh",
     "olap_apply_in_pandas_longest_run",
     "olap_tpch_q5_region_volume",

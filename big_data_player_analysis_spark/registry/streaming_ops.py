@@ -197,6 +197,60 @@ def stream_stream_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+OUTER_LOOKBACK_MIN = 30
+OUTER_WM_SEC = 3600
+
+SQL_OUTER_IJ = f"""
+WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+wm AS (SELECT least((SELECT max(ts) FROM p), (SELECT max(ts) FROM c))
+              - INTERVAL {OUTER_WM_SEC} SECOND AS w)
+SELECT p.user_id, p.event_id AS l_event_id, p.ts AS l_ts,
+       c.event_id AS r_event_id, c.ts AS r_ts
+FROM p JOIN c ON p.user_id = c.user_id
+  AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL {OUTER_LOOKBACK_MIN} MINUTE
+UNION ALL
+SELECT p.user_id, p.event_id, p.ts, CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP)
+FROM p, wm
+WHERE p.ts < wm.w AND NOT EXISTS (
+  SELECT 1 FROM c WHERE c.user_id = p.user_id
+    AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL {OUTER_LOOKBACK_MIN} MINUTE)
+"""
+
+
+@query("stream_outer_interval_join", sql=SQL_OUTER_IJ, tags=("streaming", "join"))
+def stream_outer_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join — the harder
+    outer case on top of stream_stream_interval_join: matches emit
+    eagerly, and a purchase with NO click in its preceding 30 minutes
+    emits a NULL-click row only once the global watermark (min across the
+    two streams of max-seen-ts minus the 1h delay) passes the point where
+    a future click could still match (watermark > l_ts — Spark can then
+    evict the left row's join state). The oracle replicates exactly that
+    cutoff: the inner matches UNION ALL the unmatched purchases older
+    than the final watermark — purchases in the stream's last watermark
+    interval are withheld by design, and the hash row is therefore
+    evidence the state-eviction semantics are bit-for-bit understood, not
+    just that an outer join ran."""
+    purchases = _events_sdf(spark, sf).filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "ts")
+    clicks = _events_sdf(spark, sf).filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = interval_join(
+        purchases,
+        clicks,
+        on="user_id",
+        lookback=f"{OUTER_LOOKBACK_MIN} minutes",
+        watermark=f"{OUTER_WM_SEC} seconds",
+        how="leftOuter",
+    )
+    return run_stream_to_table(
+        joined.select("user_id", "l_event_id", "l_ts", "r_event_id", "r_ts"), "append"
+    )
+
+
 @query("olap_session_window", sql=SQL_SESSION, tags=("streaming", "window", "sessionization"))
 def session_window_q(spark: SparkSession, sf: str) -> DataFrame:
     """session_window(gap=30min) per user — batch execution of the same

@@ -24,12 +24,22 @@ def interval_join(
     watermark: str = "1 hour",
     left_prefix: str = "l_",
     right_prefix: str = "r_",
+    how: str = "inner",
 ) -> DataFrame:
     """Join left events to right events with the same `on` key whose
     timestamp falls in [left.ts - lookback, left.ts]. Works on two
     streaming inputs (both get watermarks; Spark bounds the join state
     from watermark + interval) and on batch inputs identically. All
-    non-key columns are prefixed to keep the output unambiguous."""
+    non-key columns are prefixed to keep the output unambiguous.
+
+    how="leftOuter" emits every left event: matches eagerly, and an
+    unmatched left row with NULL right columns once the GLOBAL watermark
+    (min across both streams of max-seen-ts minus the delay) passes the
+    point where a future right row could still satisfy r_ts <= l_ts —
+    i.e. once watermark > l_ts. The tail of the stream younger than the
+    final watermark therefore never emits its NULL rows before an
+    availableNow query stops; a batch twin must replicate that cutoff
+    (see registry/streaming_ops.py:stream_outer_interval_join)."""
     if left.isStreaming:
         left = left.withWatermark("ts", watermark)
     if right.isStreaming:
@@ -47,4 +57,4 @@ def interval_join(
         & (rts <= lts)
         & (rts >= lts - F.expr(f"INTERVAL {lookback}"))
     )
-    return l.join(r, cond).drop("_rk")
+    return l.join(r, cond, how).drop("_rk")

@@ -83,7 +83,7 @@ def test_primary_window():
         "llm_pack_sequences", "llm_bpe_encode", "llm_corpus_curation",
         "llm_weighted_sample", "multimodal_png_decode", "olap_dq_audit", "olap_cdc_upsert",
         "olap_tpch_q18_large_orders", "olap_unpivot",
-        "stream_late_data_drop", "olap_zorder_key",
+        "stream_outer_interval_join", "olap_zorder_key",
         "olap_scd2_history", "olap_partition_pruned_scan", "olap_hll_shard_merge",
         "olap_quantile_binning", "olap_rolling_average",
     } <= window

@@ -238,6 +238,45 @@ def test_stream_stream_interval_join_equals_batch(spark, events, events_sdf, sf_
     assert got.count() > 0
 
 
+def test_outer_interval_join_emits_nulls_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join semantics pinned on crafted data:
+    an unmatched left event older than the final watermark emits a
+    NULL-right row; an unmatched left event INSIDE the last watermark
+    interval is withheld (its state could still match a late right row);
+    matches emit regardless of age."""
+    import pandas as pd
+
+    from big_data_player_analysis_spark.streaming import interval_join
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    h = pd.Timedelta(hours=1)
+    mins = pd.Timedelta(minutes=10)
+    # left: e1 matched+old, e2 unmatched+old, e3 unmatched+young
+    left = [(1, 100, t0), (2, 100, t0 + h), (3, 100, t0 + 9 * h)]
+    # right: r1 matches e1; r_max sets the right max-ts so the global
+    # watermark = min(maxL, maxR) - 1h = t0+8h (> e2, < e3)
+    right = [(10, 100, t0 - mins), (11, 999, t0 + 9 * h)]
+
+    def write(rows, name):
+        df = spark.createDataFrame(
+            [(i, u, int(ts.value)) for i, u, ts in rows],
+            "event_id long, user_id long, ts long",
+        )
+        df.write.parquet(str(tmp_path / name))
+        return events_stream(spark, str(tmp_path / name))
+
+    sl, sr = write(left, "l"), write(right, "r")
+    out = run_stream_to_table(
+        interval_join(sl, sr, on="user_id", lookback="30 minutes", how="leftOuter"),
+        "append",
+    ).toPandas()
+    got = {
+        int(r.l_event_id): (None if pd.isna(r.r_event_id) else int(r.r_event_id))
+        for r in out.itertuples()
+    }
+    assert got == {1: 10, 2: None}  # e3 withheld: younger than the watermark
+
+
 def test_foreach_batch_sink(spark, events, split_events_dir, tmp_path):
     """foreachBatch: arbitrary per-micro-batch logic (here: write each batch
     to its own parquet dir and record batch ids) — the escape hatch for

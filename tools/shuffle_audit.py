@@ -71,6 +71,9 @@ AUDITED = [
     "olap_rolling_average",
     "olap_anomaly_zscore",
     "llm_bigram_surprisal",
+    "llm_substring_dup_spans",
+    "olap_event_transitions",
+    "olap_min_cost_supplier",
 ]
 
 
