@@ -226,3 +226,107 @@ def quantile_binning(
     return out.select(
         *df.columns, bucket.cast("long").alias("bucket")
     )
+
+
+def heavy_hitters_mg(
+    items: DataFrame,
+    item_col: str,
+    phi: float = 0.002,
+    k: int = 1000,
+    broadcast_max_rows: int = 4_000_000,
+) -> DataFrame:
+    """EXACT phi-heavy hitters (every item with count >= ceil(phi * N))
+    without shuffling the item stream: Misra-Gries summaries as the
+    candidate generator, exact counting as the verifier — the same
+    candidates-then-verify shape as the MinHash dedup tier.
+
+    Phase 1 (narrow): each input partition streams its items through a
+    k-counter Misra-Gries summary inside ONE mapInPandas pass — O(k)
+    state regardless of partition size, batches merged with the standard
+    subtract-the-(k+1)-th-largest prune (Agarwal et al. 2013, "Mergeable
+    Summaries": the post-prune summary is an MG_k summary, per-item
+    undercount <= N_p/(k+1)). Each partition also emits its item total as
+    a NULL-keyed row, so corpus size N comes from the same single pass.
+
+    Phase 2 (tiny): the P*k summary rows aggregate by item; the averaging
+    argument makes the union COMPLETE (count >= T implies some partition
+    kept the item: if every partition dropped it, count <= sum_p
+    N_p/(k+1) = N/(k+1) < T), and the summed lower bounds prune the
+    candidate set to items with sum >= T - N/(k+1) without losing any
+    true heavy hitter.
+
+    Phase 3 (verify): the item stream is filtered to the surviving
+    candidates (size-gated broadcast semi join, same policy as
+    operators/repetition.py) and counted exactly; the exchange carries
+    one row per (partition, candidate) after map-side partial_count —
+    at most P * |candidates| rows, NOT the corpus.
+
+    Requires phi > 1/(k+1) (else MG cannot guarantee completeness).
+    Output (item, n) is the exact deterministic answer, so the SQL twin
+    is a plain GROUP BY ... HAVING count >= ceil(phi * N) — the sketch
+    changes the physical plan, never the result.
+
+    Replaces at 100 TB: the exact top-ngrams aggregate shuffles one row
+    per DISTINCT item per partition (fine for bounded vocabularies); this
+    path bounds the exchange by P*k + the verify counts even when the
+    distinct-item space is corpus-sized (URLs, shingles, raw n-grams).
+    """
+    if not 0 < phi < 1 or k < 1 or phi <= 1.0 / (k + 1):
+        raise ValueError("need 0 < phi < 1 and k with phi > 1/(k+1)")
+
+    import pandas as pd_  # local alias: keep module import surface minimal
+
+    def mg_partition(batches):
+        counters = pd_.Series(dtype="int64")
+        total = 0
+        for pdf in batches:
+            vals = pdf[item_col].dropna()
+            total += len(vals)
+            counters = counters.add(vals.value_counts(), fill_value=0)
+            if len(counters) > k:
+                # subtract the (k+1)-th largest from everything; >= |C|-k
+                # counters hit <= 0 and drop, so |C'| <= k
+                cut = counters.nlargest(k + 1).iloc[-1]
+                counters = counters[counters > cut] - cut
+        out = counters.reset_index()
+        out.columns = ["item", "cnt"]
+        out["cnt"] = out["cnt"].astype("int64")
+        return iter(
+            [
+                pd_.concat(
+                    [out, pd_.DataFrame({"item": [None], "cnt": [total]})],
+                    ignore_index=True,
+                )
+            ]
+        )
+
+    summaries = items.select(F.col(item_col).alias(item_col)).mapInPandas(
+        mg_partition, schema="item string, cnt long"
+    )
+    agg = summaries.groupBy("item").agg(F.sum("cnt").alias("lower")).persist()
+    total = agg.filter(F.col("item").isNull()).select(
+        F.col("lower").alias("nn")
+    )
+    cand = (
+        agg.filter(F.col("item").isNotNull())
+        .crossJoin(F.broadcast(total))
+        .filter(
+            F.col("lower")
+            >= F.ceil(F.lit(phi) * F.col("nn")) - F.col("nn") / F.lit(k + 1)
+        )
+        .select("item")
+    )
+    if broadcast_max_rows > 0 and cand.count() <= broadcast_max_rows:
+        cand = F.broadcast(cand)
+    exact = (
+        items.join(
+            cand, F.col(item_col) == cand["item"], "left_semi"
+        )
+        .groupBy(item_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("n") >= F.ceil(F.lit(phi) * F.col("nn")))
+        .select(F.col(item_col), "n")
+    )

@@ -340,6 +340,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # stays in-window via the incoming outer join (the harder case: join
 # state eviction, not window finalization), with late-row dropping still
 # pinned by tests/test_streaming.py and the local oracle gate.
+# Twenty-seventh round-4 rotation: llm_heavy_ngrams_sketch (exact
+# phi-heavy hitters via per-partition Misra-Gries candidate summaries +
+# exact verification — the bounded-exchange heavy-hitter path for
+# corpus-sized item spaces) is new with no driver row — promoted,
+# displacing q01_count_per_key: green r01/r02/r03 on unchanged code, and
+# the count-per-key aggregate shape stays in-window via
+# olap_retention_cohorts, olap_funnel_conversion and
+# olap_event_transitions (all count aggregates over derived keys), with
+# q01 keeping its three green rows + the local oracle gate.
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -347,7 +356,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     # TakeOrderedAndProject plan-pinned, overlaps olap_window_topk_per_group
     # — displaced by the new olap_partition_pruned_scan, which has no
     # driver row yet)
-    "q01_count_per_key",
+    "llm_heavy_ngrams_sketch",
     "olap_gap_fill",
     "q05_domain_completion",
     "olap_triangle_count",
@@ -410,6 +419,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "q01_count_per_key",
     "stream_late_data_drop",
     "dedup_minhash_lsh",
     "olap_apply_in_pandas_longest_run",

@@ -1910,6 +1910,50 @@ LIMIT {TOP_NGRAMS_K}
 """
 
 
+HH_PHI = 0.001  # report items covering >= 0.1% of the gram stream
+HH_K = 4000  # MG counters per partition; needs phi > 1/(k+1), margin 4x
+
+SQL_HEAVY_NGRAMS = f"""
+WITH d AS (SELECT {SQL_NORM} AS norm FROM documents),
+tk AS (SELECT string_split(norm, ' ') AS toks FROM d),
+g AS (
+  SELECT unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i+1])) AS gram
+  FROM tk WHERE len(toks) >= 2),
+tot AS (SELECT count(*) AS nn FROM g)
+SELECT gram, CAST(count(*) AS BIGINT) AS n
+FROM g, tot
+GROUP BY gram, tot.nn
+HAVING count(*) >= ceil({HH_PHI} * tot.nn)
+"""
+
+
+@query(
+    "llm_heavy_ngrams_sketch",
+    sql=SQL_HEAVY_NGRAMS,
+    tags=("llm", "text", "heavy_hitters", "sketch", "bench"),
+)
+def heavy_ngrams_sketch_q(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT phi-heavy bigrams (count >= ceil(0.001 * N)) computed the
+    bounded-memory way: per-partition Misra-Gries summaries (O(k) state
+    inside one mapInPandas pass) generate a provably complete candidate
+    set, and only those candidates are counted exactly
+    (operators/profiling.py:heavy_hitters_mg — candidates-then-verify,
+    like the MinHash dedup tier). Same answer as a plain
+    GROUP BY/HAVING — the oracle IS that query — but the exchange is
+    bounded by P*k summary rows + the verify counts instead of one row
+    per distinct gram, which is what survives when the distinct-item
+    space is corpus-sized (URLs, shingles, raw n-grams at 100 TB)."""
+    from big_data_player_analysis_spark.functions.text import word_ngrams
+    from big_data_player_analysis_spark.operators.profiling import (
+        heavy_hitters_mg,
+    )
+
+    docs = t(spark, sf, "documents")
+    grams = docs.select(F.explode(word_ngrams(F.col("text"), 2)).alias("gram"))
+    return heavy_hitters_mg(grams, "gram", phi=HH_PHI, k=HH_K)
+
+
 @query("llm_top_ngrams", sql=SQL_TOP_NGRAMS, tags=("llm", "text", "heavy_hitters", "bench"))
 def top_ngrams_q(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus-level heavy hitters: the K most frequent word bigrams across

@@ -1761,13 +1761,20 @@ def min_cost_supplier_q(spark: SparkSession, sf: str) -> DataFrame:
     supplier(s) whose total billed price for that part is the per-part
     minimum, decorated with supplier and nation names. The correlated
     `cost = (SELECT min(cost) ...)` subquery is decorrelated into a
-    min() window over the (part, supplier) aggregate. The lineitem side is
-    repartitioned on l_partkey FIRST: hash(l_partkey) satisfies the
-    ClusteredDistribution of both the (l_partkey, l_suppkey) aggregate
-    (subset property) and the window's partitionBy, so ONE exchange over
-    the big table covers both — the naive plan pays two back-to-back
-    shuffles (agg keys, then partkey). The argmin filter keeps ALL tied
-    suppliers (Q2 semantics). Costs are summed as
+    min() window over the (part, supplier) aggregate. Plan shape — chosen
+    by the shuffle audit, not intuition: repartition(l_partkey) FIRST, so
+    hash(l_partkey) satisfies the ClusteredDistribution of both the
+    (l_partkey, l_suppkey) aggregate (subset property) and the window's
+    partitionBy — ONE exchange of the projected lineitem (93 MB at
+    composed sf1). The textbook agg-first plan (map-side partial agg,
+    then a second exchange on l_partkey) measured 222 MB on the same
+    data: this corpus has ~no (part, supplier) duplication, so the
+    partial agg compressed nothing and the plan paid the exchange twice
+    in 16-byte decimals. Break-even is a pair-duplication factor of ~2 —
+    on TPC-H-shaped data (~7 lineitems per partsupp) the agg-first plan
+    wins and the swap is one line; both variants' bytes are recorded in
+    SHUFFLE.md history. The argmin filter keeps ALL tied suppliers (Q2
+    semantics). Costs are summed as
     DECIMAL(18,2), so the aggregate is exact and order-independent —
     double summation would make the cross-engine argmin comparison
     nondeterministic in the low bits. The supplier join runs on the

@@ -534,19 +534,20 @@ def test_bigram_surprisal_counts_shuffle_not_instances(spark, specs):
     assert "BroadcastNestedLoopJoin" in p
 
 
-def test_min_cost_supplier_one_exchange_over_lineitem(spark, specs):
+def test_min_cost_supplier_single_exchange(spark, specs):
     """The repartition(l_partkey) exchange must satisfy BOTH the
     (l_partkey, l_suppkey) aggregate (subset clustering) and the window's
-    partitionBy — exactly one shuffle touches lineitem-derived rows, and
-    the aggregate still partial-aggregates map-side."""
-    p = plan_str(specs["olap_min_cost_supplier"].fn(spark, SF))
-    assert "REPARTITION_BY_COL" in p
-    # no second ENSURE_REQUIREMENTS hash exchange between agg and window
+    partitionBy — one shuffle of the projected lineitem, no second
+    ENSURE_REQUIREMENTS hash exchange between agg and window. Chosen by
+    the shuffle audit: this corpus has ~no (part, supplier) duplication,
+    so the agg-first two-exchange plan measured 2.4x the bytes (see the
+    entry docstring for the duplication-factor break-even)."""
     import re
 
+    p = plan_str(specs["olap_min_cost_supplier"].fn(spark, SF))
+    assert "REPARTITION_BY_COL" in p
     ensure = re.findall(r"Exchange hashpartitioning[^\n]*ENSURE_REQUIREMENTS", p)
     assert not ensure, ensure
-    assert "partial_sum" in p
     # decimal-exact argmin: the sum aggregates a decimal cast, not a raw double
     assert "decimal(18,2)" in p
 

@@ -33,3 +33,68 @@ def test_validation(spark):
         profile_table(df, ["nope"])
     with pytest.raises(ValueError, match="must not be empty"):
         profile_table(df, [])
+
+
+class TestHeavyHittersMG:
+    def _items(self, spark, counts, parts=4):
+        rows = [(x,) for x, c in counts.items() for _ in range(c)]
+        return spark.createDataFrame(rows, "gram string").repartition(parts)
+
+    def test_exact_answer_hand_computed(self, spark):
+        from big_data_player_analysis_spark.operators.profiling import (
+            heavy_hitters_mg,
+        )
+
+        # N = 100; phi = 0.1 -> threshold ceil(10) = 10
+        counts = {"hot": 40, "warm": 10, "edge": 9, **{f"c{i}": 1 for i in range(41)}}
+        out = {
+            r.gram: r.n
+            for r in heavy_hitters_mg(
+                self._items(spark, counts), "gram", phi=0.1, k=20
+            ).collect()
+        }
+        assert out == {"hot": 40, "warm": 10}  # edge=9 < 10 excluded
+
+    def test_tiny_k_still_exact(self, spark):
+        """k counters per PARTITION can be far below the distinct count —
+        the candidate union + exact verify must still return the exact
+        heavy set (MG summaries only generate candidates)."""
+        from big_data_player_analysis_spark.operators.profiling import (
+            heavy_hitters_mg,
+        )
+
+        counts = {"dom": 300, **{f"x{i}": 2 for i in range(200)}}  # N=700
+        # phi=0.35 -> T=245; k=5 per partition, 201 distinct items
+        out = {
+            r.gram: r.n
+            for r in heavy_hitters_mg(
+                self._items(spark, counts, parts=8), "gram", phi=0.35, k=5
+            ).collect()
+        }
+        assert out == {"dom": 300}
+
+    def test_partitioning_invariance(self, spark):
+        from big_data_player_analysis_spark.operators.profiling import (
+            heavy_hitters_mg,
+        )
+
+        counts = {"a": 50, "b": 30, "c": 19, **{f"z{i}": 1 for i in range(1)}}
+        for parts in (1, 3, 16):
+            out = {
+                r.gram: r.n
+                for r in heavy_hitters_mg(
+                    self._items(spark, counts, parts=parts), "gram", phi=0.2, k=10
+                ).collect()
+            }
+            assert out == {"a": 50, "b": 30}, parts  # T = ceil(20) = 20
+
+    def test_phi_k_contract_enforced(self, spark):
+        from big_data_player_analysis_spark.operators.profiling import (
+            heavy_hitters_mg,
+        )
+
+        df = spark.createDataFrame([("x",)], "gram string")
+        with pytest.raises(ValueError, match="phi"):
+            heavy_hitters_mg(df, "gram", phi=0.0005, k=1000)  # phi <= 1/(k+1)
+        with pytest.raises(ValueError, match="phi"):
+            heavy_hitters_mg(df, "gram", phi=1.5, k=10)
