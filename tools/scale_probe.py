@@ -206,6 +206,20 @@ def _bpe_probe(docs):
     return bpe_merges_df(docs, "text", n_merges=8)
 
 
+def _heavy_ngrams_probe(docs):
+    """Exact phi-heavy bigrams via per-partition Misra-Gries candidates +
+    exact verify (registry llm_heavy_ngrams_sketch). The row should be
+    scan-bound: the only exchanges carry P*k summary rows and the
+    verify counts."""
+    from big_data_player_analysis_spark.functions.text import word_ngrams
+    from big_data_player_analysis_spark.operators.profiling import (
+        heavy_hitters_mg,
+    )
+
+    grams = docs.select(F.explode(word_ngrams(F.col("text"), 2)).alias("gram"))
+    return heavy_hitters_mg(grams, "gram", phi=0.001, k=4000)
+
+
 def _zorder_probe(docs):
     from big_data_player_analysis_spark.operators.layout import zorder_key
 
@@ -509,6 +523,7 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
         "llm_substring_dup_spans": lambda: duplicate_span_profile(
             docs, "doc_id", "text"
         ),
+        "llm_heavy_ngrams_sketch": lambda: _heavy_ngrams_probe(docs),
         "llm_shard_assign": lambda: shard_assign(docs, "doc_id", 16).select(
             "doc_id", "shard", "pos"
         ),
