@@ -168,3 +168,83 @@ def test_gap_fill_matches_bruteforce(spark, rows):
                 expect[(k, d)] = (cur, 1)
             d += dt.timedelta(days=1)
     assert got == expect
+
+
+span_docs = st.lists(
+    st.lists(st.integers(0, 5), min_size=0, max_size=18),  # token ids
+    min_size=1,
+    max_size=12,
+)
+
+
+@SLOW
+@given(docs=span_docs, k=st.integers(2, 4))
+def test_duplicate_span_profile_matches_bruteforce(spark, docs, k):
+    """Random small corpora over a tiny vocab (dense window collisions)
+    against a pure-Python reference: every overlapping k-window occurring
+    >= 2 times corpus-wide marks its interval; intervals merge per doc."""
+    from collections import Counter
+
+    from big_data_player_analysis_spark.operators.repetition import (
+        duplicate_span_profile,
+    )
+
+    rows = [(i, " ".join(f"t{x}" for x in toks)) for i, toks in enumerate(docs)]
+    toks = {d: t.split() for d, t in rows}
+    c = Counter(
+        tuple(ts[p : p + k]) for ts in toks.values() for p in range(len(ts) - k + 1)
+    )
+    want = {}
+    for d, ts in toks.items():
+        spans = []
+        for p in range(len(ts) - k + 1):
+            if c[tuple(ts[p : p + k])] >= 2:
+                if spans and p <= spans[-1][1]:
+                    spans[-1][1] = max(spans[-1][1], p + k)
+                else:
+                    spans.append([p, p + k])
+        # the operator counts NULL/empty text as one empty token
+        want[d] = (max(len(ts), 1), sum(e - s for s, e in spans), len(spans))
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_tokens, r.n_spans)
+        for r in duplicate_span_profile(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            window_tokens=k,
+        ).collect()
+    }
+    assert got == want
+
+
+hh_counts = st.dictionaries(
+    st.integers(0, 30), st.integers(1, 40), min_size=1, max_size=25
+)
+
+
+@SLOW
+@given(counts=hh_counts, parts=st.integers(1, 6), k=st.integers(2, 12))
+def test_heavy_hitters_mg_exact_on_random_multisets(spark, counts, parts, k):
+    """Random multisets + random partition counts + random (small) k: the
+    MG candidate pass must never lose a true phi-heavy item and the verify
+    pass must return exactly GROUP BY/HAVING — for every k with
+    phi > 1/(k+1) the answer is EXACT by construction."""
+    import math
+
+    from big_data_player_analysis_spark.operators.profiling import (
+        heavy_hitters_mg,
+    )
+
+    phi = 0.25
+    if phi <= 1.0 / (k + 1):
+        return  # contract would raise; covered by the unit test
+    n = sum(counts.values())
+    t = math.ceil(phi * n)
+    want = {f"i{x}": c for x, c in counts.items() if c >= t}
+    rows = [(f"i{x}",) for x, c in counts.items() for _ in range(c)]
+    df = spark.createDataFrame(rows, "gram string").repartition(parts)
+    got = {
+        r.gram: r.n
+        for r in heavy_hitters_mg(df, "gram", phi=phi, k=k).collect()
+    }
+    assert got == want
