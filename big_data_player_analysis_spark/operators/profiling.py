@@ -330,3 +330,73 @@ def heavy_hitters_mg(
         .filter(F.col("n") >= F.ceil(F.lit(phi) * F.col("nn")))
         .select(F.col(item_col), "n")
     )
+
+
+def bottomk_sample_quantiles(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    k: int = 2048,
+    quantiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile estimates from a MERGEABLE deterministic bottom-k sample —
+    the third mergeable sketch next to hll_distinct_shard_merge (distinct)
+    and heavy_hitters_mg (heavy hitters): per-shard/per-day bottom-k
+    samples can be persisted and re-merged later, because the bottom-k of
+    a union of bottom-k's IS the bottom-k of the union (any of the global
+    k hash-smallest rows is within its own partition's k smallest).
+
+    Phase 1 (narrow): each input partition keeps the k rows with the
+    smallest md5(key) — the engine-portable uniform priority the sampling
+    tier already uses (operators/sampling.py) — inside ONE mapInPandas
+    pass with O(k) state. Phase 2 (tiny): the P*k candidate rows are cut
+    to the global bottom-k (an ordered limit over P*k rows, never the
+    corpus) and the estimates are exact interpolated percentiles OF THE
+    SAMPLE (Spark `percentile` and DuckDB `quantile_cont` share the
+    q*(n-1) linear-interpolation convention bit-for-bit, verified in
+    tests). Error is the standard uniform-sample bound O(1/sqrt(k)) on
+    rank; determinism is total — the sample is a pure function of the
+    keys, independent of partitioning — so the SQL twin replays the
+    identical sample and the entry hash-matches despite being an
+    approximation of the true quantiles.
+
+    Replaces at 100 TB: exact percentiles need a global sort or a
+    count-of-counts histogram (key_skew_profile's trick, only viable for
+    discrete values); approx_percentile's t-digest is mergeable but
+    engine-internal (no cross-engine twin, no persistable shards across
+    runs of different engines). The exchange here is P*k sample rows.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    import pandas as pd_
+
+    def bottomk(batches):
+        best = None
+        for pdf in batches:
+            cand = pd_.concat([best, pdf]) if best is not None else pdf
+            # h is an md5 hex string: lexicographic sort = priority order
+            best = cand.sort_values("h", kind="mergesort").head(k)
+        yield best if best is not None else pd_.DataFrame(
+            {"h": pd_.Series(dtype="str"), "v": pd_.Series(dtype="float64")}
+        )
+
+    pri = df.select(
+        F.md5(F.col(key_col).cast("string")).alias("h"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    cand = pri.mapInPandas(bottomk, schema="h string, v double")
+    sample = cand.orderBy("h").limit(k)
+    qs = ", ".join(str(q) for q in quantiles)
+    est = sample.selectExpr(
+        f"percentile(v, array({qs})) AS est", "count(1) AS sample_n"
+    ).select(
+        F.posexplode("est").alias("pos", "estimate"),
+        F.col("sample_n"),
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in quantiles])
+    return est.select(
+        F.element_at(qarr, F.col("pos") + 1).alias("q"),
+        "estimate",
+        F.col("sample_n").cast("long").alias("sample_n"),
+    )

@@ -349,6 +349,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # olap_retention_cohorts, olap_funnel_conversion and
 # olap_event_transitions (all count aggregates over derived keys), with
 # q01 keeping its three green rows + the local oracle gate.
+# Twenty-eighth round-4 rotation: olap_quantile_shard_merge (mergeable
+# deterministic bottom-k quantile sample — completes the mergeable-sketch
+# trio with the HLL distinct shards and the Misra-Gries heavy hitters;
+# the sample is a pure function of the keys, so the SQL twin replays it
+# and the approximation hash-matches) is new with no driver row —
+# promoted, displacing q05_domain_completion: green r01/r02/r03 on
+# unchanged code, and its shape stays in-window twice over — the add-one
+# smoothed average is computed inside the q16 heroic flagship's
+# edges_with_avgs stage, and the left-join-with-default completion is
+# the same coalesce pattern olap_cdc_upsert pins — with q05 keeping its
+# three green rows + the local oracle gate.
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -358,7 +369,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     # driver row yet)
     "llm_heavy_ngrams_sketch",
     "olap_gap_fill",
-    "q05_domain_completion",
+    "olap_quantile_shard_merge",
     "olap_triangle_count",
     "olap_quantile_binning",
     "olap_tpch_q18_large_orders",
@@ -419,6 +430,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "q05_domain_completion",
     "q01_count_per_key",
     "stream_late_data_drop",
     "dedup_minhash_lsh",

@@ -1803,3 +1803,48 @@ def min_cost_supplier_q(spark: SparkSession, sf: str) -> DataFrame:
             F.col("cost").cast("double").alias("min_cost"),
         )
     )
+
+
+# ----------------------------------------- mergeable quantile sketch
+
+BK_K = 2048
+BK_QS = (0.5, 0.9, 0.99)
+
+SQL_BK_QUANTILES = f"""
+WITH s AS (
+  SELECT CAST(o_totalprice AS DOUBLE) AS v
+  FROM orders ORDER BY md5(CAST(o_orderkey AS VARCHAR))
+  LIMIT {BK_K}),
+n AS (SELECT count(*) AS sample_n FROM s)
+""" + " UNION ALL ".join(
+    f"""SELECT CAST({q} AS DOUBLE) AS q, quantile_cont(v, {q}) AS estimate,
+        CAST(sample_n AS BIGINT) AS sample_n FROM s, n GROUP BY sample_n"""
+    for q in BK_QS
+)
+
+
+@query(
+    "olap_quantile_shard_merge",
+    sql=SQL_BK_QUANTILES,
+    tags=("olap", "agg", "approx", "sketch"),
+)
+def quantile_shard_merge_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Quantiles of order value from a MERGEABLE deterministic bottom-k
+    sample (operators/profiling.py:bottomk_sample_quantiles) — the third
+    mergeable sketch beside the HLL distinct shards and the Misra-Gries
+    heavy hitters: each partition keeps the 2048 rows with the smallest
+    md5 priority in O(k) state, the global bottom-k is an ordered limit
+    over P*k candidates (the corpus never exchanges), and the estimates
+    are exact interpolated percentiles of the sample. The sample is a
+    pure function of the keys — independent of partitioning — so the SQL
+    twin replays the identical sample and the approximation hash-matches
+    cross-engine (Spark percentile == DuckDB quantile_cont, pinned in
+    tests/test_profiling.py)."""
+    from big_data_player_analysis_spark.operators.profiling import (
+        bottomk_sample_quantiles,
+    )
+
+    orders = t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    return bottomk_sample_quantiles(
+        orders, "o_totalprice", "o_orderkey", k=BK_K, quantiles=BK_QS
+    )

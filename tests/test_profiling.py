@@ -98,3 +98,61 @@ class TestHeavyHittersMG:
             heavy_hitters_mg(df, "gram", phi=0.0005, k=1000)  # phi <= 1/(k+1)
         with pytest.raises(ValueError, match="phi"):
             heavy_hitters_mg(df, "gram", phi=1.5, k=10)
+
+
+class TestBottomKQuantiles:
+    def test_exact_when_sample_covers_all(self, spark):
+        from big_data_player_analysis_spark.operators.profiling import (
+            bottomk_sample_quantiles,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(101)], "k long, v double"
+        )
+        got = {
+            r.q: r.estimate
+            for r in bottomk_sample_quantiles(
+                df, "v", "k", k=500, quantiles=(0.5, 0.9)
+            ).collect()
+        }
+        assert got == {0.5: 50.0, 0.9: 90.0}
+
+    def test_partitioning_invariance(self, spark):
+        """The sample is a pure function of the keys: any partitioning of
+        the input must yield the identical sample and estimates."""
+        from big_data_player_analysis_spark.operators.profiling import (
+            bottomk_sample_quantiles,
+        )
+
+        rows = [(i, float((i * 37) % 1000)) for i in range(2000)]
+        outs = []
+        for parts in (1, 7, 32):
+            df = spark.createDataFrame(rows, "k long, v double").repartition(parts)
+            outs.append(
+                sorted(
+                    (r.q, r.estimate, r.sample_n)
+                    for r in bottomk_sample_quantiles(df, "v", "k", k=256).collect()
+                )
+            )
+        assert outs[0] == outs[1] == outs[2]
+        assert all(n == 256 for _, _, n in outs[0])
+
+    def test_sample_estimate_near_exact(self, spark):
+        """O(1/sqrt(k)) rank error: with k=512 over a uniform 0..9999
+        value set the p50/p90 estimates must land within a few percentile
+        ranks of the exact answer."""
+        from big_data_player_analysis_spark.operators.profiling import (
+            bottomk_sample_quantiles,
+        )
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(10000)], "k long, v double"
+        )
+        got = {
+            r.q: r.estimate
+            for r in bottomk_sample_quantiles(
+                df, "v", "k", k=512, quantiles=(0.5, 0.9)
+            ).collect()
+        }
+        assert abs(got[0.5] - 5000) < 1000  # ~4.4 rank-percent stderr at k=512
+        assert abs(got[0.9] - 9000) < 700

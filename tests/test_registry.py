@@ -52,7 +52,7 @@ def test_primary_window():
     # q11/q12/q13/q15/q17/q18 hold green r01-r03 rows on per-entry-unchanged
     # code; each overlaps a remaining windowed entry — see PRIMARY_ORDER's
     # rotation notes)
-    rotated_out = {1, 2, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 17, 18}
+    rotated_out = {1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 17, 18}
     assert {f"q{i:02d}" for i in range(1, 19) if i not in rotated_out} <= {
         n[:3] for n in window
     }
@@ -73,6 +73,7 @@ def test_primary_window():
         "llm_title_hamming_dedup",
         "llm_near_dedup_survivors", "llm_substring_dup_spans",
         "llm_heavy_ngrams_sketch", "stream_outer_interval_join",
+        "olap_quantile_shard_merge",
         "olap_event_transitions", "olap_min_cost_supplier",
         "olap_funnel_conversion", "olap_retention_cohorts",
         "llm_bigram_surprisal", "olap_anomaly_zscore",
