@@ -463,6 +463,30 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
 
         extra["stream_tumbling_counts"] = stream_probe
 
+        def outer_join_probe():
+            from big_data_player_analysis_spark.streaming.joins import (
+                interval_join,
+            )
+
+            spark = docs.sparkSession
+            src = events_stream(spark, events_path)
+            p = src.filter(F.col("event_type") == "purchase").select(
+                "event_id", "user_id", "ts"
+            )
+            c = src.filter(F.col("event_type") == "click").select(
+                "event_id", "user_id", "ts"
+            )
+            return run_stream_to_table(
+                interval_join(
+                    p, c, on="user_id", lookback="30 minutes", how="leftOuter"
+                ),
+                "append",
+            )
+
+        # join state is bounded by watermark + interval: growth should
+        # track the event volume (per-batch work), never state size
+        extra["stream_outer_interval_join"] = outer_join_probe
+
         def mv_probe():
             import uuid
 
