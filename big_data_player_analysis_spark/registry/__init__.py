@@ -360,6 +360,21 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # edges_with_avgs stage, and the left-join-with-default completion is
 # the same coalesce pattern olap_cdc_upsert pins — with q05 keeping its
 # three green rows + the local oracle gate.
+# Twenty-ninth round-4 rotation: olap_ks_drift (per-source two-sample KS
+# drift from binned ECDFs — O(bins) exchange replacing the textbook
+# global sort) and olap_cogroup_order_lag (two grouped inputs reconciled
+# per key in one FlatMapCoGroupsInPandas merge-scan — the cogrouped
+# flavor of SURVEY F8's multi-input reduce) are new with no driver rows —
+# promoted, displacing two streaming rows on the strongest union
+# evidence in the registry: stream_tumbling_counts (green r01+r02+r03 on
+# unchanged code — windowed-agg-with-watermark semantics stay pinned
+# in-window by stream_incremental_mv's windowed merge and the outer
+# join's watermark cutoff, plus stream==batch parity tests) and
+# olap_session_window (green r03 on unchanged code — session semantics
+# keep the olap_sessionization lag/cumsum twin's green rows and the
+# streaming session parity test). The streaming tier keeps five
+# in-window entries (incremental_mv, stateful_user_stats,
+# near_dedup_ingest, stream_stream_interval_join, outer_interval_join).
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -416,13 +431,13 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "multimodal_png_decode",
     "llm_semantic_dedup",
     # streaming tier (7)
-    "stream_tumbling_counts",
+    "olap_ks_drift",
     "stream_incremental_mv",
     "stream_stateful_user_stats",
     "stream_near_dedup_ingest",
     "stream_stream_interval_join",
     "stream_outer_interval_join",
-    "olap_session_window",
+    "olap_cogroup_order_lag",
 )
 
 # Preferred order for entries BEYOND the driver's 50-row window (highest
@@ -430,6 +445,8 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "stream_tumbling_counts",
+    "olap_session_window",
     "q05_domain_completion",
     "q01_count_per_key",
     "stream_late_data_drop",

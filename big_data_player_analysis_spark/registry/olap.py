@@ -1848,3 +1848,174 @@ def quantile_shard_merge_q(spark: SparkSession, sf: str) -> DataFrame:
     return bottomk_sample_quantiles(
         orders, "o_totalprice", "o_orderkey", k=BK_K, quantiles=BK_QS
     )
+
+
+# ------------------------------------------------- distribution drift (KS)
+
+KS_BIN_CHARS = 8  # fixed-width n_chars bins; ECDF evaluated at bin edges
+KS_TOP = 5
+
+SQL_KS_DRIFT = f"""
+WITH b AS (
+  SELECT source, CAST(floor(n_chars / {KS_BIN_CHARS}) AS BIGINT) AS bin
+  FROM documents),
+sb AS (SELECT source, bin, count(*) AS c FROM b GROUP BY source, bin),
+tot AS (SELECT source, sum(c) AS n FROM sb GROUP BY source),
+corpus AS (SELECT bin, sum(c) AS cc FROM sb GROUP BY bin),
+grand AS (SELECT sum(cc) AS g FROM corpus),
+grid AS (
+  SELECT t.source, c.bin, coalesce(sb.c, 0) AS c, c.cc, t.n, g.g
+  FROM tot t
+  CROSS JOIN corpus c
+  CROSS JOIN grand g
+  LEFT JOIN sb ON sb.source = t.source AND sb.bin = c.bin),
+cdf AS (
+  SELECT source, bin,
+         sum(c)  OVER (PARTITION BY source ORDER BY bin)
+           / CAST(n AS DOUBLE) AS f_src,
+         (sum(cc) OVER (PARTITION BY source ORDER BY bin)
+            - sum(c) OVER (PARTITION BY source ORDER BY bin))
+           / CAST(g - n AS DOUBLE) AS f_rest
+  FROM grid)
+SELECT source, round(max(abs(f_src - f_rest)), 6) AS ks_stat
+FROM cdf GROUP BY source
+ORDER BY ks_stat DESC, source LIMIT {KS_TOP}
+"""
+
+
+@query(
+    "olap_ks_drift",
+    sql=SQL_KS_DRIFT,
+    tags=("olap", "profile", "quality", "window"),
+)
+def ks_drift_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source distribution drift: the two-sample Kolmogorov-Smirnov
+    statistic between each source's document-length distribution and the
+    rest of the corpus, from BINNED ECDFs — the data-drift monitor a
+    curation pipeline runs per ingest source. The textbook KS needs a
+    global sort of the pooled values; evaluating both ECDFs only at fixed
+    bin edges (8-char bins) turns it into one partial-aggregated
+    (source, bin) count — the only exchange over the corpus — followed by
+    window cumsums and the max-gap on a sources-x-bins grid of a few
+    hundred rows. Binning makes D exact at the edges and understates the
+    true D by at most the largest single-bin mass; for monitoring (rank
+    sources, alert on jumps) that bias is irrelevant and the grid is the
+    scale win. Top sources by drift, ties broken by name."""
+    from pyspark.sql import Window as W
+
+    docs = t(spark, sf, "documents")
+    b = docs.select(
+        "source",
+        F.floor(F.col("n_chars") / KS_BIN_CHARS).cast("long").alias("bin"),
+    )
+    sb = b.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c"))
+    tot = sb.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = sb.groupBy("bin").agg(F.sum("c").alias("cc"))
+    grand = corpus.agg(F.sum("cc").alias("g"))
+    grid = (
+        tot.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(grand))
+        .join(sb, ["source", "bin"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+    )
+    w = W.partitionBy("source").orderBy("bin")
+    cdf = grid.select(
+        "source",
+        (F.sum("c").over(w) / F.col("n").cast("double")).alias("f_src"),
+        (
+            (F.sum("cc").over(w) - F.sum("c").over(w))
+            / (F.col("g") - F.col("n")).cast("double")
+        ).alias("f_rest"),
+    )
+    return (
+        cdf.groupBy("source")
+        .agg(F.round(F.max(F.abs(F.col("f_src") - F.col("f_rest"))), 6).alias("ks_stat"))
+        .orderBy(F.desc("ks_stat"), F.asc("source"))
+        .limit(KS_TOP)
+    )
+
+
+# ---------------------------------------------- cogrouped per-key reducer
+
+SQL_COGROUP_LAG = """
+WITH e AS (SELECT user_id AS key, ts FROM events),
+o AS (SELECT o_custkey AS key, o_orderkey AS okey, o_orderdate AS od FROM orders),
+m AS (
+  SELECT o.key, o.okey, o.od, max(e.ts) AS best
+  FROM o LEFT JOIN e ON e.key = o.key AND e.ts <= o.od
+  GROUP BY o.key, o.okey, o.od),
+agg AS (
+  SELECT key, count(*) AS n_orders, count(best) AS n_matched,
+         CASE WHEN count(best) > 0 THEN
+           CAST(sum(date_diff('microsecond', best, od)) AS DOUBLE)
+             / 86400000000.0 / count(best)
+         END AS avg_lag_days
+  FROM m GROUP BY key),
+keys AS (
+  SELECT DISTINCT key FROM e UNION SELECT DISTINCT key FROM o)
+SELECT k.key,
+       coalesce(agg.n_orders, 0) AS n_orders,
+       coalesce(agg.n_matched, 0) AS n_matched,
+       agg.avg_lag_days
+FROM keys k LEFT JOIN agg ON k.key = agg.key
+"""
+
+
+@query(
+    "olap_cogroup_order_lag",
+    sql=SQL_COGROUP_LAG,
+    tags=("olap", "udf", "join", "analytics"),
+)
+def cogroup_order_lag_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-key reconciliation of TWO grouped inputs in one imperative
+    pass: for every key (user/customer), each order is attributed to the
+    latest event at-or-before its date, and the key's order count, match
+    count and mean engagement lag come out of a single merge-scan —
+    the cogrouped flavor of the reference's multi-input reduce
+    (reference emulator.py multi-input join surface, SURVEY F8), exposed
+    through Spark's groupBy().cogroup().applyInPandas
+    (FlatMapCoGroupsInPandas: one exchange per side on the key, then an
+    Arrow batch per key with BOTH sides — no pre-join materialization of
+    the event x order pairs the SQL twin's LEFT JOIN builds). Lags are
+    summed as exact integer microseconds before the one double division,
+    so the mean is order-independent and engine-portable; keys present
+    on either side are emitted (events-only keys count zero orders)."""
+    import numpy as np
+    import pandas as pd
+
+    events = t(spark, sf, "events").select(
+        F.col("user_id").alias("key"), "ts"
+    )
+    orders = t(spark, sf, "orders").select(
+        F.col("o_custkey").alias("key"), F.col("o_orderdate").alias("od")
+    )
+
+    def lag(key, evs: pd.DataFrame, ords: pd.DataFrame) -> pd.DataFrame:
+        od = np.sort(ords["od"].to_numpy(dtype="datetime64[us]"))
+        et = np.sort(evs["ts"].to_numpy(dtype="datetime64[us]"))
+        n_orders = len(od)
+        if n_orders == 0:
+            return pd.DataFrame(
+                {"key": [key[0]], "n_orders": [0], "n_matched": [0],
+                 "avg_lag_days": [None]}
+            )
+        idx = np.searchsorted(et, od, side="right") - 1
+        matched = idx >= 0
+        n_matched = int(matched.sum())
+        avg = None
+        if n_matched:
+            lag_us = (od[matched] - et[idx[matched]]).astype("timedelta64[us]")
+            total = int(lag_us.astype(np.int64).sum())
+            avg = total / 86400000000.0 / n_matched
+        return pd.DataFrame(
+            {"key": [key[0]], "n_orders": [n_orders],
+             "n_matched": [n_matched], "avg_lag_days": [avg]}
+        )
+
+    return (
+        events.groupBy("key")
+        .cogroup(orders.groupBy("key"))
+        .applyInPandas(
+            lag, schema="key long, n_orders long, n_matched long, avg_lag_days double"
+        )
+    )
