@@ -575,3 +575,23 @@ def test_substring_dup_spans_narrow_windowing(spark, specs):
     assert "BroadcastHashJoin" in p and "LeftSemi" in p
     # token text is hashed once per doc: the scan reads only doc_id + text
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_ks_drift_one_corpus_exchange(spark, specs):
+    """The only exchange over document-derived rows is the (source, bin)
+    count with map-side partial aggregation; everything after runs on the
+    sources-x-bins grid (corpus/grand sides broadcast) and the top-N cut
+    is an ordered limit, not a global sort."""
+    p = plan_str(specs["olap_ks_drift"].fn(spark, SF))
+    assert "partial_count" in p
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_cogroup_lag_is_flatmap_cogroups(spark, specs):
+    """The per-key reconciliation must be the cogrouped Arrow path — one
+    exchange per input on the key feeding FlatMapCoGroupsInPandas — and
+    never a pre-joined event x order materialization."""
+    p = plan_str(specs["olap_cogroup_order_lag"].fn(spark, SF))
+    assert "FlatMapCoGroupsInPandas" in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p

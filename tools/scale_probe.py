@@ -206,6 +206,46 @@ def _bpe_probe(docs):
     return bpe_merges_df(docs, "text", n_merges=8)
 
 
+def _ks_drift_probe(docs):
+    """Binned-ECDF KS drift per source (registry olap_ks_drift). The
+    scaled docs lack n_chars, so bin on length(text): the only
+    corpus-sized exchange is the (source, bin) partial count — the row
+    should be scan-bound."""
+    from pyspark.sql import Window as W
+
+    b = docs.select(
+        "source",
+        F.floor(F.length(F.coalesce("text", F.lit(""))) / 8)
+        .cast("long")
+        .alias("bin"),
+    )
+    sb = b.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c"))
+    tot = sb.groupBy("source").agg(F.sum("c").alias("n"))
+    corpus = sb.groupBy("bin").agg(F.sum("c").alias("cc"))
+    grand = corpus.agg(F.sum("cc").alias("g"))
+    grid = (
+        tot.crossJoin(F.broadcast(corpus))
+        .crossJoin(F.broadcast(grand))
+        .join(sb, ["source", "bin"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+    )
+    w = W.partitionBy("source").orderBy("bin")
+    cdf = grid.select(
+        "source",
+        (F.sum("c").over(w) / F.col("n").cast("double")).alias("f_src"),
+        (
+            (F.sum("cc").over(w) - F.sum("c").over(w))
+            / (F.col("g") - F.col("n")).cast("double")
+        ).alias("f_rest"),
+    )
+    return (
+        cdf.groupBy("source")
+        .agg(F.round(F.max(F.abs(F.col("f_src") - F.col("f_rest"))), 6).alias("ks"))
+        .orderBy(F.desc("ks"), F.asc("source"))
+        .limit(5)
+    )
+
+
 def _heavy_ngrams_probe(docs):
     """Exact phi-heavy bigrams via per-partition Misra-Gries candidates +
     exact verify (registry llm_heavy_ngrams_sketch). The row should be
@@ -548,6 +588,7 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
             docs, "doc_id", "text"
         ),
         "llm_heavy_ngrams_sketch": lambda: _heavy_ngrams_probe(docs),
+        "olap_ks_drift": lambda: _ks_drift_probe(docs),
         "llm_shard_assign": lambda: shard_assign(docs, "doc_id", 16).select(
             "doc_id", "shard", "pos"
         ),

@@ -74,6 +74,10 @@ AUDITED = [
     "llm_substring_dup_spans",
     "olap_event_transitions",
     "olap_min_cost_supplier",
+    "llm_heavy_ngrams_sketch",
+    "olap_quantile_shard_merge",
+    "olap_ks_drift",
+    "olap_cogroup_order_lag",
 ]
 
 
@@ -171,10 +175,11 @@ NOTES = {
         "sub-quadratic paths."
     ),
     "llm_semantic_dedup": (
-        "absolute volume is trivial (0.6MB at sf1); the growth ratio is "
-        "within-bucket pair fan-out on a corpus with constant duplicate "
-        "density — bucket width auto-sizes from the data to keep it "
-        "bounded."
+        "the exchange is one pass of (id, vec) rows hashed on the "
+        "sign-bucket into the per-bucket GEMM (applyInPandas) — O(n*dim) "
+        "bytes, 8.6MB at sf1; bucket width auto-sizes from the data so "
+        "within-bucket compute stays bounded while the shuffle stays "
+        "linear in the corpus."
     ),
     "q16_heroic_iterative": (
         "per-iteration score vectors broadcast; the shuffled bytes are "
