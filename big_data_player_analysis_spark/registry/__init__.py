@@ -375,6 +375,19 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # streaming session parity test). The streaming tier keeps five
 # in-window entries (incremental_mv, stateful_user_stats,
 # near_dedup_ingest, stream_stream_interval_join, outer_interval_join).
+# Thirtieth round-4 rotation: olap_top_paths (session path mining — the
+# lag-gap sessionization composed with an order-preserving path fold;
+# one user_id exchange serves both windows AND the per-session groupBy
+# via the subset-clustering property, plan-pinned at exactly two
+# exchanges) is new with no driver row — promoted, displacing
+# stream_stateful_user_stats: green r01/r02/r03 on hash-unchanged code
+# (the round-4 edit is a module docstring documenting the
+# transformWithState environment gate — no function source changed),
+# with applyInPandasWithState semantics still pinned by the
+# cross-micro-batch state and stream==batch parity tests. The streaming
+# tier keeps four in-window rows (incremental_mv, near_dedup_ingest,
+# stream_stream_interval_join, outer_interval_join) — every one of the
+# seven r03-green streaming entries retains union driver evidence.
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -433,7 +446,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     # streaming tier (7)
     "olap_ks_drift",
     "stream_incremental_mv",
-    "stream_stateful_user_stats",
+    "olap_top_paths",
     "stream_near_dedup_ingest",
     "stream_stream_interval_join",
     "stream_outer_interval_join",
@@ -445,6 +458,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    "stream_stateful_user_stats",
     "stream_tumbling_counts",
     "olap_session_window",
     "q05_domain_completion",

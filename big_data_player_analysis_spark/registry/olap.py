@@ -2019,3 +2019,83 @@ def cogroup_order_lag_q(spark: SparkSession, sf: str) -> DataFrame:
             lag, schema="key long, n_orders long, n_matched long, avg_lag_days double"
         )
     )
+
+
+# ------------------------------------------------------ session path mining
+
+PATH_TOP = 15
+
+SQL_TOP_PATHS = f"""
+WITH g AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM g),
+p AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM s GROUP BY user_id, session_id)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM p GROUP BY path
+ORDER BY n_sessions DESC, path LIMIT {PATH_TOP}
+"""
+
+
+@query(
+    "olap_top_paths",
+    sql=SQL_TOP_PATHS,
+    tags=("olap", "analytics", "events", "sessionization", "window"),
+)
+def top_paths_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Session path mining: the most common event-type sequences per
+    session — the product-analytics "user journey" query, composed from
+    the lag-gap sessionization (30-min gap at microsecond precision, same
+    rule as olap_sessionization) plus an order-preserving path fold.
+    Plan: ONE exchange on user_id serves both windows AND the per-session
+    path aggregation (sessions nest inside users, so the groupBy's
+    ClusteredDistribution is already satisfied — no second shuffle of the
+    event stream); paths assemble via sort_array over (ts, event_id,
+    type) structs inside the aggregate, the path counts partial-aggregate
+    down to distinct journeys, and the final cut is an ordered limit.
+    Ties break on the path string so the top-K is deterministic."""
+    ev = t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    s = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(
+            F.when(gap > 1800 * 1_000_000, 1)
+            .when(F.lag("ts").over(w).isNull(), 1)
+            .otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("session_id"),
+    )
+    paths = s.groupBy("user_id", "session_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(PATH_TOP)
+    )

@@ -595,3 +595,16 @@ def test_cogroup_lag_is_flatmap_cogroups(spark, specs):
     p = plan_str(specs["olap_cogroup_order_lag"].fn(spark, SF))
     assert "FlatMapCoGroupsInPandas" in p
     assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+
+
+def test_top_paths_two_exchanges(spark, specs):
+    """Sessions nest inside users, so the one user_id exchange must serve
+    both windows AND the per-session path aggregate (subset clustering);
+    the only other exchange carries distinct journeys after partial
+    aggregation, and the top-K is an ordered limit."""
+    import re
+
+    p = plan_str(specs["olap_top_paths"].fn(spark, SF))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2  # details headers
+    assert "partial_count" in p
+    assert "TakeOrderedAndProject" in p

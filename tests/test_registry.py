@@ -56,10 +56,11 @@ def test_primary_window():
     assert {f"q{i:02d}" for i in range(1, 19) if i not in rotated_out} <= {
         n[:3] for n in window
     }
-    # twenty-ninth rotation: the streaming tier keeps FIVE in-window rows
-    # (tumbling + session_window rotated out on triple-green/union
-    # evidence, unchanged code — see PRIMARY_ORDER's rotation notes)
-    assert sum(n.startswith("stream_") for n in window) == 5
+    # twenty-ninth/thirtieth rotations: the streaming tier keeps FOUR
+    # in-window rows (tumbling, session_window, stateful_user_stats
+    # rotated out on triple-green/union evidence, hash-unchanged code —
+    # see PRIMARY_ORDER's rotation notes)
+    assert sum(n.startswith("stream_") for n in window) == 4
     # round-4 rotations: dedup_ngram_jaccard -> llm_near_dedup_survivors,
     # multimodal_image_decode (BMP) -> multimodal_png_decode,
     # llm_chunk_fixed -> llm_dedup_incremental, llm_pii_redact ->
@@ -77,6 +78,7 @@ def test_primary_window():
         "llm_near_dedup_survivors", "llm_substring_dup_spans",
         "llm_heavy_ngrams_sketch", "stream_outer_interval_join",
         "olap_quantile_shard_merge", "olap_ks_drift", "olap_cogroup_order_lag",
+        "olap_top_paths",
         "olap_event_transitions", "olap_min_cost_supplier",
         "olap_funnel_conversion", "olap_retention_cohorts",
         "llm_bigram_surprisal", "olap_anomaly_zscore",
