@@ -292,9 +292,21 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
     """Q16 the iterative heroic-score engine (reference exercise_4.py:267-283)
     on events-derived duels. Not SQL-expressible as one statement (driver
     rows-only check); correctness is pinned by tests/test_heroic.py against
-    hand-computed fixtures and convergence invariants."""
+    hand-computed fixtures and convergence invariants.
+
+    num/vector partitions are occupancy knobs sized for the driver's sf
+    window (<=1M edges: 4 edge partitions keep per-iteration jobs at 4
+    tasks instead of 32 near-empty ones — measured 5.7 -> 2.8 s at sf0.1;
+    same local-scale-setting contract as llm_pack_sequences' n_groups). A
+    deploy sizes them to edge volume / target-partition-rows; results are
+    partition-independent."""
     result = heroic_score(
-        duel_edges(spark, sf), alpha=0.1, tol=0.1, max_iter=8, vector_partitions=4
+        duel_edges(spark, sf),
+        alpha=0.1,
+        tol=0.1,
+        max_iter=8,
+        num_partitions=4,
+        vector_partitions=2,
     )
     return result.scores.select(
         "player_id", F.round("hs", 6).alias("hs")
