@@ -114,6 +114,7 @@ def bpe_train(
     n_merges: int = 20,
     max_words: int = 50_000,
     checkpoint_every: int = 4,
+    vocab_partitions: int = 4,
 ) -> BpeResult:
     """Learn ``n_merges`` BPE merges from the corpus. Returns the ordered
     merge table and the final symbolized vocab. Stops early when no
