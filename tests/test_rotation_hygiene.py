@@ -30,3 +30,47 @@ def test_changed_or_new_entries_are_promoted():
         "policy in registry/__init__.py) and then refresh the baseline with "
         "`python tools/entry_hashes.py --update`"
     )
+
+
+# Entries whose closure hash changed since the round-3 snapshot but that
+# legitimately sit OUTSIDE the window. Each needs recorded evidence that
+# the change is output-neutral (the driver row's evidence is then not
+# stale). Audited this round by running both trees side by side.
+ROUND_SNAPSHOT = "entry_hashes_r03.json"
+CROSS_ROUND_EXEMPT = {
+    # output byte-identical at sf0.01 (r3 worktree vs HEAD, sorted-csv
+    # cmp): the hash moved only because the h3 operating point extracted
+    # the shared simhash_band_bounds helper into its closure. Its driver
+    # evidence is rows-only by design, and the row count is unchanged.
+    "dedup_simhash",
+}
+
+
+def test_changed_since_round_snapshot_promoted_or_exempt():
+    """The rolling baseline (updated at every intra-round rotation) cannot
+    catch an entry that changed EARLY in the round and was rotated out
+    LATER — only a fixed per-round snapshot can. Any entry whose closure
+    differs from the last round's snapshot must be in the driver window
+    or carry a documented output-neutrality exemption above."""
+    import json
+    import os
+
+    from tools.entry_hashes import current_hashes
+
+    snap_path = os.path.join(os.path.dirname(__file__), "..", "tools", ROUND_SNAPSHOT)
+    with open(snap_path) as f:
+        snap = json.load(f)
+    cur = current_hashes()
+    window = set(PRIMARY_ORDER)
+    stale = [
+        n
+        for n in cur
+        if n in snap
+        and snap[n] != cur[n]
+        and n not in window
+        and n not in CROSS_ROUND_EXEMPT
+    ]
+    assert not stale, (
+        f"entries changed since the round snapshot but rotated out: {stale} "
+        "— promote them back or record an output-neutrality exemption"
+    )
