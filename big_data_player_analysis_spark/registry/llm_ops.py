@@ -136,6 +136,40 @@ JOIN sizes nb ON nb.doc = i.doc_b
 WHERE round(1.0 * n_common / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
 """
 
+# Exact inverted-index pairs — NO df bound on candidates. The df-bounded
+# CTE above is the CONTRACT of dedup_ngram_jaccard (its Spark side prunes
+# to rare shingles by design). Every OTHER dedup oracle must be the
+# unbounded exact all-pairs Jaccard: at sf0.1 this corpus already contains
+# true near-dup pairs whose every shared shingle has df > JACCARD_MAX_DF
+# — the bounded candidates miss them while MinHash banding + exact verify
+# correctly finds them (round-4 audit: spark 2560 vs bounded-oracle 2530
+# at composed sf1; with this exact oracle minhash hash-matches at sf0.01
+# AND sf0.1). The inverted-index join is sum(df^2) rows — 5.8M at the
+# driver's sf0.01 gate, fine for DuckDB.
+SQL_SHINGLES_CTE_EXACT = f"""
+d AS (SELECT doc_id, {SQL_NORM} AS norm FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id AS doc, substr(norm, CAST(i AS INT), {SHINGLE_K}) AS shingle
+  FROM d, LATERAL (SELECT unnest(range(1, greatest(len(norm) - {SHINGLE_K - 2}, 1))) AS i) r
+),
+sizes AS (SELECT doc, count(*) AS n FROM sh GROUP BY doc),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+)
+"""
+
+SQL_JACCARD_EXACT = f"""
+WITH {SQL_SHINGLES_CTE_EXACT.strip()}
+SELECT i.doc_a, i.doc_b,
+       round(1.0 * n_common / (na.n + nb.n - n_common), 6) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc = i.doc_a
+JOIN sizes nb ON nb.doc = i.doc_b
+WHERE round(1.0 * n_common / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+"""
+
 SQL_VEC = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings"
 SQL_COS = (
     "round(list_dot_product({a}, {b}) / "
@@ -327,16 +361,18 @@ def dedup_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh", sql=SQL_JACCARD, tags=("llm", "dedup"))
+@query("dedup_minhash_lsh", sql=SQL_JACCARD_EXACT, tags=("llm", "dedup"))
 def dedup_minhash_q(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash(64) + 16-band x 4-row LSH candidates, exact-Jaccard
     verified (signatures via a vectorized Arrow pandas_udf — no explode,
-    no shuffle). The oracle is the rare-shingle exact-Jaccard SQL, which
-    at sf0.01 equals the TRUE all-pairs exact answer (checked directly —
-    no pair >= 0.6 hides behind frequent-only shingles there; at sf0.1 LSH
-    finds 3 such extra true pairs the inverted index cannot). Verification
-    makes precision 1.0; planted dups have j >= 0.8 where band recall is
-    1-(1-0.8^4)^16 ~ 0.9998 — tests/test_llm_ops.py pins LSH == exact."""
+    no shuffle). The oracle is the UNBOUNDED exact all-pairs Jaccard
+    (SQL_SHINGLES_CTE_EXACT): a rare-shingle-bounded twin was found
+    incomplete in the round-4 scale audit — at sf0.1 this corpus has true
+    >= 0.6 pairs whose every shared shingle is frequent, which LSH finds
+    and a df-bounded inverted index cannot. Hash-matched against the
+    exact oracle at sf0.01 AND sf0.1. Verification makes precision 1.0;
+    planted dups have j >= 0.8 where band recall is 1-(1-0.8^4)^16 ~
+    0.9998 — tests/test_llm_ops.py pins LSH == exact."""
     return dedup_minhash_lsh(
         t(spark, sf, "documents"), "doc_id", "text",
         k=SHINGLE_K, threshold=JACCARD_THRESHOLD,
@@ -356,7 +392,7 @@ def dedup_simhash_q(spark: SparkSession, sf: str) -> DataFrame:
 INCR_NEW_MOD = 5
 
 SQL_INCREMENTAL = f"""
-WITH {SQL_SHINGLES_CTE.strip()}
+WITH {SQL_SHINGLES_CTE_EXACT.strip()}
 SELECT CASE WHEN i.doc_a % {INCR_NEW_MOD} = 0 THEN i.doc_a ELSE i.doc_b END AS new_id,
        CASE WHEN i.doc_a % {INCR_NEW_MOD} = 0 THEN i.doc_b ELSE i.doc_a END AS corpus_id,
        round(1.0 * n_common / (na.n + nb.n - n_common), 6) AS jaccard
@@ -374,10 +410,9 @@ def dedup_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
     batch (doc_id % 5 == 0) near-duplicate an existing corpus document
     (operators/dedup.py:dedup_incremental — the new batch's band table is
     size-gate-broadcast against the corpus band stream, so the corpus is
-    never exchanged on the band key). The oracle is the exact-Jaccard SQL
-    restricted to cross-side pairs; same recall argument as
-    dedup_minhash_lsh (at sf0.01 the rare-shingle candidates equal the
-    true all-pairs answer)."""
+    never exchanged on the band key). The oracle is the UNBOUNDED
+    exact-Jaccard SQL restricted to cross-side pairs (verified at sf0.01
+    and sf0.1)."""
     from big_data_player_analysis_spark.operators.dedup import dedup_incremental
 
     docs = t(spark, sf, "documents")
@@ -389,7 +424,7 @@ def dedup_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_COMPONENTS = f"""
-WITH RECURSIVE {SQL_SHINGLES_CTE.strip()},
+WITH RECURSIVE {SQL_SHINGLES_CTE_EXACT.strip()},
 jp AS (
   SELECT i.doc_a, i.doc_b
   FROM inter i
@@ -424,7 +459,7 @@ def dedup_components_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_SURVIVORS = f"""
-WITH RECURSIVE {SQL_SHINGLES_CTE.strip()},
+WITH RECURSIVE {SQL_SHINGLES_CTE_EXACT.strip()},
 jp AS (
   SELECT i.doc_a, i.doc_b
   FROM inter i
@@ -472,7 +507,7 @@ def near_dedup_survivors_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_SURVIVORS_BEST = f"""
-WITH RECURSIVE {SQL_SHINGLES_CTE.strip()},
+WITH RECURSIVE {SQL_SHINGLES_CTE_EXACT.strip()},
 jp AS (
   SELECT i.doc_a, i.doc_b
   FROM inter i
@@ -533,7 +568,7 @@ def near_dedup_best_quality_q(spark: SparkSession, sf: str) -> DataFrame:
 CURATION_MIN_QUALITY = 0.36
 
 SQL_CURATION = f"""
-WITH RECURSIVE {SQL_SHINGLES_CTE.strip()},
+WITH RECURSIVE {SQL_SHINGLES_CTE_EXACT.strip()},
 jp AS (
   SELECT i.doc_a, i.doc_b
   FROM inter i

@@ -9,6 +9,7 @@ decimals). Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -49,9 +50,10 @@ def main() -> int:
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):  # Spark-written table dir (composed scales)
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     specs = all_queries()
     n_pass = n_fail = n_rowsonly = 0
