@@ -800,10 +800,42 @@ def main():
             f"| {name} | " + " | ".join(cell(per, s) for s in all_scales) + " |"
         )
     lines.extend(sf1_section())
+    lines.extend(CORRECTNESS_AT_SCALE)
     text = "\n".join(lines) + "\n"
     with open("/root/repo/SCALE.md", "w") as f:
         f.write(text)
     print(json.dumps({"rows": rows, "results": results}))
+
+
+# Correctness evidence ABOVE the driver's sf0.01 hash gate (round-4 scale
+# audit; re-run with `python tools/oracle_check.py <sf_dir> <filters>`).
+CORRECTNESS_AT_SCALE = [
+    "",
+    "## Correctness at scale (DuckDB oracle above the sf0.01 driver gate)",
+    "",
+    "Hash-matched (rowcount + schema + order-insensitive value hash):",
+    "",
+    "- **sf0.1 (10x the gate)**: dedup_minhash_lsh (256 pairs, vs the",
+    "  UNBOUNDED exact all-pairs Jaccard), llm_dedup_incremental (89),",
+    "  dedup_ngram_jaccard (253, vs its df-bounded contract twin).",
+    "- **composed sf1 (100x)**: dedup_minhash_lsh (2,560 pairs — the",
+    "  exact-oracle join is 5.6G candidate rows and takes DuckDB 396 s vs",
+    "  Spark's ~3 s), dedup_exact (49,920), llm_line_dedup (50,000),",
+    "  llm_substring_dup_spans (50,000), llm_semantic_dedup (4,669),",
+    "  llm_heavy_ngrams_sketch, olap_cogroup_order_lag (149,991),",
+    "  olap_min_cost_supplier (200,000), stream_outer_interval_join",
+    "  (200,580), olap_event_transitions, olap_ks_drift, olap_top_paths,",
+    "  olap_quantile_binning (1.5M), olap_quantile_shard_merge,",
+    "  olap_tpch_q1/q3/q5/q18.",
+    "",
+    "This audit is what caught the round-4 oracle-completeness defect:",
+    "at sf1 minhash reported 2,560 pairs vs the then-df-bounded twin's",
+    "2,530 — Spark was right, the oracle's rare-shingle candidate stage",
+    "was incomplete above sf0.01 (fixed: SQL_SHINGLES_CTE_EXACT).",
+    "Known oracle-side limits: the recursive-CTE closure oracles",
+    "(components/survivors) exceed DuckDB's temp-disk at sf0.1+ —",
+    "their gate is sf0.01, where they are green.",
+]
 
 
 def sf1_section() -> list[str]:
