@@ -585,7 +585,9 @@ def tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "olap_udaf_geometric_mean",
     sql="""
-    SELECT user_id, round(exp(avg(ln(value))), 6) AS geo_value
+    SELECT user_id,
+           round(CASE WHEN min(value) = 0 THEN 0.0
+                      ELSE exp(avg(ln(nullif(value, 0)))) END, 6) AS geo_value
     FROM events GROUP BY user_id
     """,
     tags=("olap", "agg", "udaf"),
@@ -594,7 +596,11 @@ def udaf_geometric_mean(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped-aggregate pandas UDF (Arrow-batched UDAF): per-user geometric
     mean of event values. The UDAF is the residue path for aggregates the
     built-ins cannot express; here the oracle cross-checks it against the
-    exp(avg(ln)) identity."""
+    exp(avg(ln)) identity. A zero factor makes the geometric mean zero —
+    numpy reaches that through ln(0) = -inf, exp(-inf) = 0, while the SQL
+    twin must guard DuckDB's erroring ln(0) with a CASE on min(value)
+    (caught by the round-4 sf0.1 sweep: the gate corpus has no zeros,
+    sf0.1 has six)."""
     import pandas as pd
 
     def _geo(v):
@@ -720,7 +726,9 @@ def exists_correlated(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "olap_scalar_correlated",
     sql="""
-    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small, sum(l_extendedprice) AS total_value
+    SELECT p_brand, CAST(count(*) AS BIGINT) AS n_small,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_value
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
                         WHERE l2.l_partkey = l_partkey)
@@ -732,12 +740,20 @@ def scalar_correlated(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q17 shape: lineitems below half their part's average quantity,
     summarized per brand. Written as SQL with the correlated scalar
     subquery intact so Catalyst performs the decorrelation (rewrite to an
-    aggregate + join on l_partkey) instead of us hand-rolling it."""
+    aggregate + join on l_partkey) instead of us hand-rolling it. The
+    money sum aggregates as DECIMAL(18,2) in BOTH engines: a raw double
+    sum of ~6k prices per brand carries accumulation-order noise above
+    the 1e-6 absolute compare at sf0.1 magnitudes (round-4 sweep find;
+    the correlated avg(l_quantity) threshold needs no guard — quantities
+    are integer-valued doubles, so their sums and averages are exact).
+    The subquery filter itself is deterministic and engine-portable."""
     t(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
     t(spark, sf, "part").createOrReplaceTempView("part")
     return spark.sql(
         """
-        SELECT p_brand, count(*) AS n_small, sum(l_extendedprice) AS total_value
+        SELECT p_brand, count(*) AS n_small,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS total_value
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
                             WHERE l2.l_partkey = l_partkey)

@@ -30,6 +30,20 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
 
+    # Python workers unpickle UDF references to this package by NAME, so
+    # the package root must be importable in the worker process — which
+    # inherits the driver JVM's environment, not the driver's sys.path.
+    # Running the driver from any cwd outside the repo (a notebook, a
+    # /tmp scratch dir, spark-submit from elsewhere) otherwise fails
+    # every pandas_udf/mapInPandas entry with a worker ImportError
+    # (caught by the round-4 cross-scale sweep, which ran from /tmp).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+        )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -51,6 +51,20 @@ CROSS_ROUND_EXEMPT = {
     # meaning is unchanged; the new oracle additionally hash-matches at
     # sf0.1 (256 pairs).
     "dedup_minhash_lsh",
+    # Round-4 sf0.1 sweep finds, both verified output-equivalent at the
+    # driver's sf0.01 gate before recording the exemption:
+    #  * scalar_correlated: money sum switched to DECIMAL(18,2) in BOTH
+    #    engines (raw double sums diverged in accumulation-order noise
+    #    above the 1e-6 compare at sf0.1 magnitudes); old and new Spark
+    #    outputs normalize-equal at sf0.01, and the entry hash-matches
+    #    its oracle at sf0.01 AND sf0.1 post-fix.
+    "olap_scalar_correlated",
+    #  * geometric mean: ORACLE-ONLY change (Spark UDAF byte-identical) —
+    #    DuckDB's ln(0) errors where numpy yields the correct 0.0; the
+    #    CASE/nullif guard only activates on zero values, which the
+    #    sf0.01 gate corpus does not contain. Hash-matches at sf0.01 AND
+    #    sf0.1 post-fix.
+    "olap_udaf_geometric_mean",
 }
 
 
