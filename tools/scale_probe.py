@@ -815,9 +815,14 @@ CORRECTNESS_AT_SCALE = [
     "",
     "Hash-matched (rowcount + schema + order-insensitive value hash):",
     "",
-    "- **sf0.1 (10x the gate)**: dedup_minhash_lsh (256 pairs, vs the",
-    "  UNBOUNDED exact all-pairs Jaccard), llm_dedup_incremental (89),",
-    "  dedup_ngram_jaccard (253, vs its df-bounded contract twin).",
+    "- **sf0.1 (10x the gate)**: FULL SWEEP post-fix — 123 ok + 8",
+    "  rows-only + 0 FAIL, plus dedup_minhash_lsh (256 pairs, vs the",
+    "  UNBOUNDED exact all-pairs Jaccard), llm_dedup_incremental (89)",
+    "  and dedup_ngram_jaccard (253, vs its df-bounded contract twin)",
+    "  verified in separate runs: 126 of the 131 oracle-paired entries",
+    "  hash-match at sf0.1. The remaining 5 are the recursive-closure",
+    "  oracles, gated at sf0.01 where DuckDB's transitive-closure",
+    "  materialization fits on disk.",
     "- **composed sf1 (100x)**: dedup_minhash_lsh (2,560 pairs — the",
     "  exact-oracle join is 5.6G candidate rows and takes DuckDB 396 s vs",
     "  Spark's ~3 s), dedup_exact (49,920), llm_line_dedup (50,000),",
@@ -828,10 +833,15 @@ CORRECTNESS_AT_SCALE = [
     "  olap_quantile_binning (1.5M), olap_quantile_shard_merge,",
     "  olap_tpch_q1/q3/q5/q18.",
     "",
-    "This audit is what caught the round-4 oracle-completeness defect:",
-    "at sf1 minhash reported 2,560 pairs vs the then-df-bounded twin's",
-    "2,530 — Spark was right, the oracle's rare-shingle candidate stage",
-    "was incomplete above sf0.01 (fixed: SQL_SHINGLES_CTE_EXACT).",
+    "This audit caught four round-4 defects the sf0.01 gate could not:",
+    "the df-bounded jaccard oracle missing true pairs (minhash 2,560 vs",
+    "2,530 at sf1 — Spark was right; fixed: SQL_SHINGLES_CTE_EXACT),",
+    "double money sums drifting past the 1e-6 compare at sf0.1",
+    "magnitudes (olap_scalar_correlated -> DECIMAL in both engines),",
+    "DuckDB's ln(0) erroring where numpy's geometric mean is 0",
+    "(olap_udaf_geometric_mean oracle guard), and Python workers failing",
+    "to import the package from a non-repo cwd (get_spark now exports",
+    "PYTHONPATH before the JVM launches).",
     "Known oracle-side limits: the recursive-CTE closure oracles",
     "(components/survivors) exceed DuckDB's temp-disk at sf0.1+ —",
     "their gate is sf0.01, where they are green.",
