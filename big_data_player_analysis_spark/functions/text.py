@@ -82,8 +82,13 @@ def predict_language(text: Column) -> Column:
 def quality_score(text: Column) -> Column:
     """Composite document quality in [0, ~1]:
     0.4 * english-stopword ratio + 0.3 * alphabetic-char ratio
-    + 0.3 * min(1, tokens/100), rounded to 6 decimals (rounding makes the
-    value robust to float accumulation-order differences vs the oracle)."""
+    + 0.3 * min(1, tokens/100), rounded to 6 decimals via the PORTABLE
+    floor(x * 1e6 + 0.5) / 1e6 — NOT the engine round(): Spark rounds the
+    exact decimal expansion HALF_UP while DuckDB rounds the float product,
+    and scores landing exactly on a 7th-digit tie (ratios over power-of-two
+    token counts do: 0.2504375) flip between them — 6 of 50k composed-sf1
+    docs, both directions (round-4 sweep find). floor over the identical
+    IEEE product is bit-deterministic in every engine."""
     n_tokens = ws_token_count(text).cast("double")
     stop_hits = sum(
         (stopword_hits(text, w) for w in LANG_STOPWORDS["en"]), F.lit(0)
@@ -94,12 +99,12 @@ def quality_score(text: Column) -> Column:
     alpha_ratio = alpha_chars / n_chars
     len_score = F.least(F.lit(1.0), n_tokens / F.lit(QUALITY_LEN_NORM))
     w = QUALITY_WEIGHTS
-    return F.round(
+    raw = (
         F.lit(w["stop_ratio"]) * stop_ratio
         + F.lit(w["alpha_ratio"]) * alpha_ratio
-        + F.lit(w["len_score"]) * len_score,
-        6,
+        + F.lit(w["len_score"]) * len_score
     )
+    return F.floor(raw * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
 
 
 def normalize_text(text: Column) -> Column:

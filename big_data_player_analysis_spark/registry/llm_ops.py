@@ -227,14 +227,14 @@ def text_language_id(spark: SparkSession, sf: str) -> DataFrame:
     "text_quality_score",
     sql=f"""
     WITH p AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents)
-    SELECT doc_id, round(
+    SELECT doc_id, floor((
         {QUALITY_WEIGHTS['stop_ratio']} * (CAST({_sql_lang_score('en')} AS DOUBLE)
             / len(regexp_split_to_array(trim(text), '\\s+')))
       + {QUALITY_WEIGHTS['alpha_ratio']} * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
             / length(text))
       + {QUALITY_WEIGHTS['len_score']} * least(1.0,
-            len(regexp_split_to_array(trim(text), '\\s+')) / {QUALITY_LEN_NORM}),
-      6) AS quality
+            len(regexp_split_to_array(trim(text), '\\s+')) / {QUALITY_LEN_NORM})
+      ) * 1000000.0 + 0.5) / 1000000.0 AS quality
     FROM p
     """,
     tags=("llm", "text"),
@@ -587,14 +587,14 @@ p AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents),
 s AS (
   SELECT doc_id,
          {', '.join(f'{_sql_lang_score(lang)} AS s_{lang}' for lang in LANG_PRIORITY)},
-         round(
+         floor((
            {QUALITY_WEIGHTS['stop_ratio']} * (CAST({_sql_lang_score('en')} AS DOUBLE)
                / len(regexp_split_to_array(trim(text), '\\s+')))
          + {QUALITY_WEIGHTS['alpha_ratio']} * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
                / length(text))
          + {QUALITY_WEIGHTS['len_score']} * least(1.0,
-               len(regexp_split_to_array(trim(text), '\\s+')) / {QUALITY_LEN_NORM}),
-         6) AS quality
+               len(regexp_split_to_array(trim(text), '\\s+')) / {QUALITY_LEN_NORM})
+         ) * 1000000.0 + 0.5) / 1000000.0 AS quality
   FROM p
 )
 SELECT doc_id, quality, {_sql_lang_case()} AS pred_lang
@@ -2168,14 +2168,14 @@ def bigram_surprisal_q(spark: SparkSession, sf: str) -> DataFrame:
 
 # ------------------------------------- relative quality threshold filter
 
-_SQL_QUALITY_EXPR = f"""round(
+_SQL_QUALITY_EXPR = f"""floor((
         {QUALITY_WEIGHTS['stop_ratio']} * (CAST({_sql_lang_score('en')} AS DOUBLE)
             / len(regexp_split_to_array(trim(text), '\\s+')))
       + {QUALITY_WEIGHTS['alpha_ratio']} * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
             / length(text))
       + {QUALITY_WEIGHTS['len_score']} * least(1.0,
-            len(regexp_split_to_array(trim(text), '\\s+')) / {QUALITY_LEN_NORM}),
-      6)"""
+            len(regexp_split_to_array(trim(text), '\\s+')) / {QUALITY_LEN_NORM})
+      ) * 1000000.0 + 0.5) / 1000000.0"""
 
 SQL_QUALITY_PCTL = f"""
 WITH p AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents),

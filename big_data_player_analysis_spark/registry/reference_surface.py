@@ -159,7 +159,8 @@ def q09(spark: SparkSession, sf: str) -> DataFrame:
     "q10_join_chain",
     sql="""
     SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_orders,
-           sum(o.o_totalprice) AS total_price
+           CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -171,7 +172,11 @@ def q09(spark: SparkSession, sf: str) -> DataFrame:
 def q10(spark: SparkSession, sf: str) -> DataFrame:
     """Q10 chained equi-joins (reference exercise_4.py:107-123 second join
     pass): orders -> customer -> nation -> region rollup. All three dims are
-    broadcast; the fact table never shuffles until the final aggregate."""
+    broadcast; the fact table never shuffles until the final aggregate.
+    The money sum aggregates as DECIMAL(18,2) in BOTH engines — at sf1 a
+    raw double sum of ~30k prices per region drifts past the 1e-6
+    absolute compare (round-4 sweep find, same fix as
+    olap_scalar_correlated/olap_min_cost_supplier)."""
     o = t(spark, sf, "orders")
     c = t(spark, sf, "customer")
     n = t(spark, sf, "nation")
@@ -183,7 +188,9 @@ def q10(spark: SparkSession, sf: str) -> DataFrame:
     )
     return joined.groupBy("r_name").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum("o_totalprice").alias("total_price"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
     )
 
 

@@ -65,6 +65,24 @@ CROSS_ROUND_EXEMPT = {
     #    sf0.01 gate corpus does not contain. Hash-matches at sf0.01 AND
     #    sf0.1 post-fix.
     "olap_udaf_geometric_mean",
+    # Round-4 composed-sf1 sweep finds (the sf0.01 gate corpus cannot
+    # exhibit either failure mode):
+    #  * q10_join_chain: money sum -> DECIMAL(18,2) in BOTH engines (raw
+    #    double sums of ~30k prices/region drift past the 1e-6 compare at
+    #    sf1). Old and new Spark outputs agree within 1.4e-6 absolute on
+    #    3e8-magnitude sums at sf0.01 (sub-cent; the new form is the
+    #    exact decimal sum); verified green vs its twin at sf0.01, sf0.1
+    #    AND sf1.
+    "q10_join_chain",
+    #  * quality-score rounding: Spark round() is exact-decimal HALF_UP,
+    #    DuckDB rounds the float product — scores landing exactly on a
+    #    7th-digit tie flip between them (6 of 50k sf1 docs, both
+    #    directions). Both sides now use the portable
+    #    floor(x*1e6 + 0.5)/1e6, bit-deterministic in every engine; no
+    #    ties exist at sf0.01/sf0.1, so outputs there are unchanged.
+    #    Verified green at sf0.01, sf0.1 AND sf1.
+    "text_quality_score",
+    "llm_quality_filters",
 }
 
 

@@ -823,25 +823,24 @@ CORRECTNESS_AT_SCALE = [
     "  hash-match at sf0.1. The remaining 5 are the recursive-closure",
     "  oracles, gated at sf0.01 where DuckDB's transitive-closure",
     "  materialization fits on disk.",
-    "- **composed sf1 (100x)**: dedup_minhash_lsh (2,560 pairs — the",
-    "  exact-oracle join is 5.6G candidate rows and takes DuckDB 396 s vs",
-    "  Spark's ~3 s), dedup_exact (49,920), llm_line_dedup (50,000),",
-    "  llm_substring_dup_spans (50,000), llm_semantic_dedup (4,669),",
-    "  llm_heavy_ngrams_sketch, olap_cogroup_order_lag (149,991),",
-    "  olap_min_cost_supplier (200,000), stream_outer_interval_join",
-    "  (200,580), olap_event_transitions, olap_ks_drift, olap_top_paths,",
-    "  olap_quantile_binning (1.5M), olap_quantile_shard_merge,",
-    "  olap_tpch_q1/q3/q5/q18.",
+    "- **composed sf1 (100x)**: FULL SWEEP post-fix — 123 of the same",
+    "  131 oracle-paired entries hash-match at 100x the gate (120 ok in",
+    "  the sweep + q10/text_quality_score/llm_quality_percentile_filter",
+    "  re-verified green after their fixes below; dedup_minhash_lsh",
+    "  verified separately — 2,560 pairs, the exact-oracle join is 5.6G",
+    "  candidate rows and takes DuckDB 396 s vs Spark's ~3 s).",
     "",
-    "This audit caught four round-4 defects the sf0.01 gate could not:",
+    "This audit caught six round-4 defects the sf0.01 gate could not:",
     "the df-bounded jaccard oracle missing true pairs (minhash 2,560 vs",
     "2,530 at sf1 — Spark was right; fixed: SQL_SHINGLES_CTE_EXACT),",
-    "double money sums drifting past the 1e-6 compare at sf0.1",
-    "magnitudes (olap_scalar_correlated -> DECIMAL in both engines),",
-    "DuckDB's ln(0) erroring where numpy's geometric mean is 0",
-    "(olap_udaf_geometric_mean oracle guard), and Python workers failing",
-    "to import the package from a non-repo cwd (get_spark now exports",
-    "PYTHONPATH before the JVM launches).",
+    "double money sums drifting past the 1e-6 compare at scale",
+    "(olap_scalar_correlated at sf0.1, q10_join_chain at sf1 -> DECIMAL",
+    "in both engines), DuckDB's ln(0) erroring where numpy's geometric",
+    "mean is 0 (olap_udaf_geometric_mean oracle guard), engine round()",
+    "tie-flips on quality scores landing exactly on a 7th-digit half",
+    "(now the portable floor(x*1e6+0.5)/1e6 in both engines), and Python",
+    "workers failing to import the package from a non-repo cwd",
+    "(get_spark now exports PYTHONPATH before the JVM launches).",
     "Known oracle-side limits: the recursive-CTE closure oracles",
     "(components/survivors) exceed DuckDB's temp-disk at sf0.1+ —",
     "their gate is sf0.01, where they are green.",
