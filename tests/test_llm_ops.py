@@ -1373,3 +1373,32 @@ class TestSemanticDedup:
         # bucket key, never a nested-loop/cartesian all-pairs
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_quality_rounding_portable_on_tie_values(spark):
+    """The round-4 sf1 sweep found quality scores landing exactly on a
+    7th-digit half (0.2504375) and just below one in binary
+    (0.30393749999999997): Spark round() (exact-decimal HALF_UP) and
+    DuckDB round() (float-product) disagreed in BOTH directions. Pin that
+    the shipped floor(x*1e6 + 0.5)/1e6 form gives the identical result in
+    Spark, DuckDB and plain Python IEEE arithmetic on exactly those
+    values."""
+    import duckdb
+    import math
+
+    from pyspark.sql import functions as F
+
+    ties = [0.2504375, 0.30393749999999997, 0.9999995, 0.1234565]
+    sdf = spark.createDataFrame([(v,) for v in ties], "x double").select(
+        (F.floor(F.col("x") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("r")
+    )
+    got_spark = [r.r for r in sdf.collect()]
+    con = duckdb.connect()
+    got_duck = [
+        con.execute(
+            "SELECT floor(CAST(? AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0", [v]
+        ).fetchone()[0]
+        for v in ties
+    ]
+    got_py = [math.floor(v * 1e6 + 0.5) / 1e6 for v in ties]
+    assert got_spark == got_duck == got_py
