@@ -170,6 +170,20 @@ JOIN sizes nb ON nb.doc = i.doc_b
 WHERE round(1.0 * n_common / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
 """
 
+# Standalone exact-pairs SELECT for nesting as a DERIVED TABLE inside
+# WITH RECURSIVE statements: DuckDB materializes top-level CTEs of a
+# recursive WITH, and materializing `inter` pre-aggregation spilled >49GB
+# at sf0.1 — the identical query nested as a subquery streams in ~29 s
+# with zero spill (round-4 measurement).
+SQL_PAIRS_EXACT = f"""
+WITH {SQL_SHINGLES_CTE_EXACT.strip()}
+SELECT i.doc_a, i.doc_b
+FROM inter i
+JOIN sizes na ON na.doc = i.doc_a
+JOIN sizes nb ON nb.doc = i.doc_b
+WHERE round(1.0 * n_common / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+"""
+
 SQL_VEC = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings"
 SQL_COS = (
     "round(list_dot_product({a}, {b}) / "
@@ -424,15 +438,11 @@ def dedup_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_COMPONENTS = f"""
-WITH RECURSIVE {SQL_SHINGLES_CTE_EXACT.strip()},
-jp AS (
-  SELECT i.doc_a, i.doc_b
-  FROM inter i
-  JOIN sizes na ON na.doc = i.doc_a
-  JOIN sizes nb ON nb.doc = i.doc_b
-  WHERE round(1.0 * n_common / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+WITH RECURSIVE und AS (
+  SELECT CASE WHEN f.flip = 0 THEN jp.doc_a ELSE jp.doc_b END AS a,
+         CASE WHEN f.flip = 0 THEN jp.doc_b ELSE jp.doc_a END AS b
+  FROM ({SQL_PAIRS_EXACT.strip()}) jp, (SELECT unnest([0, 1]) AS flip) f
 ),
-und AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
 reach(a, b) AS (
   SELECT a, b FROM und
   UNION
@@ -459,15 +469,11 @@ def dedup_components_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_SURVIVORS = f"""
-WITH RECURSIVE {SQL_SHINGLES_CTE_EXACT.strip()},
-jp AS (
-  SELECT i.doc_a, i.doc_b
-  FROM inter i
-  JOIN sizes na ON na.doc = i.doc_a
-  JOIN sizes nb ON nb.doc = i.doc_b
-  WHERE round(1.0 * n_common / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+WITH RECURSIVE und AS (
+  SELECT CASE WHEN f.flip = 0 THEN jp.doc_a ELSE jp.doc_b END AS a,
+         CASE WHEN f.flip = 0 THEN jp.doc_b ELSE jp.doc_a END AS b
+  FROM ({SQL_PAIRS_EXACT.strip()}) jp, (SELECT unnest([0, 1]) AS flip) f
 ),
-und AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
 reach(a, b) AS (
   SELECT a, b FROM und
   UNION
@@ -507,15 +513,11 @@ def near_dedup_survivors_q(spark: SparkSession, sf: str) -> DataFrame:
 
 
 SQL_SURVIVORS_BEST = f"""
-WITH RECURSIVE {SQL_SHINGLES_CTE_EXACT.strip()},
-jp AS (
-  SELECT i.doc_a, i.doc_b
-  FROM inter i
-  JOIN sizes na ON na.doc = i.doc_a
-  JOIN sizes nb ON nb.doc = i.doc_b
-  WHERE round(1.0 * n_common / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+WITH RECURSIVE und AS (
+  SELECT CASE WHEN f.flip = 0 THEN jp.doc_a ELSE jp.doc_b END AS a,
+         CASE WHEN f.flip = 0 THEN jp.doc_b ELSE jp.doc_a END AS b
+  FROM ({SQL_PAIRS_EXACT.strip()}) jp, (SELECT unnest([0, 1]) AS flip) f
 ),
-und AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
 reach(a, b) AS (
   SELECT a, b FROM und
   UNION
@@ -568,15 +570,11 @@ def near_dedup_best_quality_q(spark: SparkSession, sf: str) -> DataFrame:
 CURATION_MIN_QUALITY = 0.36
 
 SQL_CURATION = f"""
-WITH RECURSIVE {SQL_SHINGLES_CTE_EXACT.strip()},
-jp AS (
-  SELECT i.doc_a, i.doc_b
-  FROM inter i
-  JOIN sizes na ON na.doc = i.doc_a
-  JOIN sizes nb ON nb.doc = i.doc_b
-  WHERE round(1.0 * n_common / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+WITH RECURSIVE und AS (
+  SELECT CASE WHEN f.flip = 0 THEN jp.doc_a ELSE jp.doc_b END AS a,
+         CASE WHEN f.flip = 0 THEN jp.doc_b ELSE jp.doc_a END AS b
+  FROM ({SQL_PAIRS_EXACT.strip()}) jp, (SELECT unnest([0, 1]) AS flip) f
 ),
-und AS (SELECT doc_a AS a, doc_b AS b FROM jp UNION SELECT doc_b, doc_a FROM jp),
 reach(a, b) AS (
   SELECT a, b FROM und
   UNION
