@@ -20,6 +20,13 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from big_data_player_analysis_spark.registry import all_queries  # noqa: E402
+from big_data_player_analysis_spark.workspace import clean_scratch  # noqa: E402
+
+# Reclaim scratch left behind by any KILLED previous run before this one
+# starts queueing disk writes (the round-4 driver lost 6 correctness rows
+# to accumulated /tmp leftovers). spark_local=False: the driver may import
+# this module after its own JVM is already up.
+clean_scratch(spark_local=False)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 

@@ -58,9 +58,16 @@ def run_one(spark, spec, sf_dir: str) -> float:
 
 
 def main() -> None:
+    from big_data_player_analysis_spark.workspace import clean_scratch
+
+    clean_scratch()  # reclaim dead-run scratch/spill before the session starts
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    spark = get_spark("bdpa-bench")
+    # no console progress bars: their \r spam floods captured output and
+    # made every prior round's BENCH_r*.json tail unparseable (parsed: null)
+    spark = get_spark(
+        "bdpa-bench", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
 
     specs = all_queries()
     names = [n for n in HEADLINE if n in specs] + [
@@ -115,22 +122,27 @@ def main() -> None:
     timings = {name: min(ts) for name, ts in runs.items()}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                # the suite GROWS as operators ship (bench-tagged registry
-                # entries join automatically), so round-over-round compare
-                # per-query or value/n_queries — never raw totals
-                "n_queries": len(timings),
-                "queries": timings,
-                "runs": runs,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_suite_wall_seconds",
+            "value": total,
+            "unit": "sec",
+            # the suite GROWS as operators ship (bench-tagged registry
+            # entries join automatically), so round-over-round compare
+            # per-query or value/n_queries — never raw totals
+            "n_queries": len(timings),
+            "queries": timings,
+            "runs": runs,
+            "sf": sf,
+        }
     )
+    # the one-line contract: flush everything else, then emit the JSON as
+    # the LAST stdout line, newline-led so any unterminated log/progress
+    # residue can't prefix-garble it for the driver's tail parse
+    sys.stderr.flush()
+    sys.stdout.flush()
+    sys.stdout.write("\n" + line + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -949,8 +949,10 @@ def semantic_dedup(
     quality score is a one-line change).
 
     Scale shape (100 TB): one exchange of (id, vec) hashed on bucket
-    feeds the self-join; the pairwise cosine is a JVM-side zip_with/
-    aggregate fold evaluated only WITHIN buckets, so total work is
+    feeds a per-bucket applyInPandas that computes the pairwise cosines as
+    one row-blocked numpy/BLAS gram matrix (Arrow-batched; the earlier
+    bucket self-join's per-pair expression fold was interpreted and 14.6 s
+    on the skewed sf1 top bucket), so total work is
     sum_b |bucket_b|^2 * dim — bounded by the quantizer granularity, the
     same contract SemDeDup runs at web scale. n_bits is the knob: 2**20
     buckets ~= the paper's k=110k at LAION scale. BY DEFAULT it is SIZED
@@ -995,7 +997,7 @@ def semantic_dedup(
 
     thr = float(threshold)
 
-    def prune(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def prune(key, pdf):
         pdf = pdf.sort_values("_id").reset_index(drop=True)
         m = np.stack(pdf["_vec"].to_numpy()).astype(np.float64)
         norms = np.linalg.norm(m, axis=1)
@@ -1009,8 +1011,12 @@ def semantic_dedup(
             # cosine of rows [lo,hi) against ALL more-senior rows [0,hi);
             # seniors count whether or not they were themselves dropped —
             # the paper's (and the SQL twin's) epsilon-ball rule, same as
-            # the earlier join form's EXISTS over every id_a < id_b
-            sims = np.round(m[lo:hi] @ m[:hi].T, 6)
+            # the earlier join form's EXISTS over every id_a < id_b.
+            # PORTABLE 6-decimal rounding (floor(x*1e6+0.5)/1e6), not
+            # np.round: numpy rounds half-to-even while DuckDB rounds
+            # half-away, so a cosine landing exactly on a 7th-digit tie
+            # would flip cross-engine (the quality_score tie class)
+            sims = np.floor(m[lo:hi] @ m[:hi].T * 1e6 + 0.5) / 1e6
             for i in range(lo, hi):
                 if np.any(sims[i - lo, :i] >= thr):
                     keep[i] = False
@@ -1021,8 +1027,11 @@ def semantic_dedup(
         F.col("bucket").alias("_bucket"),
         F.col(vec_col).alias("_vec"),
     )
+    # output schema carries the CALLER's id type (string ids, ints of any
+    # width) — hardcoding 'long' would silently miscast or fail them
+    id_type = df.schema[id_col].dataType.simpleString()
     pruned = b2.groupBy("_bucket").applyInPandas(
-        prune, schema="_id long, _bucket long, _keep boolean"
+        prune, schema=f"_id {id_type}, _bucket long, _keep boolean"
     )
     return pruned.filter(F.col("_keep")).select(
         F.col("_id").alias(id_col), F.col("_bucket").alias("bucket")

@@ -358,7 +358,10 @@ def bottomk_sample_quantiles(
     rank; determinism is total — the sample is a pure function of the
     keys, independent of partitioning — so the SQL twin replays the
     identical sample and the entry hash-matches despite being an
-    approximation of the true quantiles.
+    approximation of the true quantiles. DUPLICATE keys share one md5
+    priority, so ties break on the value (sort on (h, v) in both phases);
+    the sampled multiset is then a pure function of the (key, value)
+    multiset even when only part of a tied run fits in k.
 
     Replaces at 100 TB: exact percentiles need a global sort or a
     count-of-counts histogram (key_skew_profile's trick, only viable for
@@ -375,8 +378,10 @@ def bottomk_sample_quantiles(
         best = None
         for pdf in batches:
             cand = pd_.concat([best, pdf]) if best is not None else pdf
-            # h is an md5 hex string: lexicographic sort = priority order
-            best = cand.sort_values("h", kind="mergesort").head(k)
+            # h is an md5 hex string: lexicographic sort = priority order;
+            # v breaks ties among duplicate keys (identical md5), keeping
+            # the survivor set partition-independent
+            best = cand.sort_values(["h", "v"], kind="mergesort").head(k)
         yield best if best is not None else pd_.DataFrame(
             {"h": pd_.Series(dtype="str"), "v": pd_.Series(dtype="float64")}
         )
@@ -386,7 +391,7 @@ def bottomk_sample_quantiles(
         F.col(value_col).cast("double").alias("v"),
     )
     cand = pri.mapInPandas(bottomk, schema="h string, v double")
-    sample = cand.orderBy("h").limit(k)
+    sample = cand.orderBy("h", "v").limit(k)
     qs = ", ".join(str(q) for q in quantiles)
     est = sample.selectExpr(
         f"percentile(v, array({qs})) AS est", "count(1) AS sample_n"

@@ -199,13 +199,20 @@ def duplicate_span_profile(
 
     @pandas_udf("array<long>")
     def _window_hashes(texts: pd.Series) -> pd.Series:
+        import re as _re
+
         import numpy as np
 
         B = np.uint64(0x9E3779B97F4A7C15)  # odd -> invertible mod 2^64
         BINV = np.uint64(pow(int(B), -1, 1 << 64))
+        # exact twin of the engine-side F.split(F.trim(text), r"\s+"):
+        # trim strips SPACES only, and Java's \s is the ASCII class —
+        # str.split() would also cut on Unicode whitespace (NBSP etc.),
+        # desynchronizing window positions from n_tokens
+        _ws = _re.compile(r"\s+", _re.ASCII)
         out = []
         for s in texts:
-            tk = (s or "").split()
+            tk = _ws.split((s or "").strip(" "))
             if len(tk) < k:
                 out.append([])
                 continue

@@ -123,9 +123,17 @@ def bpe_train(
     checkpoint_every bounds plan growth: the merge fold nests one
     expression layer per iteration, so every k-th iteration materializes
     the vocab with localCheckpoint (vocab-sized, cheap) and resets the
-    lineage — the same no-growth contract plans/heroic.py pins."""
+    lineage — the same no-growth contract plans/heroic.py pins.
+
+    vocab_partitions sizes every per-iteration job: the ordered-limit
+    histogram materializes as a SINGLE partition (GlobalLimit), which would
+    run each iteration's merge fold single-threaded over the whole vocab
+    AND schedule full shuffle-width task waves for the vocab-sized pair
+    aggregate; a small explicit width keeps the fold parallel while
+    bounding per-iteration scheduling to a handful of tasks."""
     vocab = (
         word_histogram(docs, text_col, max_words)
+        .repartition(vocab_partitions)
         .select("word", "freq", _initial_symbols().alias("symbols"))
         .localCheckpoint()
     )

@@ -190,6 +190,16 @@ SQL_COS = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
 )
 
+# Portable 6-decimal form for operators whose SPARK side rounds in numpy
+# (np.round is half-to-even, DuckDB round is half-away): floor(x*1e6+0.5)
+# over the identical IEEE product is bit-deterministic in every engine —
+# the same tie-proof scheme quality_score uses.
+SQL_COS_PORTABLE = (
+    "(floor((list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    " * 1e6 + 0.5) / 1e6)"
+)
+
 # ------------------------------------------------------------ text analysis
 
 
@@ -678,7 +688,7 @@ SEMANTIC_DEDUP_THRESHOLD = 0.4
     dropped AS (
       SELECT DISTINCT b2.vec_id AS vec_id
       FROM b b1 JOIN b b2 ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
-      WHERE {SQL_COS.format(a='b1.e', b='b2.e')} >= {SEMANTIC_DEDUP_THRESHOLD}
+      WHERE {SQL_COS_PORTABLE.format(a='b1.e', b='b2.e')} >= {SEMANTIC_DEDUP_THRESHOLD}
     )
     SELECT vec_id, bucket FROM b
     WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
@@ -691,9 +701,10 @@ def semantic_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     composed-sf1 bench caught the previous fixed 2**6 at 21.9 s for 10x
     the vectors; 2**20 is the web-scale cap), within-bucket cosine >= 0.4
     prune keeping the lowest id per epsilon-ball. The pairwise cosine runs
-    only inside buckets (the SemDeDup contract) as a JVM zip_with fold;
-    the oracle replays the adaptive width, bucket, and prune as one SQL
-    statement."""
+    only inside buckets (the SemDeDup contract) as a row-blocked BLAS gram
+    matrix per bucket group (applyInPandas), portable-rounded to 6
+    decimals; the oracle replays the adaptive width, bucket, and prune as
+    one SQL statement with the same floor-form rounding."""
     return semantic_dedup(
         t(spark, sf, "embeddings"),
         "vec_id",

@@ -1829,7 +1829,7 @@ BK_QS = (0.5, 0.9, 0.99)
 SQL_BK_QUANTILES = f"""
 WITH s AS (
   SELECT CAST(o_totalprice AS DOUBLE) AS v
-  FROM orders ORDER BY md5(CAST(o_orderkey AS VARCHAR))
+  FROM orders ORDER BY md5(CAST(o_orderkey AS VARCHAR)), v
   LIMIT {BK_K}),
 n AS (SELECT count(*) AS sample_n FROM s)
 """ + " UNION ALL ".join(

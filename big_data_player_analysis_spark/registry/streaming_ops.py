@@ -329,20 +329,23 @@ def stream_ingest_q(spark: SparkSession, sf: str) -> DataFrame:
     cross-batch filtering, replay idempotence, and the documented
     incremental-vs-global divergence case are pinned in
     tests/test_streaming_ingest.py."""
-    import uuid
-
     from big_data_player_analysis_spark.streaming.ingest import (
         stream_near_dedup_ingest,
     )
+    from big_data_player_analysis_spark.workspace import scratch_dir
 
-    scratch = f"/tmp/bdpa_ingest/{uuid.uuid4().hex}"
-    corpus = stream_near_dedup_ingest(
-        spark,
-        table_path(sf, "documents"),
-        f"{scratch}/corpus",
-        f"{scratch}/ckpt",
-    )
-    return corpus.select("doc_id", "source", "group_size", "batch")
+    # scratch (sink + checkpoint) is reclaimed on exit; the returned frame
+    # is localCheckpoint-materialized first so it outlives the files
+    with scratch_dir("ingest") as scratch:
+        corpus = stream_near_dedup_ingest(
+            spark,
+            table_path(sf, "documents"),
+            f"{scratch}/corpus",
+            f"{scratch}/ckpt",
+        )
+        return corpus.select(
+            "doc_id", "source", "group_size", "batch"
+        ).localCheckpoint(eager=True)
 
 
 SQL_INCREMENTAL_MV = """
@@ -372,16 +375,15 @@ def stream_incremental_mv_q(spark: SparkSession, sf: str) -> DataFrame:
     against the plain GROUP BY oracle IS the exactly-once evidence: any
     double-applied or dropped batch changes the sums. Multi-batch merge
     + crash-replay idempotence are pinned in tests/test_streaming_mv.py."""
-    import uuid
-
     from big_data_player_analysis_spark.streaming.mv import (
         stream_incremental_mv,
     )
+    from big_data_player_analysis_spark.workspace import scratch_dir
 
-    scratch = f"/tmp/bdpa_mv/{uuid.uuid4().hex}"
-    return stream_incremental_mv(
-        spark,
-        table_path(sf, "events"),
-        f"{scratch}/mv",
-        f"{scratch}/ckpt",
-    )
+    with scratch_dir("mv") as scratch:
+        return stream_incremental_mv(
+            spark,
+            table_path(sf, "events"),
+            f"{scratch}/mv",
+            f"{scratch}/ckpt",
+        ).localCheckpoint(eager=True)

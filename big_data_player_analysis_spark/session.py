@@ -13,6 +13,8 @@ import os
 
 from pyspark.sql import SparkSession
 
+from big_data_player_analysis_spark.workspace import spark_local_dir
+
 
 def get_spark(
     app_name: str = "bdpa-spark",
@@ -68,6 +70,14 @@ def get_spark(
         # retire a broadcast + checkpoint per iteration, and blocking
         # ContextCleaner RPCs stall the first job submitted afterwards
         .config("spark.cleaner.referenceTracking.blocking", "false")
+        # shuffle spill / block-manager disk / broadcast files go to the
+        # managed workspace, not bare /tmp: tools wipe dead-JVM leftovers
+        # on startup, so a killed run can't starve the next one of disk
+        # (the round-4 driver lost 6 correctness rows to exactly that)
+        .config("spark.local.dir", spark_local_dir())
+        # implicit (memory-sink) streaming checkpoints are temp dirs; make
+        # Spark delete them even when the query errors out
+        .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -99,7 +99,7 @@ def ensure_partitioned_layout(
     sf_dir: str,
     table: str,
     partition_cols: list[str],
-    root: str = "/tmp/bdpa_layout",
+    root: str | None = None,
 ) -> str:
     """Materialize (once per source-table CONTENT) a hive-partitioned copy
     of a testdata table and return its path. Directory partitioning is the
@@ -118,7 +118,10 @@ def ensure_partitioned_layout(
     import shutil
 
     from big_data_player_analysis_spark.catalog import load_table, table_path
+    from big_data_player_analysis_spark.workspace import cache_root
 
+    if root is None:
+        root = os.path.join(cache_root(), "layout")
     tag = re.sub(r"[^A-Za-z0-9_.-]+", "_", sf_dir.strip("/"))
     fp = _source_fingerprint(table_path(sf_dir, table))
     path = os.path.join(

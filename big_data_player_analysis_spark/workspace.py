@@ -1,0 +1,115 @@
+"""Scratch-space management: every byte this engine writes outside the
+repo lands under ONE workspace root, split into a `scratch/` tier that is
+always reclaimed (per-invocation try/finally + wipe-on-tool-startup) and a
+`cache/` tier for content-keyed artifacts that are deliberately reused
+across runs (composed scale-factor tables, scale-probe inputs,
+partitioned-layout copies).
+
+Why this exists (round-4 post-mortem): registry streaming entries used to
+mkdir `/tmp/bdpa_ingest/<uuid>` / `/tmp/bdpa_mv/<uuid>` per invocation and
+never removed them; Spark's shuffle spill also defaults to /tmp. Over a
+multi-hour driver round the leftovers accumulated until the disk filled,
+and six correctness rows died on `FileOutputStream.writeBytes` /
+`mkdir ckpt/sources/0 failed` — environment failures, not logic failures.
+The contract now is: scratch is leak-proof by construction, spark.local.dir
+points inside the workspace so spill is co-located and reclaimable, and
+every long-running tool calls `clean_scratch()` on startup so even a
+SIGKILL'd predecessor cannot poison the next run.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import shutil
+import tempfile
+from collections.abc import Iterator
+
+#: Old round-4 locations outside the workspace; removed by clean_scratch()
+#: so upgrading in place reclaims their bytes too.
+_LEGACY_DIRS = (
+    "/tmp/bdpa_ingest",
+    "/tmp/bdpa_mv",
+    "/tmp/bdpa_ingest_probe",
+    "/tmp/bdpa_mv_probe",
+    "/tmp/bdpa_layout",
+    "/tmp/bdpa_composed",
+    "/tmp/bdpa_scale_probe_events",
+    "/tmp/bdpa_scale_probe_docs",
+)
+
+
+def workspace_root() -> str:
+    """Root for all out-of-repo writes (override: $BDPA_WORKSPACE)."""
+    root = os.environ.get("BDPA_WORKSPACE", "/tmp/bdpa_workspace")
+    os.makedirs(root, exist_ok=True)
+    return root
+
+
+def scratch_root() -> str:
+    """Always-reclaimable tier: per-invocation temp dirs live here."""
+    d = os.path.join(workspace_root(), "scratch")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def cache_root() -> str:
+    """Reused tier: content-keyed artifacts (composed sf tables, probe
+    inputs, partitioned layouts). Bounded by construction — artifacts are
+    keyed on source content, so regenerated testdata replaces rather than
+    accumulates; `clean_cache()` wipes it for a cold run."""
+    d = os.path.join(workspace_root(), "cache")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def spark_local_dir() -> str:
+    """Target for spark.local.dir (shuffle spill, block-manager disk,
+    broadcast files). Lives in the workspace so `clean_scratch()` on tool
+    startup reclaims spill left behind by a killed JVM."""
+    d = os.path.join(workspace_root(), "spark-local")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+@contextlib.contextmanager
+def scratch_dir(prefix: str = "job") -> Iterator[str]:
+    """A private scratch directory removed on exit NO MATTER WHAT.
+
+    Callers that return a lazy DataFrame rooted in the scratch (streaming
+    sinks, checkpoints) must detach it from the files before the block
+    exits — `df.localCheckpoint(eager=True)` materializes the partitions
+    into the block manager so the backing files can be deleted.
+    """
+    d = tempfile.mkdtemp(prefix=f"{prefix}-", dir=scratch_root())
+    try:
+        yield d
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def clean_scratch(spark_local: bool = True) -> None:
+    """Wipe the reclaimable tier (and legacy round-4 locations). Called by
+    tool/bench entrypoints BEFORE building a SparkSession: scratch contents
+    are per-invocation by contract, so anything found here belongs to a
+    dead process. With spark_local=True (the pre-session default) leftover
+    spark-local dirs are also removed; pass False from contexts that may
+    run beside an already-live JVM (e.g. driver entry-module import)."""
+    for d in (scratch_root(), *(_LEGACY_DIRS)):
+        if os.path.isdir(d):
+            for entry in os.listdir(d):
+                shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
+    # legacy roots themselves (empty after the loop)
+    for d in _LEGACY_DIRS:
+        with contextlib.suppress(OSError):
+            os.rmdir(d)
+    if spark_local:
+        local = spark_local_dir()
+        for entry in os.listdir(local):
+            shutil.rmtree(os.path.join(local, entry), ignore_errors=True)
+
+
+def clean_cache() -> None:
+    """Wipe the reused tier (cold-run switch for tools)."""
+    shutil.rmtree(cache_root(), ignore_errors=True)
+    os.makedirs(cache_root(), exist_ok=True)

@@ -21,8 +21,11 @@ facts grow by ``factor``:
 
 Usage:
     python tools/make_scaled_sf.py [--factor 10] [--base /root/testdata/sf0.1]
-                                   [--out /tmp/bdpa_composed]
-    SPARK_GRAFT_SF_DIR=/tmp/bdpa_composed/sf1.0 python bench.py
+                                   [--out DIR] [--fresh]
+    SPARK_GRAFT_SF_DIR=$BDPA_WORKSPACE/cache/composed/sf1 python bench.py
+
+Output defaults to the workspace cache tier and is REUSED across runs
+(content-deterministic composition); --fresh forces re-materialization.
 
 The output directory name encodes base_sf * factor so bench.py's sf-label
 parse works unchanged.
@@ -105,7 +108,9 @@ def compose_table(spark, base_dir: str, table: str, factor: int, spans) -> "F.Da
 
 
 def main():
-    factor, base_dir, out_root = 10, "/root/testdata/sf0.1", "/tmp/bdpa_composed"
+    from big_data_player_analysis_spark.workspace import cache_root, clean_scratch
+
+    factor, base_dir, out_root, fresh = 10, "/root/testdata/sf0.1", None, False
     argv = sys.argv[1:]
     while argv:
         if argv[0] == "--factor":
@@ -114,21 +119,31 @@ def main():
             base_dir, argv = argv[1], argv[2:]
         elif argv[0] == "--out":
             out_root, argv = argv[1], argv[2:]
+        elif argv[0] == "--fresh":
+            fresh, argv = True, argv[1:]
         else:
             raise SystemExit(f"unknown arg {argv[0]!r}")
+    if out_root is None:
+        out_root = os.path.join(cache_root(), "composed")
+    clean_scratch()
     base_sf = float(base_dir.rstrip("/").rsplit("sf", 1)[-1])
     out_dir = os.path.join(out_root, f"sf{base_sf * factor:g}")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("bdpa-make-scaled-sf")
     spans = key_spans(spark, base_dir)
-    for table in SHARED_DIMS:
-        load_table(spark, base_dir, table).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, f"{table}.parquet"))
-    for table in SCALED_TABLES:
-        compose_table(spark, base_dir, table, factor, spans).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(out_dir, f"{table}.parquet"))
+    for table in SHARED_DIMS + SCALED_TABLES:
+        dest = os.path.join(out_dir, f"{table}.parquet")
+        # composition is deterministic in (base content, factor): a prior
+        # complete copy is byte-equivalent, so reuse instead of burning
+        # minutes + disk re-materializing (pass --fresh to force)
+        if not fresh and os.path.exists(os.path.join(dest, "_SUCCESS")):
+            print(f"reuse {table}")
+            continue
+        if table in SHARED_DIMS:
+            df = load_table(spark, base_dir, table).coalesce(1)
+        else:
+            df = compose_table(spark, base_dir, table, factor, spans)
+        df.write.mode("overwrite").parquet(dest)
         print(f"wrote {table}")
     print(out_dir)
 

@@ -4,7 +4,7 @@ renders the sidecar) shows per-query 10x growth ratios.
 
 Usage:
     python tools/make_scaled_sf.py --factor 10
-    SPARK_GRAFT_SF_DIR=/tmp/bdpa_composed/sf1 python bench.py > /tmp/bench_sf1.out
+    SPARK_GRAFT_SF_DIR=$BDPA_WORKSPACE/cache/composed/sf1 python bench.py > /tmp/bench_sf1.out
     python tools/record_sf1_bench.py /tmp/bench_sf1.out [BENCH_sf01.json]
 
 The baseline defaults to the latest BENCH_r*.json in the repo root (the

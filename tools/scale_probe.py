@@ -14,6 +14,7 @@ Usage: python tools/scale_probe.py [--scales 1,4,16]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -473,16 +474,15 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
     if docs_path is not None:
 
         def ingest_probe():
-            import uuid
-
             from big_data_player_analysis_spark.streaming.ingest import (
                 stream_near_dedup_ingest,
             )
+            from big_data_player_analysis_spark.workspace import scratch_dir
 
-            scratch = f"/tmp/bdpa_ingest_probe/{uuid.uuid4().hex}"
-            return stream_near_dedup_ingest(
-                docs.sparkSession, docs_path, f"{scratch}/corpus", f"{scratch}/ckpt"
-            )
+            with scratch_dir("ingest-probe") as scratch:
+                return stream_near_dedup_ingest(
+                    docs.sparkSession, docs_path, f"{scratch}/corpus", f"{scratch}/ckpt"
+                ).localCheckpoint(eager=True)
 
         extra["stream_near_dedup_ingest"] = ingest_probe
     if events_path is not None:
@@ -528,17 +528,16 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
         extra["stream_outer_interval_join"] = outer_join_probe
 
         def mv_probe():
-            import uuid
-
             from big_data_player_analysis_spark.streaming.mv import (
                 stream_incremental_mv,
             )
+            from big_data_player_analysis_spark.workspace import scratch_dir
 
             spark = docs.sparkSession
-            scratch = f"/tmp/bdpa_mv_probe/{uuid.uuid4().hex}"
-            return stream_incremental_mv(
-                spark, events_path, f"{scratch}/mv", f"{scratch}/ckpt"
-            )
+            with scratch_dir("mv-probe") as scratch:
+                return stream_incremental_mv(
+                    spark, events_path, f"{scratch}/mv", f"{scratch}/ckpt"
+                ).localCheckpoint(eager=True)
 
         # foreachBatch merge: batch scan + O(keys) snapshot per batch
         extra["stream_incremental_mv"] = mv_probe
@@ -638,6 +637,9 @@ def main():
             argv = argv[2:]
         else:
             raise SystemExit(f"unknown arg {argv[0]!r}")
+    from big_data_player_analysis_spark.workspace import clean_scratch
+
+    clean_scratch()  # reclaim any dead-run leftovers before spinning up
     spark = get_spark("bdpa-scale-probe")
     base_docs = load_table(spark, SF_DIR, "documents")
     base_emb = load_table(spark, SF_DIR, "embeddings")
@@ -651,17 +653,23 @@ def main():
         )
         return {n: b for n, b in full.items() if only is None or n in only}
 
-    def write_events(events, factor: int) -> str:
-        """Materialize the scaled events as a parquet dir for the file
-        streaming source (outside the timed loop)."""
-        path = f"/tmp/bdpa_scale_probe_events/{factor}x"
-        events.write.mode("overwrite").parquet(path)
+    from big_data_player_analysis_spark.workspace import cache_root
+
+    def _write_cached(df, kind: str, factor: int) -> str:
+        """Materialize a scaled probe table ONCE per (kind, factor) in the
+        reused cache tier — the composition is deterministic, so a prior
+        run's copy is byte-identical and re-materializing it just burns
+        disk and time (round-4 left 200 MB of these in bare /tmp)."""
+        path = os.path.join(cache_root(), f"scale_probe_{kind}", f"{factor}x")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            df.write.mode("overwrite").parquet(path)
         return path
 
+    def write_events(events, factor: int) -> str:
+        return _write_cached(events, "events", factor)
+
     def write_docs(docs, factor: int) -> str:
-        path = f"/tmp/bdpa_scale_probe_docs/{factor}x"
-        docs.write.mode("overwrite").parquet(path)
-        return path
+        return _write_cached(docs, "docs", factor)
 
     # Warmup: run every probe once untimed at 1x so the first timed scale
     # doesn't absorb codegen/JIT/broadcast initialization.

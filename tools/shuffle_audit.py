@@ -293,7 +293,13 @@ def main() -> int:
         i = args.index("--only")
         audited = [n for n in args[i + 1].split(",") if n in AUDITED]
         args = args[:i] + args[i + 2 :]
-    sf_dirs = args or ["/root/testdata/sf0.1", "/tmp/bdpa_composed/sf1"]
+    from big_data_player_analysis_spark.workspace import cache_root, clean_scratch
+
+    clean_scratch()
+    sf_dirs = args or [
+        "/root/testdata/sf0.1",
+        os.path.join(cache_root(), "composed", "sf1"),
+    ]
     sf_dirs = [d for d in sf_dirs if os.path.isdir(d)]
     spark = get_spark(
         "shuffle-audit",
