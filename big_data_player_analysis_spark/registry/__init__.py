@@ -23,6 +23,14 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     sql: str | None
     tags: tuple[str, ...] = field(default=())
+    # Optional scale-capable oracle: fn(duckdb_con) -> pandas.DataFrame,
+    # semantically identical to ``sql`` but implementable where a single
+    # SQL statement cannot run above the sf0.01 gate (the recursive-CTE
+    # transitive closures materialize O(sum |component|^2) rows; the
+    # replacement replays the same fixed point iteratively). The DRIVER
+    # contract still ships ``sql``; local sweeps (tools/oracle_check.py)
+    # use this above sf0.01, and tests pin both paths equal at the gate.
+    oracle_scale: Callable | None = field(default=None, compare=False)
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -388,6 +396,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # tier keeps four in-window rows (incremental_mv, near_dedup_ingest,
 # stream_stream_interval_join, outer_interval_join) — every one of the
 # seven r03-green streaming entries retains union driver evidence.
+# Round-5 rotation: the round-4 verdict asked for the simhash web-scale
+# operating point as a first-class entry — dedup_simhash_web (4 bands x
+# 16 bits, Manku-style, 1.68 s at 64x vs 49.6 s strict) is new with no
+# driver row, and dedup_simhash's docstring/contract changed to name it
+# as the scale default — both promoted. Displaced: olap_gap_fill (green
+# r4 on unchanged code; the time-series family stays in-window via
+# olap_rolling_average green r4 + olap_anomaly_zscore) and
+# olap_zorder_key (green r4 on unchanged code; the data-layout /
+# partition-skipping family stays via olap_partition_pruned_scan green
+# r4).
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -396,7 +414,6 @@ PRIMARY_ORDER: tuple[str, ...] = (
     # — displaced by the new olap_partition_pruned_scan, which has no
     # driver row yet)
     "llm_heavy_ngrams_sketch",
-    "olap_gap_fill",
     "olap_quantile_shard_merge",
     "olap_triangle_count",
     "olap_quantile_binning",
@@ -408,7 +425,6 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "olap_funnel_conversion",
     "olap_dq_audit",
-    "olap_zorder_key",
     "llm_corpus_curation",
     "olap_retention_cohorts",
     "olap_cdc_upsert",
@@ -422,6 +438,8 @@ PRIMARY_ORDER: tuple[str, ...] = (
     # has no driver row yet)
     "olap_unpivot",
     "llm_quality_percentile_filter",
+    "dedup_simhash",
+    "dedup_simhash_web",
     "llm_line_dedup",
     "olap_hll_shard_merge",
     "llm_pack_sequences",
@@ -532,11 +550,18 @@ EXTENDED_ORDER: tuple[str, ...] = (
 )
 
 
-def query(name: str, sql: str | None = None, tags: tuple[str, ...] = ()):
+def query(
+    name: str,
+    sql: str | None = None,
+    tags: tuple[str, ...] = (),
+    oracle_scale: Callable | None = None,
+):
     """Decorator: register fn(spark, sf_dir) -> DataFrame under ``name``."""
 
     def deco(fn):
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, sql=sql, tags=tags)
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, sql=sql, tags=tags, oracle_scale=oracle_scale
+        )
         return fn
 
     return deco

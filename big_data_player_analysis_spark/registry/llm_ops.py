@@ -408,8 +408,27 @@ def dedup_simhash_q(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming <= 8 via band buckets +
     popcount). Rows-only: signatures hinge on xxhash64, which the DuckDB
     oracle cannot reproduce; parity with exact Jaccard dups is asserted in
-    tests/test_llm_ops.py instead."""
+    tests/test_llm_ops.py instead. This is the STRICT operating point (9
+    bands of ~7 bits, exact recall to hamming 8) for modest corpora; the
+    registry's web-scale default is dedup_simhash_web below."""
     return dedup_simhash(t(spark, sf, "documents"), "doc_id", "text", k=SHINGLE_K)
+
+
+@query("dedup_simhash_web", sql=None, tags=("llm", "dedup", "bench"))
+def dedup_simhash_web_q(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash at the WEB-SCALE operating point (Manku et al. 2007's
+    configuration shape: 4 bands of 16 bits, exact pigeonhole recall to
+    hamming <= 3). Per-band candidate volume is ~n^2/2^16 vs the strict
+    contract's n^2/2^7 — the 64x probe measured 1.68 s here vs 49.6 s
+    strict (SCALE.md), which is why this is the config a 100 TB corpus
+    runs; the strict entry stays registered for the tighter-distance
+    contract. Rows-only like the strict entry (xxhash64 signatures);
+    exact equivalence to strict-filtered-to-hamming<=3 is pinned in
+    tests/test_llm_ops.py (both schemes are pigeonhole-exact at <=3)."""
+    return dedup_simhash(
+        t(spark, sf, "documents"), "doc_id", "text",
+        k=SHINGLE_K, max_hamming=3, n_bands=4,
+    )
 
 
 # new batch = every 5th doc (a 20% ingest batch); corpus = the rest
@@ -447,7 +466,16 @@ def dedup_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-SQL_COMPONENTS = f"""
+# ---- transitive-closure oracles: one recursive-CTE prefix (driver SQL)
+# plus an ITERATIVE union-find replay (oracle_scale) sharing per-entry SQL
+# tails. The recursive form materializes the full reachability relation —
+# O(sum |component|^2) rows — which is fine at the sf0.01 driver gate but
+# blows DuckDB's disk above it; the union-find replay computes the SAME
+# min-label fixed point over the SAME exact-Jaccard pairs in O(pairs
+# alpha(n)) and feeds the identical tail SQL, lifting the sweep gate to
+# any sf (tests/test_closure_oracle.py pins both paths equal at the gate).
+
+SQL_CLOSURE_COMP = f"""
 WITH RECURSIVE und AS (
   SELECT CASE WHEN f.flip = 0 THEN jp.doc_a ELSE jp.doc_b END AS a,
          CASE WHEN f.flip = 0 THEN jp.doc_b ELSE jp.doc_a END AS b
@@ -457,13 +485,79 @@ reach(a, b) AS (
   SELECT a, b FROM und
   UNION
   SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-)
-SELECT a AS node, CAST(least(a, min(b)) AS BIGINT) AS component
-FROM reach GROUP BY a
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
 """
 
 
-@query("dedup_components", sql=SQL_COMPONENTS, tags=("llm", "dedup", "graph"))
+def closure_components_df(con):
+    """node -> component (= min id of its connected set) over the exact-
+    Jaccard pair graph, via union-by-min union-find — the same fixed point
+    the recursive CTE's least(a, min(reachable)) computes, without
+    materializing reachability. Pure oracle path: pairs come from DuckDB's
+    own SQL_PAIRS_EXACT, never from the Spark side under test."""
+    import pandas as pd
+
+    pairs = con.execute(SQL_PAIRS_EXACT).df()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # always hang the larger root under the smaller, so every
+            # set's final root IS its minimum id (the closure's label)
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    nodes = sorted(
+        {int(x) for x in pairs["doc_a"]} | {int(x) for x in pairs["doc_b"]}
+    )
+    return pd.DataFrame(
+        {
+            "node": pd.Series(nodes, dtype="int64"),
+            "component": pd.Series([find(n) for n in nodes], dtype="int64"),
+        }
+    )
+
+
+def closure_oracle(tail: str):
+    """oracle_scale runner: union-find components registered as the `comp`
+    relation, then the entry's shared tail SQL."""
+
+    def run(con):
+        con.register("comp_py", closure_components_df(con))
+        try:
+            return con.execute(
+                f"WITH comp AS (SELECT node, component FROM comp_py)\n{tail}"
+            ).df()
+        finally:
+            con.unregister("comp_py")
+
+    return run
+
+
+TAIL_COMPONENTS = """
+SELECT node, CAST(component AS BIGINT) AS component FROM comp
+"""
+
+SQL_COMPONENTS = SQL_CLOSURE_COMP + TAIL_COMPONENTS
+
+
+@query(
+    "dedup_components",
+    sql=SQL_COMPONENTS,
+    tags=("llm", "dedup", "graph"),
+    oracle_scale=closure_oracle(TAIL_COMPONENTS),
+)
 def dedup_components_q(spark: SparkSession, sf: str) -> DataFrame:
     """Connected components over the MinHash near-dup pairs via iterative
     min-label propagation (operators/dedup.py:dedup_components) — pairwise
@@ -478,20 +572,9 @@ def dedup_components_q(spark: SparkSession, sf: str) -> DataFrame:
     return dedup_components(pairs)
 
 
-SQL_SURVIVORS = f"""
-WITH RECURSIVE und AS (
-  SELECT CASE WHEN f.flip = 0 THEN jp.doc_a ELSE jp.doc_b END AS a,
-         CASE WHEN f.flip = 0 THEN jp.doc_b ELSE jp.doc_a END AS b
-  FROM ({SQL_PAIRS_EXACT.strip()}) jp, (SELECT unnest([0, 1]) AS flip) f
-),
-reach(a, b) AS (
-  SELECT a, b FROM und
-  UNION
-  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-),
-comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
-gs AS (SELECT component, CAST(count(*) AS BIGINT) AS group_size
-       FROM comp GROUP BY component)
+TAIL_SURVIVORS = """
+, gs AS (SELECT component, CAST(count(*) AS BIGINT) AS group_size
+         FROM comp GROUP BY component)
 SELECT d.doc_id, d.source,
        CAST(coalesce(g.group_size, 1) AS BIGINT) AS group_size
 FROM documents d
@@ -500,11 +583,16 @@ LEFT JOIN gs g ON g.component = d.doc_id
 WHERE c.node IS NULL OR c.component = d.doc_id
 """
 
+SQL_SURVIVORS = SQL_CLOSURE_COMP + TAIL_SURVIVORS
+
+ORACLE_SCALE_SURVIVORS = closure_oracle(TAIL_SURVIVORS)
+
 
 @query(
     "llm_near_dedup_survivors",
     sql=SQL_SURVIVORS,
     tags=("llm", "dedup", "pipeline", "bench"),
+    oracle_scale=ORACLE_SCALE_SURVIVORS,
 )
 def near_dedup_survivors_q(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end fuzzy dedup (round-3 verdict gap #1): MinHash+LSH
@@ -522,19 +610,8 @@ def near_dedup_survivors_q(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "source", "group_size")
 
 
-SQL_SURVIVORS_BEST = f"""
-WITH RECURSIVE und AS (
-  SELECT CASE WHEN f.flip = 0 THEN jp.doc_a ELSE jp.doc_b END AS a,
-         CASE WHEN f.flip = 0 THEN jp.doc_b ELSE jp.doc_a END AS b
-  FROM ({SQL_PAIRS_EXACT.strip()}) jp, (SELECT unnest([0, 1]) AS flip) f
-),
-reach(a, b) AS (
-  SELECT a, b FROM und
-  UNION
-  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-),
-comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
-ranked AS (
+TAIL_SURVIVORS_BEST = """
+, ranked AS (
   SELECT c.component, c.node,
          row_number() OVER (
            PARTITION BY c.component
@@ -553,11 +630,14 @@ LEFT JOIN win w ON w.winner = d.doc_id
 WHERE c.node IS NULL OR w.winner IS NOT NULL
 """
 
+SQL_SURVIVORS_BEST = SQL_CLOSURE_COMP + TAIL_SURVIVORS_BEST
+
 
 @query(
     "llm_near_dedup_best_quality",
     sql=SQL_SURVIVORS_BEST,
     tags=("llm", "dedup", "pipeline"),
+    oracle_scale=closure_oracle(TAIL_SURVIVORS_BEST),
 )
 def near_dedup_best_quality_q(spark: SparkSession, sf: str) -> DataFrame:
     """End-to-end fuzzy dedup with the PRODUCTION survivor policy: per
@@ -579,18 +659,8 @@ def near_dedup_best_quality_q(spark: SparkSession, sf: str) -> DataFrame:
 
 CURATION_MIN_QUALITY = 0.36
 
-SQL_CURATION = f"""
-WITH RECURSIVE und AS (
-  SELECT CASE WHEN f.flip = 0 THEN jp.doc_a ELSE jp.doc_b END AS a,
-         CASE WHEN f.flip = 0 THEN jp.doc_b ELSE jp.doc_a END AS b
-  FROM ({SQL_PAIRS_EXACT.strip()}) jp, (SELECT unnest([0, 1]) AS flip) f
-),
-reach(a, b) AS (
-  SELECT a, b FROM und
-  UNION
-  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
-),
-noncanon AS (SELECT a AS node FROM reach GROUP BY a HAVING least(a, min(b)) <> a),
+TAIL_CURATION = f"""
+, noncanon AS (SELECT node FROM comp WHERE component <> node),
 p AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM documents),
 s AS (
   SELECT doc_id,
@@ -612,8 +682,15 @@ WHERE quality >= {CURATION_MIN_QUALITY}
   AND doc_id NOT IN (SELECT node FROM noncanon)
 """
 
+SQL_CURATION = SQL_CLOSURE_COMP + TAIL_CURATION
 
-@query("llm_corpus_curation", sql=SQL_CURATION, tags=("llm", "pipeline"))
+
+@query(
+    "llm_corpus_curation",
+    sql=SQL_CURATION,
+    tags=("llm", "pipeline"),
+    oracle_scale=closure_oracle(TAIL_CURATION),
+)
 def corpus_curation_q(spark: SparkSession, sf: str) -> DataFrame:
     """The composite training-data curation pipeline: language filter +
     quality threshold + near-dup removal (keep the min-id doc per MinHash

@@ -303,6 +303,7 @@ def stream_late_data_q(spark: SparkSession, sf: str) -> DataFrame:
 # ------------------------------------------------- streaming near-dedup ingest
 
 from big_data_player_analysis_spark.registry.llm_ops import (  # noqa: E402
+    ORACLE_SCALE_SURVIVORS,
     SQL_SURVIVORS,
 )
 
@@ -315,7 +316,19 @@ FROM ({SQL_SURVIVORS.strip()}) s
 """
 
 
-@query("stream_near_dedup_ingest", sql=SQL_INGEST, tags=("streaming", "dedup", "llm"))
+def _ingest_oracle_scale(con):
+    """Scale-capable twin of SQL_INGEST: the union-find survivor closure
+    plus the constant batch id."""
+    df = ORACLE_SCALE_SURVIVORS(con)
+    return df.assign(batch=0).astype({"batch": "int32"})
+
+
+@query(
+    "stream_near_dedup_ingest",
+    sql=SQL_INGEST,
+    tags=("streaming", "dedup", "llm"),
+    oracle_scale=_ingest_oracle_scale,
+)
 def stream_ingest_q(spark: SparkSession, sf: str) -> DataFrame:
     """Streaming near-dedup ingestion end-to-end (streaming/ingest.py): a
     real foreachBatch availableNow run that collapses each arriving

@@ -568,7 +568,7 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
         "dedup_simhash": lambda: dedup_simhash(docs, "doc_id", "text", 8),
         # web-scale operating point: 16-bit buckets keep candidate volume
         # ~ n^2/2^16 per band vs the strict contract's n^2/2^7
-        "dedup_simhash_h3": lambda: dedup_simhash(
+        "dedup_simhash_web": lambda: dedup_simhash(
             docs, "doc_id", "text", 8, max_hamming=3, n_bands=4
         ),
         "knn_join_vectorized": lambda: knn_join_vectorized(
@@ -723,8 +723,6 @@ def main():
     # the best available estimator of the uncontended cost. The sidecar
     # is reset whenever an operator implementation changes (git history
     # ties each sidecar update to the code it measured).
-    import os
-
     sidecar = os.path.join(os.path.dirname(__file__), "scale_results.json")
     n_invocations = 1
     if os.path.exists(sidecar):
@@ -790,7 +788,7 @@ def main():
         "any-shared-rare-shingle contract admits ~59 candidates/doc on",
         "this corpus, so its verify dominates — dedup_minhash_lsh, whose",
         "bands admit ~4 orders of magnitude fewer candidates for the same",
-        "verified output, is the designed scale path, and dedup_simhash_h3",
+        "verified output, is the designed scale path, and dedup_simhash_web",
         "is the simhash web-scale operating point vs the strict <=8 row).",
         f"Each cell is the min over {n_invocations} probe invocation(s) x 2",
         "runs each (this host has sustained external load bursts that",
@@ -861,8 +859,6 @@ def sf1_section() -> list[str]:
     `SPARK_GRAFT_SF_DIR=/tmp/bdpa_composed/sf1 python bench.py` run over
     tools/make_scaled_sf.py output) so SCALE.md keeps the order-of-
     magnitude evidence across probe rewrites."""
-    import os
-
     side = os.path.join(os.path.dirname(__file__), "bench_sf1.json")
     if not os.path.exists(side):
         return []
