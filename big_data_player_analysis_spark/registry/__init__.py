@@ -396,6 +396,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # tier keeps four in-window rows (incremental_mv, near_dedup_ingest,
 # stream_stream_interval_join, outer_interval_join) — every one of the
 # seven r03-green streaming entries retains union driver evidence.
+# Second round-5 rotation: llm_curation_pipeline (the end-to-end
+# quality -> line-dedup -> near-dedup-survivors -> decontaminate -> pack
+# mega-pipeline, the round-4 verdict's stretch ask) is new with no
+# driver row — promoted, displacing olap_quantile_binning: green r4 on
+# unchanged code, and the quantile family keeps olap_quantile_shard_merge
+# (green r4) in-window.
+#
 # Round-5 rotation: the round-4 verdict asked for the simhash web-scale
 # operating point as a first-class entry — dedup_simhash_web (4 bands x
 # 16 bits, Manku-style, 1.68 s at 64x vs 49.6 s strict) is new with no
@@ -416,7 +423,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_heavy_ngrams_sketch",
     "olap_quantile_shard_merge",
     "olap_triangle_count",
-    "olap_quantile_binning",
+    "llm_curation_pipeline",
     "olap_tpch_q18_large_orders",
     "q16_heroic_iterative",
     # §2.4 engine-scope representatives (13)

@@ -41,6 +41,7 @@ from big_data_player_analysis_spark.operators.dedup import (
     dedup_exact,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
+    near_dedup_survivors,
     title_hamming_pairs,
     dedup_simhash,
     semantic_dedup,
@@ -476,7 +477,7 @@ def dedup_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
 # any sf (tests/test_closure_oracle.py pins both paths equal at the gate).
 
 SQL_CLOSURE_COMP = f"""
-WITH RECURSIVE und AS (
+WITH RECURSIVE und AS MATERIALIZED (
   SELECT CASE WHEN f.flip = 0 THEN jp.doc_a ELSE jp.doc_b END AS a,
          CASE WHEN f.flip = 0 THEN jp.doc_b ELSE jp.doc_a END AS b
   FROM ({SQL_PAIRS_EXACT.strip()}) jp, (SELECT unnest([0, 1]) AS flip) f
@@ -490,15 +491,16 @@ comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
 """
 
 
-def closure_components_df(con):
+def closure_components_df(con, pairs_sql: str | None = None):
     """node -> component (= min id of its connected set) over the exact-
     Jaccard pair graph, via union-by-min union-find — the same fixed point
     the recursive CTE's least(a, min(reachable)) computes, without
     materializing reachability. Pure oracle path: pairs come from DuckDB's
-    own SQL_PAIRS_EXACT, never from the Spark side under test."""
+    own SQL_PAIRS_EXACT (or a caller-supplied pair SQL with the same
+    doc_a/doc_b columns), never from the Spark side under test."""
     import pandas as pd
 
-    pairs = con.execute(SQL_PAIRS_EXACT).df()
+    pairs = con.execute(pairs_sql or SQL_PAIRS_EXACT).df()
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -529,15 +531,18 @@ def closure_components_df(con):
     )
 
 
-def closure_oracle(tail: str):
+def closure_oracle(tail: str, pairs_sql: str | None = None):
     """oracle_scale runner: union-find components registered as the `comp`
-    relation, then the entry's shared tail SQL."""
+    relation, then the entry's shared tail SQL. WITH RECURSIVE so tails
+    may themselves contain (non-closure) recursive CTEs, e.g. the
+    pack-sequences next-fit walk."""
 
     def run(con):
-        con.register("comp_py", closure_components_df(con))
+        con.register("comp_py", closure_components_df(con, pairs_sql))
         try:
             return con.execute(
-                f"WITH comp AS (SELECT node, component FROM comp_py)\n{tail}"
+                "WITH RECURSIVE comp AS (SELECT node, component FROM comp_py)"
+                f"\n{tail}"
             ).df()
         finally:
             con.unregister("comp_py")
@@ -1973,7 +1978,7 @@ WITH RECURSIVE base AS (
             + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))
             % {PACK_GROUPS} AS BIGINT) AS grp
   FROM documents),
-d AS (
+d AS MATERIALIZED (
   SELECT doc_id, nt, grp,
          row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
   FROM base),
@@ -2308,4 +2313,267 @@ def quality_percentile_filter_q(spark: SparkSession, sf: str) -> DataFrame:
         scored.crossJoin(F.broadcast(thr))
         .filter(F.col("quality") >= F.col("p10"))
         .select("doc_id", "quality", F.round("p10", 6).alias("p10"))
+    )
+
+
+# ---------------------------------------- end-to-end curation pipeline
+
+# The composed mega-pipeline (round-4 verdict stretch): the realistic
+# shape a 100 TB curation run actually executes, as ONE lazy plan —
+#   eval split -> quality+language gate -> cross-doc line dedup ->
+#   minhash near-dup survivors (over the CLEANED text) ->
+#   decontaminate vs the eval slice -> pack into training sequences.
+# Every stage is an existing registry-verified operator; the oracle
+# composes the per-stage SQL twins into one statement (recursive form
+# for the driver gate) plus the union-find oracle_scale path for sweeps
+# above it. Output carries one column per downstream-visible stage
+# effect (group_size from dedup, n_tokens from the cleaned text, the
+# pack triple), so the hash check pins the whole composition.
+
+_PIPE_GRP = f"""CAST(((((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) * 16
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1)) * 16
+      + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1))
+      % {PACK_GROUPS} AS BIGINT)"""
+
+_PIPE_NORM_CLEAN = (
+    "trim(regexp_replace(regexp_replace(lower(clean_text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g'))"
+)
+
+# Decontamination inside the pipeline uses LONG shingles (32 chars ~ the
+# 8-13-token n-grams of published decontamination runs), not the dedup
+# tier's 8-char shingles: at 8 chars every document shares >=10 shingles
+# with some eval doc (common word fragments) and the anti-join empties
+# the corpus (measured: 4664/4664 flagged at sf0.1); at 32 chars only
+# genuine eval near-copies overlap (43/4664 flagged). The standalone
+# llm_decontaminate entry keeps k=8 — it REPORTS overlap counts; the
+# pipeline REMOVES, which demands the precision contract.
+PIPE_DECONTAM_K = 32
+PIPE_DECONTAM_MIN_SHARED = 2
+
+# Stages BEFORE the component closure, shared by the recursive oracle,
+# the iterative oracle's tail, and the iterative pair extraction.
+SQL_PIPE_PRE = f"""
+pev AS (SELECT doc_id, text FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'),
+ptr AS (SELECT doc_id, text FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'),
+pp AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM ptr),
+ps AS (
+  SELECT doc_id, text,
+         {', '.join(f'{_sql_lang_score(lang)} AS s_{lang}' for lang in LANG_PRIORITY)},
+         floor((
+           {QUALITY_WEIGHTS['stop_ratio']} * (CAST({_sql_lang_score('en')} AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\\s+')))
+         + {QUALITY_WEIGHTS['alpha_ratio']} * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+               / length(text))
+         + {QUALITY_WEIGHTS['len_score']} * least(1.0,
+               len(regexp_split_to_array(trim(text), '\\s+')) / {QUALITY_LEN_NORM})
+         ) * 1000000.0 + 0.5) / 1000000.0 AS quality
+  FROM pp),
+pq AS (SELECT doc_id, text FROM ps
+       WHERE quality >= {CURATION_MIN_QUALITY} AND {_sql_lang_case()} = 'en'),
+pld AS (SELECT doc_id, {REPEAT_SQL_TOKS} AS toks FROM pq),
+pln AS (SELECT doc_id, toks,
+               CAST(ceil(len(toks) / {REPEAT_WINDOW_TOKENS}.0) AS BIGINT) AS n_windows
+        FROM pld),
+plw AS (SELECT doc_id, n_windows, toks,
+               CAST(unnest(generate_series(0, n_windows - 1)) AS BIGINT) AS widx
+        FROM pln),
+plwt AS (SELECT doc_id, widx,
+                array_to_string(
+                  list_slice(toks,
+                             CAST(widx * {REPEAT_WINDOW_TOKENS} + 1 AS INT),
+                             CAST(widx * {REPEAT_WINDOW_TOKENS} + {REPEAT_WINDOW_TOKENS} AS INT)),
+                  ' ') AS wtext
+         FROM plw),
+plfreq AS (SELECT wtext FROM (
+             SELECT wtext, count(DISTINCT doc_id) AS nd FROM plwt GROUP BY wtext)
+           WHERE nd >= {REPEAT_MIN_DOCS}),
+plreb AS (SELECT doc_id, string_agg(wtext, ' ' ORDER BY widx) AS clean_text
+          FROM plwt WHERE wtext NOT IN (SELECT wtext FROM plfreq)
+          GROUP BY doc_id),
+pclean AS (SELECT q.doc_id, coalesce(r.clean_text, '') AS clean_text
+           FROM pq q LEFT JOIN plreb r ON q.doc_id = r.doc_id),
+pcd AS (SELECT doc_id, {_PIPE_NORM_CLEAN} AS norm FROM pclean),
+pcsh AS (
+  SELECT DISTINCT doc_id AS doc, substr(norm, CAST(i AS INT), {SHINGLE_K}) AS shingle
+  FROM pcd, LATERAL (SELECT unnest(range(1, greatest(len(norm) - {SHINGLE_K - 2}, 1))) AS i) r
+),
+pcsizes AS (SELECT doc, count(*) AS n FROM pcsh GROUP BY doc),
+pcinter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_common
+  FROM pcsh a JOIN pcsh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc
+),
+pcpairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM pcinter i
+  JOIN pcsizes na ON na.doc = i.doc_a
+  JOIN pcsizes nb ON nb.doc = i.doc_b
+  WHERE round(1.0 * n_common / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
+)
+"""
+
+# Stages AFTER the component closure (references `comp` + SQL_PIPE_PRE
+# names): survivors -> decontaminate -> pack walk -> final projection.
+# The CTEs a recursive CTE joins against (ppd here, pund in the closure)
+# are AS MATERIALIZED: DuckDB otherwise re-evaluates their ENTIRE
+# pipeline lineage once per recursion step (measured: 45.6 s -> 1.1 s
+# for the pack walk, 716 s -> seconds for the whole recursive oracle).
+SQL_PIPE_TAIL = f"""
+, pgs AS (SELECT component, CAST(count(*) AS BIGINT) AS group_size
+          FROM comp GROUP BY component),
+psurv AS (
+  SELECT c.doc_id, c.clean_text,
+         CAST(coalesce(g.group_size, 1) AS BIGINT) AS group_size
+  FROM pclean c
+  LEFT JOIN comp cm ON c.doc_id = cm.node
+  LEFT JOIN pgs g ON g.component = c.doc_id
+  WHERE cm.node IS NULL OR cm.component = c.doc_id),
+pevn AS (SELECT {SQL_NORM} AS norm FROM pev),
+pevsh AS (
+  SELECT DISTINCT substr(norm, CAST(i AS INT), {PIPE_DECONTAM_K}) AS shingle
+  FROM pevn, LATERAL (SELECT unnest(range(1, greatest(len(norm) - {PIPE_DECONTAM_K - 2}, 1))) AS i) r
+),
+psh32 AS (
+  SELECT DISTINCT d.doc_id AS doc, substr(d.norm, CAST(i AS INT), {PIPE_DECONTAM_K}) AS shingle
+  FROM pcd d
+  JOIN psurv sv ON sv.doc_id = d.doc_id,
+  LATERAL (SELECT unnest(range(1, greatest(len(d.norm) - {PIPE_DECONTAM_K - 2}, 1))) AS i) r
+),
+pcontam AS (
+  SELECT doc FROM psh32
+  JOIN pevsh USING (shingle)
+  GROUP BY doc
+  HAVING count(*) >= {PIPE_DECONTAM_MIN_SHARED}),
+pfinal AS (
+  SELECT doc_id, group_size,
+         CAST(len(regexp_split_to_array(trim(coalesce(clean_text, '')), '\\s+')) AS BIGINT) AS nt
+  FROM psurv WHERE doc_id NOT IN (SELECT doc FROM pcontam)),
+pbase AS (SELECT doc_id, group_size, nt, {_PIPE_GRP} AS grp FROM pfinal),
+ppd AS MATERIALIZED (SELECT doc_id, group_size, nt, grp,
+               row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+        FROM pbase),
+pwalk AS (
+  SELECT doc_id, group_size, grp, nt, rn,
+         CAST(0 AS BIGINT) AS pack_id, CAST(0 AS BIGINT) AS off, nt AS fill
+  FROM ppd WHERE rn = 1
+  UNION ALL
+  SELECT d.doc_id, d.group_size, d.grp, d.nt, d.rn,
+         CASE WHEN w.fill > 0 AND w.fill + d.nt > {PACK_BUDGET}
+              THEN w.pack_id + 1 ELSE w.pack_id END,
+         CASE WHEN w.fill > 0 AND w.fill + d.nt > {PACK_BUDGET}
+              THEN 0 ELSE w.fill END,
+         CASE WHEN w.fill > 0 AND w.fill + d.nt > {PACK_BUDGET}
+              THEN d.nt ELSE w.fill + d.nt END
+  FROM pwalk w JOIN ppd d ON d.grp = w.grp AND d.rn = w.rn + 1)
+SELECT doc_id, grp, pack_id, off, nt AS n_tokens, group_size FROM pwalk
+"""
+
+SQL_PIPE_UND = """
+, pund AS MATERIALIZED (
+  SELECT CASE WHEN f.flip = 0 THEN cp.doc_a ELSE cp.doc_b END AS a,
+         CASE WHEN f.flip = 0 THEN cp.doc_b ELSE cp.doc_a END AS b
+  FROM pcpairs cp, (SELECT unnest([0, 1]) AS flip) f
+),
+preach(a, b) AS (
+  SELECT a, b FROM pund
+  UNION
+  SELECT r.a, u.b FROM preach r JOIN pund u ON r.b = u.a
+),
+comp AS (SELECT a AS node, least(a, min(b)) AS component FROM preach GROUP BY a)
+"""
+
+SQL_CURATION_PIPELINE = (
+    "WITH RECURSIVE " + SQL_PIPE_PRE.strip() + SQL_PIPE_UND + SQL_PIPE_TAIL
+)
+
+# iterative pair extraction for the oracle_scale path: the same pre-chain
+# as a plain (non-materializing) WITH, emitting the verified pairs
+SQL_PIPE_PAIRS = (
+    "WITH " + SQL_PIPE_PRE.strip() + "\nSELECT doc_a, doc_b FROM pcpairs"
+)
+
+ORACLE_SCALE_PIPELINE = closure_oracle(
+    ", " + SQL_PIPE_PRE.strip() + SQL_PIPE_TAIL, pairs_sql=SQL_PIPE_PAIRS
+)
+
+
+@query(
+    "llm_curation_pipeline",
+    sql=SQL_CURATION_PIPELINE,
+    tags=("llm", "pipeline", "dedup", "bench"),
+    oracle_scale=ORACLE_SCALE_PIPELINE,
+)
+def curation_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
+    """The END-TO-END curation mega-pipeline, one lazy Spark plan: hold
+    out the deterministic eval slice (md5 prefix 'f'), gate the rest on
+    quality_score >= 0.36 + language 'en', strip cross-document
+    boilerplate windows (C4 line dedup), collapse near-duplicates of the
+    CLEANED text to one survivor per MinHash component, drop survivors
+    sharing >= 2 LONG (32-char) shingles with the eval slice — the
+    published decontamination contract, long n-grams so only genuine
+    eval near-copies match — and pack what remains into 256-token
+    training sequences over 8 hash streams. This is the composition a real pre-training data run
+    executes, and the integration test of the LLM tier: each stage is an
+    already-verified operator, and the oracle replays all six stages in
+    one SQL statement (recursive closure at the driver gate; union-find
+    oracle_scale above it).
+
+    Scale shape: the pipeline's exchange budget is the SUM of its
+    stages' (SHUFFLE.md) — stages hand off narrow (id, text/count)
+    projections, the one text-sized exchange is the line-dedup window
+    aggregate, dedup moves ~0.02x of its input through the band
+    exchange, the eval shingle set broadcasts, and packing is one grp
+    exchange of (id, nt). The DAG fans out at two stage boundaries
+    (cleaned text feeds both sides of the dedup; survivors feed both
+    decontamination and the final projection), so those two frames are
+    persisted — Catalyst does not share common subplans within one
+    query, and without the persist each fan-out re-ran every upstream
+    stage (first audit measured 77 MB shuffled at sf1 vs the ~35 MB
+    stage sum; persisted, the budget matches the sum)."""
+    from big_data_player_analysis_spark.operators.chunking import pack_sequences
+
+    docs = t(spark, sf, "documents")
+    pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    train = docs.filter(pfx != "f")
+    eval_docs = docs.filter(pfx == "f").select("doc_id", "text")
+
+    scored = train.select(
+        "doc_id", "text",
+        quality_score(F.col("text")).alias("_q"),
+        predict_language(F.col("text")).alias("_lang"),
+    )
+    gated = scored.filter(
+        (F.col("_q") >= CURATION_MIN_QUALITY) & (F.col("_lang") == "en")
+    ).select("doc_id", "text")
+
+    cleaned = remove_repeated_windows(
+        gated, "doc_id", "text",
+        window_tokens=REPEAT_WINDOW_TOKENS, min_docs=REPEAT_MIN_DOCS,
+    ).select("doc_id", F.col("clean_text").alias("text")).persist()
+
+    surv = near_dedup_survivors(
+        cleaned, "doc_id", "text", k=SHINGLE_K, threshold=JACCARD_THRESHOLD
+    ).persist()
+
+    contaminated = decontaminate(
+        surv.select("doc_id", "text"), eval_docs, "doc_id", "text",
+        k=PIPE_DECONTAM_K, min_shared=PIPE_DECONTAM_MIN_SHARED,
+    ).select(F.col("train_id").alias("doc_id"))
+    final = surv.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id",
+        "group_size",
+        F.size(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+        ).cast("long").alias("n_tokens"),
+    )
+
+    packed = pack_sequences(
+        final, "doc_id", "n_tokens", budget=PACK_BUDGET, n_groups=PACK_GROUPS
+    )
+    return packed.join(final, "doc_id").select(
+        "doc_id", "grp", "pack_id", "off", "n_tokens", "group_size"
     )

@@ -27,6 +27,7 @@ CLOSURE_ENTRIES = [
     "llm_near_dedup_best_quality",
     "llm_corpus_curation",
     "stream_near_dedup_ingest",
+    "llm_curation_pipeline",
 ]
 
 

@@ -72,12 +72,13 @@ def test_primary_window():
     # olap_triangle_count, llm_title_hamming_dedup in; q04_smoothed_avg,
     # q06_distinct_pairs, sim_bruteforce_topk, dedup_exact out (green r03
     # rows on unchanged code; see PRIMARY_ORDER's rotation notes)
-    # round-5 rotation: dedup_simhash (changed contract) + dedup_simhash_web
-    # (new web-scale operating point) in; olap_gap_fill + olap_zorder_key
-    # out (green r4 rows on unchanged code, families still represented —
-    # see PRIMARY_ORDER's rotation notes)
+    # round-5 rotations: dedup_simhash (changed contract), dedup_simhash_web
+    # (new web-scale operating point) and llm_curation_pipeline (new
+    # end-to-end mega-pipeline) in; olap_gap_fill, olap_zorder_key and
+    # olap_quantile_binning out (green r4 rows on unchanged code, families
+    # still represented — see PRIMARY_ORDER's rotation notes)
     assert {
-        "dedup_simhash", "dedup_simhash_web",
+        "dedup_simhash", "dedup_simhash_web", "llm_curation_pipeline",
         "olap_window_distribution", "olap_triangle_count",
         "llm_title_hamming_dedup",
         "llm_near_dedup_survivors", "llm_substring_dup_spans",
@@ -97,7 +98,7 @@ def test_primary_window():
         "olap_tpch_q18_large_orders", "olap_unpivot",
         "stream_outer_interval_join",
         "olap_scd2_history", "olap_partition_pruned_scan", "olap_hll_shard_merge",
-        "olap_quantile_binning", "olap_rolling_average",
+        "olap_rolling_average",
     } <= window
 
 

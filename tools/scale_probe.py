@@ -193,6 +193,75 @@ def timed(build) -> float:
     return round(min(times), 2)
 
 
+def _curation_pipeline_probe(docs):
+    """The end-to-end mega-pipeline over the scaled corpus. Growth should
+    be the max of its stages' rows (all individually near-linear); a
+    super-linear cell means a fan-out stage lost its persist and re-runs
+    upstream stages."""
+    from pyspark.sql import functions as F
+
+    from big_data_player_analysis_spark.functions.text import (
+        predict_language,
+        quality_score,
+    )
+    from big_data_player_analysis_spark.operators.chunking import (
+        PACK_BUDGET,
+        PACK_GROUPS,
+        pack_sequences,
+    )
+    from big_data_player_analysis_spark.operators.dedup import (
+        decontaminate,
+        near_dedup_survivors,
+    )
+    from big_data_player_analysis_spark.operators.repetition import (
+        REPEAT_MIN_DOCS,
+        REPEAT_WINDOW_TOKENS,
+        remove_repeated_windows,
+    )
+    from big_data_player_analysis_spark.registry.llm_ops import (
+        CURATION_MIN_QUALITY,
+        JACCARD_THRESHOLD,
+        PIPE_DECONTAM_K,
+        PIPE_DECONTAM_MIN_SHARED,
+        SHINGLE_K,
+    )
+
+    pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    train = docs.filter(pfx != "f")
+    eval_docs = docs.filter(pfx == "f").select("doc_id", "text")
+    gated = (
+        train.select(
+            "doc_id", "text",
+            quality_score(F.col("text")).alias("_q"),
+            predict_language(F.col("text")).alias("_lang"),
+        )
+        .filter((F.col("_q") >= CURATION_MIN_QUALITY) & (F.col("_lang") == "en"))
+        .select("doc_id", "text")
+    )
+    cleaned = remove_repeated_windows(
+        gated, "doc_id", "text",
+        window_tokens=REPEAT_WINDOW_TOKENS, min_docs=REPEAT_MIN_DOCS,
+    ).select("doc_id", F.col("clean_text").alias("text")).persist()
+    surv = near_dedup_survivors(
+        cleaned, "doc_id", "text", k=SHINGLE_K, threshold=JACCARD_THRESHOLD
+    ).persist()
+    contaminated = decontaminate(
+        surv.select("doc_id", "text"), eval_docs, "doc_id", "text",
+        k=PIPE_DECONTAM_K, min_shared=PIPE_DECONTAM_MIN_SHARED,
+    ).select(F.col("train_id").alias("doc_id"))
+    final = surv.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "group_size",
+        F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"))
+        .cast("long").alias("n_tokens"),
+    )
+    packed = pack_sequences(
+        final, "doc_id", "n_tokens", budget=PACK_BUDGET, n_groups=PACK_GROUPS
+    )
+    return packed.join(final, "doc_id").select(
+        "doc_id", "grp", "pack_id", "off", "n_tokens", "group_size"
+    )
+
+
 def _title_hamming_probe(docs):
     from big_data_player_analysis_spark.operators.dedup import (
         title_hamming_pairs,
@@ -561,6 +630,7 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
         # put every rotation class in disjoint buckets, so density stays
         # constant and the row should read near-linear
         "llm_title_hamming_dedup": lambda: _title_hamming_probe(docs),
+        "llm_curation_pipeline": lambda: _curation_pipeline_probe(docs),
         "dedup_ngram_jaccard": lambda: dedup_ngram_jaccard(
             docs, "doc_id", "text", 8, 0.6, 20
         ),

@@ -72,6 +72,10 @@ AUDITED = [
     "olap_anomaly_zscore",
     "llm_bigram_surprisal",
     "llm_substring_dup_spans",
+    "llm_cdc_chunks",
+    "stream_near_dedup_ingest",
+    "dedup_simhash_web",
+    "llm_curation_pipeline",
     "olap_event_transitions",
     "olap_min_cost_supplier",
     "llm_heavy_ngrams_sketch",
@@ -195,7 +199,11 @@ NOTES = {
         "join's probe side — O(E^1.5)-bounded by the (deg, id) "
         "orientation; the composed step scales disjoint duel subgraphs, "
         "so growth stays at/below linear. The sw:in ratio is an artifact "
-        "of the tiny dictionary-compressed parquet input, not fan-out."
+        "of the tiny dictionary-compressed parquet input, not fan-out. "
+        "(The round-4 SCALE table's 184 s 64x cell that contradicted "
+        "this row was a host load burst: the round-5 re-measure landed "
+        "74.8 s = 4.2x per 4x step, matching the linear exchange bytes "
+        "here.)"
     ),
     "olap_quantile_binning": (
         "the only exchange is the exact sample percentile's "
@@ -213,6 +221,40 @@ NOTES = {
         "distinct-bigram volume, which the composed corpus holds "
         "constant) — never token instances; the pair fan-out itself is a "
         "narrow zip."
+    ),
+    "llm_cdc_chunks": (
+        "the rolling-hash boundary scan is a narrow Arrow pass (no "
+        "exchange); the shuffled bytes are the emitted (doc_id, chunk "
+        "bounds, chunk hash) rows — O(output chunks), linear in the "
+        "corpus. The 64x SCALE cell (18.2 s) is scan+hash compute, not "
+        "exchange pressure."
+    ),
+    "stream_near_dedup_ingest": (
+        "per micro-batch: the batch's own survivor closure (minhash "
+        "bands, ~0.02x of the batch) plus the incremental check's "
+        "new-batch band table, size-gate-broadcast against the "
+        "accumulated-corpus band stream — the corpus side is never "
+        "exchanged on the band key; the driver entry runs the whole "
+        "table as ONE batch, so its bytes track the batch dedup. The "
+        "64x SCALE cell (40 s) is the micro-batch runtime + sink "
+        "rewrite, linear across the row."
+    ),
+    "dedup_simhash_web": (
+        "the web-scale default (4 bands x 16-bit buckets): same "
+        "signature pass and exchange shape as the strict entry, but "
+        "per-band candidate volume is ~n^2/2^16 vs n^2/2^7 — shuffle "
+        "bytes are signatures + the sparse candidate pairs, staying "
+        "linear where the strict config's within-bucket pairs grow "
+        "quadratic-ish (49.6 s vs 1.68 s at the 64x probe)."
+    ),
+    "llm_curation_pipeline": (
+        "the end-to-end composition (quality gate -> line dedup -> "
+        "near-dedup survivors -> decontaminate -> pack): its exchange "
+        "budget is the SUM of its stages' own SHUFFLE rows — compare "
+        "against llm_line_dedup + dedup_minhash_lsh + "
+        "llm_near_dedup_survivors + llm_pack_sequences above; a larger "
+        "number would mean a stage recomputes an upstream stage (the "
+        "plan is linear, every stage consumed exactly once)."
     ),
 }
 
