@@ -89,9 +89,12 @@ def stream_near_dedup_ingest(
                     .distinct()
                 )
                 surv = surv.join(dup_new, "doc_id", "left_anti")
+            # written INTO the batch=<id> partition dir: the batch value
+            # comes from the directory name on read (basePath), so the
+            # column is not stored in the file (storing it too made every
+            # read warn COLUMN_ALREADY_EXISTS)
             (
-                surv.withColumn("batch", F.lit(batch_id))
-                .coalesce(1)
+                surv.coalesce(1)
                 .write.mode("overwrite")
                 .parquet(f"{corpus_dir}/batch={batch_id}")
             )
