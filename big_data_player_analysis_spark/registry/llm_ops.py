@@ -491,6 +491,14 @@ comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
 """
 
 
+# One sweep runs five closure entries against the SAME connection (= same
+# attached views = same corpus); the exact-Jaccard pair SQL is the
+# expensive part (~400 s at composed sf1), so its components memoize per
+# (connection, pair SQL). Bounded: a sweep uses one connection and at
+# most two distinct pair SQLs.
+_CLOSURE_MEMO: dict[tuple[int, int], object] = {}
+
+
 def closure_components_df(con, pairs_sql: str | None = None):
     """node -> component (= min id of its connected set) over the exact-
     Jaccard pair graph, via union-by-min union-find — the same fixed point
@@ -499,6 +507,11 @@ def closure_components_df(con, pairs_sql: str | None = None):
     own SQL_PAIRS_EXACT (or a caller-supplied pair SQL with the same
     doc_a/doc_b columns), never from the Spark side under test."""
     import pandas as pd
+
+    memo_key = (id(con), hash(pairs_sql or SQL_PAIRS_EXACT))
+    cached = _CLOSURE_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
 
     pairs = con.execute(pairs_sql or SQL_PAIRS_EXACT).df()
     parent: dict[int, int] = {}

@@ -385,3 +385,48 @@ def test_checkpoint_crash_recovery_exactly_once(spark, tmp_path):
         for r in spark.read.parquet(str(out / b)).collect()
     )
     assert total == [1, 2, 3, 10, 11]  # every event exactly once
+
+
+def test_stateful_under_rocksdb_state_store(spark, events, split_events_dir):
+    """The same cross-batch stateful aggregation under the RocksDB state
+    store provider — the disk-backed store a production 100 TB streaming
+    job runs (state no longer bounded by executor memory; HDFS-backed
+    in-memory maps are the local-mode default). Same final per-user
+    aggregates as the batch twin => the operator is provider-agnostic and
+    the scale path is a config switch, not a rewrite."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocks)
+    try:
+        sdf = events_stream(spark, split_events_dir, max_files_per_trigger=1)
+        out = run_stream_to_table(user_running_stats(sdf), "update").collect()
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    last = {}
+    for r in out:
+        cur = last.get(r.user_id)
+        if cur is None or r.n_events > cur.n_events:
+            last[r.user_id] = r
+    want = {
+        r.user_id: r
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(last) == set(want)
+    for uid, got in last.items():
+        w = want[uid]
+        assert got.n_events == w.n_events
+        assert got.sum_value == pytest.approx(w.sum_value, rel=1e-12)
+        assert got.last_ts == w.last_ts

@@ -49,6 +49,13 @@ def main() -> int:
 
     spark = get_spark("oracle-check")
     con = duckdb.connect()
+    # bound DuckDB under the co-resident 48g Spark JVM and give it a spill
+    # target: the default (80% of RAM, limited spilling) OOM'd the
+    # composed-sf1 pipeline oracle instead of spilling
+    from big_data_player_analysis_spark.workspace import scratch_root
+
+    con.execute("SET memory_limit='32GB'")
+    con.execute(f"SET temp_directory='{scratch_root()}/duckdb_spill'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table dir (composed scales)
