@@ -396,6 +396,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # tier keeps four in-window rows (incremental_mv, near_dedup_ingest,
 # stream_stream_interval_join, outer_interval_join) — every one of the
 # seven r03-green streaming entries retains union driver evidence.
+# Third round-5 rotation: olap_variant_metrics (semi-structured metrics
+# through Spark 4's VARIANT type — parse-once binary encoding +
+# try_variant_get null-on-malformed extraction, the engine-native
+# schema-on-read path) is new with no driver row — promoted, displacing
+# olap_event_transitions: green r4 on unchanged code, and the
+# event-sequence family stays in-window via olap_funnel_conversion
+# (green r4) and olap_top_paths.
+#
 # Second round-5 rotation: llm_curation_pipeline (the end-to-end
 # quality -> line-dedup -> near-dedup-survivors -> decontaminate -> pack
 # mega-pipeline, the round-4 verdict's stretch ask) is new with no
@@ -437,7 +445,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "olap_cdc_upsert",
     "olap_min_cost_supplier",
     "olap_key_skew_profile",
-    "olap_event_transitions",
+    "olap_variant_metrics",
     "olap_scd2_history",
     # LLM-data-pipeline tier (23; text_quality_score rotated out late in
     # r3 — green r01+r02 on unchanged code, overlaps llm_quality_filters'

@@ -342,6 +342,43 @@ def json_extract(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "olap_variant_metrics",
+    sql="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("olap", "json", "variant"),
+)
+def variant_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured metrics through the VARIANT type (Spark 4): props
+    is parsed ONCE into the open binary-encoded VARIANT and fields are
+    extracted with try_variant_get — the engine-native path for
+    schema-on-read JSON at scale. Vs get_json_object
+    (olap_json_extract), the parse happens once per row regardless of
+    how many fields are later extracted, the encoded value is
+    columnar-shreddable, and malformed documents yield NULL
+    (try_variant_get) instead of failing the task — the behavior a
+    100 TB crawl with dirty payloads needs. The oracle reads the same
+    field with DuckDB's JSON extraction."""
+    ev = t(spark, sf, "events").select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.try_variant_get(F.col("v"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
+@query(
     "olap_month_json",
     sql="""
     SELECT date_trunc('month', ts) AS event_month,

@@ -85,7 +85,7 @@ def test_primary_window():
         "llm_heavy_ngrams_sketch", "stream_outer_interval_join",
         "olap_quantile_shard_merge", "olap_ks_drift", "olap_cogroup_order_lag",
         "olap_top_paths",
-        "olap_event_transitions", "olap_min_cost_supplier",
+        "olap_variant_metrics", "olap_min_cost_supplier",
         "olap_funnel_conversion", "olap_retention_cohorts",
         "llm_bigram_surprisal", "olap_anomaly_zscore",
         "dedup_embedding_cosine", "dedup_components",
