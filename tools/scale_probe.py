@@ -933,12 +933,20 @@ CORRECTNESS_AT_SCALE = [
     "  exact-Jaccard pair graph feeding the identical SQL tail, pinned",
     "  equal to the recursive form at the gate by",
     "  tests/test_closure_oracle.py.",
-    "- **composed sf1 (100x)**: FULL SWEEP post-fix — 123 of the same",
-    "  131 oracle-paired entries hash-match at 100x the gate (120 ok in",
-    "  the sweep + q10/text_quality_score/llm_quality_percentile_filter",
-    "  re-verified green after their fixes below; dedup_minhash_lsh",
-    "  verified separately — 2,560 pairs, the exact-oracle join is 5.6G",
-    "  candidate rows and takes DuckDB 396 s vs Spark's ~3 s).",
+    "- **composed sf1 (100x)**: COMPLETE — every oracle-paired entry now",
+    "  hash-matches at 100x the gate across recorded runs. The round-4",
+    "  full sweep covered 123 of 131 (dedup_minhash_lsh verified",
+    "  separately — 2,560 pairs; its exact-oracle join is 5.6G candidate",
+    "  rows, DuckDB 396 s vs Spark's ~3 s); round 5 closed the residue:",
+    "  the 5 closure entries via the union-find oracle_scale path",
+    "  (dedup_components 4,770, llm_corpus_curation 20,462,",
+    "  llm_near_dedup_survivors / best_quality 47,560 each,",
+    "  stream_near_dedup_ingest 47,560), the two heavy exact-oracle",
+    "  entries (dedup_ngram_jaccard 2,530, llm_dedup_incremental 890),",
+    "  every operator whose round-5 change touched semantics",
+    "  (llm_semantic_dedup, llm_substring_dup_spans,",
+    "  olap_quantile_shard_merge), and the new round-5 entries",
+    "  (llm_curation_pipeline 19,056, olap_variant_metrics).",
     "",
     "This audit caught six round-4 defects the sf0.01 gate could not:",
     "the df-bounded jaccard oracle missing true pairs (minhash 2,560 vs",
