@@ -608,3 +608,30 @@ def test_top_paths_two_exchanges(spark, specs):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2  # details headers
     assert "partial_count" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_variant_metrics_narrow_parse_with_partial_agg(spark, specs):
+    """VARIANT path: parse_json + try_variant_get are a narrow projection
+    feeding one partial-aggregated exchange — no join, no second parse of
+    props, props itself pruned out after the parse."""
+    p = plan_str(specs["olap_variant_metrics"].fn(spark, SF))
+    # formatted plans list each node in the tree AND the detail section
+    assert p.count("Exchange") <= 2
+    assert "partial_count" in p or "partial_sum" in p
+    assert "Join" not in p
+    # exactly one parse of the raw JSON per row (rendered as the
+    # VariantExpressionEvalUtils.parseJson static invoke)
+    assert p.count("parseJson") == 1
+
+
+def test_curation_pipeline_no_cross_product_and_persisted_fanout(spark, specs):
+    """The mega-pipeline plans with no nested-loop/cartesian join anywhere
+    (every stage is keyed/broadcast), and the two fan-out stage boundaries
+    read from InMemoryTableScan (the persist that keeps the exchange
+    budget equal to the stage sum — losing it re-runs upstream stages,
+    first audit measured 77 MB vs the ~35 MB sum at sf1)."""
+    df = specs["llm_curation_pipeline"].fn(spark, SF)
+    p = plan_str(df)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "InMemoryTableScan" in p
