@@ -65,9 +65,12 @@ def cache_root() -> str:
 
 def spark_local_dir() -> str:
     """Target for spark.local.dir (shuffle spill, block-manager disk,
-    broadcast files). Lives in the workspace so `clean_scratch()` on tool
-    startup reclaims spill left behind by a killed JVM."""
-    d = os.path.join(workspace_root(), "spark-local")
+    broadcast files): a PER-PROCESS subdir, so `clean_scratch()` can
+    reclaim dead runs' spill by liveness-checking the owning pid instead
+    of blind deletion — a concurrent live JVM's spill must never be
+    touched (a bench run once wiped a running test session's shuffle
+    files mid-suite: 302 failures from one clean_scratch)."""
+    d = os.path.join(workspace_root(), "spark-local", f"pid-{os.getpid()}")
     os.makedirs(d, exist_ok=True)
     return d
 
@@ -80,33 +83,69 @@ def scratch_dir(prefix: str = "job") -> Iterator[str]:
     sinks, checkpoints) must detach it from the files before the block
     exits — `df.localCheckpoint(eager=True)` materializes the partitions
     into the block manager so the backing files can be deleted.
+
+    The name embeds the owning pid (`-pid<N>-`): a concurrent process's
+    clean_scratch() liveness-checks it and leaves in-flight scratch of a
+    LIVE run alone instead of wiping it mid-query.
     """
-    d = tempfile.mkdtemp(prefix=f"{prefix}-", dir=scratch_root())
+    d = tempfile.mkdtemp(prefix=f"{prefix}-pid{os.getpid()}-", dir=scratch_root())
     try:
         yield d
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 def clean_scratch(spark_local: bool = True) -> None:
     """Wipe the reclaimable tier (and legacy round-4 locations). Called by
-    tool/bench entrypoints BEFORE building a SparkSession: scratch contents
-    are per-invocation by contract, so anything found here belongs to a
-    dead process. With spark_local=True (the pre-session default) leftover
-    spark-local dirs are also removed; pass False from contexts that may
-    run beside an already-live JVM (e.g. driver entry-module import)."""
+    tool/bench entrypoints BEFORE building a SparkSession. Scratch-tier
+    contents are per-invocation by contract (try/finally-reclaimed), so
+    anything found there belongs to a dead process; spark-local subdirs
+    are per-pid and removed ONLY when their owning process is gone — a
+    concurrent live session's spill is never touched (spark_local=False
+    skips even the dead-pid sweep, for callers that want scratch-only)."""
+    import re
+
+    def _owner_alive(entry: str) -> bool:
+        m = re.search(r"-pid(\d+)-", entry)
+        if not m:
+            return False  # no owner tag -> reclaimable
+        pid = int(m.group(1))
+        return pid == os.getpid() or _pid_alive(pid)
+
     for d in (scratch_root(), *(_LEGACY_DIRS)):
         if os.path.isdir(d):
             for entry in os.listdir(d):
+                if d == scratch_root() and _owner_alive(entry):
+                    continue
                 shutil.rmtree(os.path.join(d, entry), ignore_errors=True)
     # legacy roots themselves (empty after the loop)
     for d in _LEGACY_DIRS:
         with contextlib.suppress(OSError):
             os.rmdir(d)
     if spark_local:
-        local = spark_local_dir()
-        for entry in os.listdir(local):
-            shutil.rmtree(os.path.join(local, entry), ignore_errors=True)
+        local_root = os.path.join(workspace_root(), "spark-local")
+        if os.path.isdir(local_root):
+            for entry in os.listdir(local_root):
+                if entry.startswith("pid-"):
+                    try:
+                        pid = int(entry[4:])
+                    except ValueError:
+                        pid = -1
+                    if pid > 0 and (pid == os.getpid() or _pid_alive(pid)):
+                        continue
+                shutil.rmtree(
+                    os.path.join(local_root, entry), ignore_errors=True
+                )
 
 
 def clean_cache() -> None:

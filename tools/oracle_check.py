@@ -55,7 +55,11 @@ def main() -> int:
     from big_data_player_analysis_spark.workspace import scratch_root
 
     con.execute("SET memory_limit='32GB'")
-    con.execute(f"SET temp_directory='{scratch_root()}/duckdb_spill'")
+    # pid-tagged so a concurrent clean_scratch() leaves a live run's
+    # spill alone (same liveness contract as scratch_dir)
+    con.execute(
+        f"SET temp_directory='{scratch_root()}/duckdb-pid{os.getpid()}-spill'"
+    )
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(p):  # Spark-written table dir (composed scales)
