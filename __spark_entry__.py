@@ -44,9 +44,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return result.scores.orderBy(F.desc("hs"), F.desc("player_id")).limit(10)
 
 
+def _released(fn: Callable[[SparkSession, str], DataFrame]):
+    """Release the PREVIOUS entry's tracked persists before building the
+    next one: operators persist self-join intermediates that must outlive
+    their (lazy) build, so the earliest safe unpersist point in the
+    driver's run-compare-run loop is the start of the next entry. Keeps a
+    142-entry sweep on one JVM at <= one entry's cached blocks (round-5
+    verdict defect #1)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from big_data_player_analysis_spark.caching import release_tracked
+
+        release_tracked()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.fn for name, spec in all_queries().items()}
+    return {name: _released(spec.fn) for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

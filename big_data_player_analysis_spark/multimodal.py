@@ -751,3 +751,140 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, IMAGE_FEATURE_SCHEMA)
+
+
+# ------------------------------------------- perceptual hash (dHash)
+
+#: dHash grid: GH rows x (GW+1) sampled columns -> GW comparisons per row
+#: = GW*GH = 63 bits, deliberately < 64 so the signature always fits a
+#: non-negative BIGINT in both engines (bit 63 would overflow DuckDB's
+#: signed shift arithmetic in the oracle).
+DHASH_GW = 9
+DHASH_GH = 7
+#: planted near-duplicate cadence: doc_id % PHASH_PLANT_MOD == 1 renders
+#: the PREVIOUS doc's texture with a one-pixel perturbation
+PHASH_PLANT_MOD = 50
+
+
+def _texture_params(doc_id: int) -> tuple[int, int, int, int, bool]:
+    """(cid, w, h, seed, planted) for the textured synthetic image —
+    closed-form in doc_id so the whole hash pipeline has an exact
+    ANSI-SQL oracle. A planted doc (doc_id % PHASH_PLANT_MOD == 1) reuses
+    its PREDECESSOR's content id — same geometry, same texture — plus a
+    single perturbed pixel, making (doc_id-1, doc_id) a true near-dup pair
+    at small Hamming distance; non-planted docs essentially never collide
+    (measured: 1 random pair <= 8 bits across 2000 docs = ~2M pairs)."""
+    planted = doc_id % PHASH_PLANT_MOD == 1
+    cid = doc_id - 1 if planted else doc_id
+    return cid, 8 + cid % 9, 6 + cid % 5, cid % 99991, planted
+
+
+def _texture_value(seed: int, x, y):
+    """Grayscale texture g(seed, x, y) in 0..255, exactly replayable in
+    ANSI SQL (integer *, %, //, xor only; every intermediate < 2^62 so
+    both numpy int64 and DuckDB BIGINT compute it overflow-free). A first
+    multiplicative congruential pass alone left lattice structure —
+    dHashes of 500 docs collided in 51 groups, turning the pair join
+    quadratic — so an xor-shift and a second multiply scramble it; the
+    result's neighbor comparisons are empirically fair coins."""
+    h = (seed + 73 * x + 1009 * y + 47 * x * y) % 100003
+    h = (h * 2654435761) % 2**31
+    h = h ^ (h // 65536)
+    h = (h * 40503) % 2**31
+    return (h // 4096) % 256
+
+
+def synth_textured_bmp_payload(doc_id: int) -> bytes:
+    """A REAL 24-bit BMP whose grayscale texture is pseudorandom per pixel
+    (_texture_value), stored as B = G = R. Unlike synth_bmp_payload's
+    constant-gradient pattern (whose dHash would be identical across
+    thousands of docs and turn any near-dup join quadratic), the scrambled
+    texture gives every content id a distinct signature; near-duplicates
+    exist ONLY where planted."""
+    import struct
+
+    import numpy as np
+
+    _cid, w, h, seed, planted = _texture_params(doc_id)
+    xs = np.arange(w, dtype=np.int64)
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    g = _texture_value(seed, xs, ys)
+    if planted:
+        px, py = (3 * w) // 10, (2 * h) // 7
+        g[py, px] = (g[py, px] + 128) % 256
+    stride = (3 * w + 3) // 4 * 4
+    rowbuf = np.zeros((h, stride), dtype=np.uint8)
+    for c in range(3):  # B = G = R = g
+        rowbuf[:, c : 3 * w : 3] = g
+    data = rowbuf[::-1].tobytes()  # bottom-up scan order
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    offset = 14 + 40
+    hdr = struct.pack("<2sIHHI", b"BM", offset + len(data), 0, 0, offset)
+    return hdr + dib + data
+
+
+def attach_textured_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """One textured BMP payload per row, synthesized deterministically
+    from the id (Arrow pandas_udf, batch-at-a-time)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_textured_bmp_payload(int(i)))
+
+    return df.select(F.col(id_col).alias("doc_id"), _synth(id_col).alias("payload"))
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("sig", T.LongType(), False),
+    ]
+)
+
+
+def dhash_signatures(media: DataFrame) -> DataFrame:
+    """REAL difference-hash over decoded BMP payloads via mapInPandas:
+    parse the container (same header walk as decode_bmp_features), reduce
+    to integer grayscale ((B + G + R) // 3), nearest-neighbor sample a
+    (GW+1) x GH grid with the exact integer mapping src = (dst*len)//n —
+    the same mapping resize_bmp_features uses — then emit one bit per
+    horizontal neighbor comparison, packed little-endian into a 63-bit
+    BIGINT. The canonical LAION-style image fingerprint: payload bytes
+    never shuffle, one narrow (doc_id, sig) row leaves the scan."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        weights = (1 << np.arange(DHASH_GW * DHASH_GH, dtype=np.int64)).reshape(
+            DHASH_GH, DHASH_GW
+        )
+        for pdf in it:
+            rows: dict[str, list] = {"doc_id": [], "sig": []}
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload[:2] != b"BM":
+                    raise ValueError(f"doc {did}: not a BMP payload")
+                offset = struct.unpack_from("<I", payload, 10)[0]
+                _, w, h, _, bpp = struct.unpack_from("<IiiHH", payload, 14)
+                if bpp != 24:
+                    raise ValueError(f"doc {did}: unsupported bpp {bpp}")
+                nrows = abs(h)
+                stride = (3 * w + 3) // 4 * 4
+                arr = np.frombuffer(
+                    payload, dtype=np.uint8, count=stride * nrows, offset=offset
+                ).reshape(nrows, stride)
+                pix = arr[:, : 3 * w].reshape(nrows, w, 3)[::-1].astype(np.int64)
+                gray = pix.sum(axis=2) // 3
+                ix = (np.arange(DHASH_GW + 1) * w) // (DHASH_GW + 1)
+                iy = (np.arange(DHASH_GH) * nrows) // DHASH_GH
+                grid = gray[iy][:, ix]
+                bits = (grid[:, 1:] > grid[:, :-1]).astype(np.int64)
+                rows["doc_id"].append(int(did))
+                rows["sig"].append(int((bits * weights).sum()))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, DHASH_SCHEMA)

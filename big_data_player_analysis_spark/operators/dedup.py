@@ -26,6 +26,11 @@ import random
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
+
+from big_data_player_analysis_spark.caching import (
+    tracked_local_checkpoint,
+    tracked_persist,
+)
 from pyspark.sql import functions as F
 
 from big_data_player_analysis_spark.functions.text import (
@@ -173,7 +178,7 @@ def _verify_jaccard(
             ).alias("h"),
         )
         .withColumn("n", F.size("h"))
-        .persist()
+        .transform(tracked_persist)
     )
     sizes = docs.select("doc", "n")
     sized = (
@@ -262,14 +267,14 @@ def dedup_ngram_jaccard(
         .agg(F.count(F.lit(1)).alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= F.lit(max_df)))
         .select("h")
-        .persist()
+        .transform(tracked_persist)
     )
     if rare_h.count() <= RARE_BROADCAST_MAX_ROWS:
         rare_h = F.broadcast(rare_h)
     # Persisted: the filtered slice is tiny relative to occ, and both
     # sides of the pair self-join read it — without the persist each side
     # would re-shingle the whole corpus through the broadcast filter.
-    rare = occ.join(rare_h, "h").select("doc", "h").persist()
+    rare = occ.join(rare_h, "h").select("doc", "h").transform(tracked_persist)
     ra = rare.select(F.col("doc").alias("doc_a"), "h")
     rb = rare.select(F.col("doc").alias("doc_b"), "h")
     cand = (
@@ -277,7 +282,7 @@ def dedup_ngram_jaccard(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .persist()
+        .transform(tracked_persist)
     )
     return _verify_jaccard(cand, df, id_col, text_col, k, threshold)
 
@@ -342,7 +347,7 @@ def dedup_minhash_lsh(
     # Persisted: the signature table (one 64-long array per doc, ~0.5 KB) is
     # read by both sides of the band self-join; recomputing it would
     # re-shingle + re-hash the whole corpus twice.
-    sig = minhash_signatures(with_norm, k).persist()
+    sig = minhash_signatures(with_norm, k).transform(tracked_persist)
     bands = sig.select(
         "doc",
         F.explode(
@@ -366,7 +371,7 @@ def dedup_minhash_lsh(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .persist()
+        .transform(tracked_persist)
     )
     return _verify_jaccard(cand, df, id_col, text_col, k, threshold)
 
@@ -428,7 +433,7 @@ def dedup_incremental(
     at least one candidate pair. Ids must be distinct across the two
     inputs (they identify which side a doc came from).
     """
-    new_bands = _minhash_bands(new_df, id_col, text_col, k).persist()
+    new_bands = _minhash_bands(new_df, id_col, text_col, k).transform(tracked_persist)
     corpus_bands = _minhash_bands(corpus_df, id_col, text_col, k)
     if new_bands.count() <= broadcast_max_rows:
         probe = F.broadcast(new_bands)
@@ -441,7 +446,7 @@ def dedup_incremental(
         )
         .select("doc_a", F.col("doc").alias("doc_b"))
         .distinct()
-        .persist()
+        .transform(tracked_persist)
     )
     both = new_df.select(F.col(id_col), F.col(text_col)).unionByName(
         corpus_df.select(F.col(id_col), F.col(text_col))
@@ -534,7 +539,7 @@ def dedup_simhash(
             f"bands for exact pigeonhole recall (got n_bands={n_bands})"
         )
     # Persisted: one (doc, long) row per doc, read by both self-join sides.
-    sigs = simhash_signatures(df, id_col, text_col, k).persist()
+    sigs = simhash_signatures(df, id_col, text_col, k).transform(tracked_persist)
     bands = sigs.select(
         "doc",
         "sig",
@@ -603,13 +608,13 @@ def dedup_components(
     edges = (
         edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
-        .localCheckpoint()
+        .transform(tracked_local_checkpoint)
     )
     labels = (
         edges.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .transform(tracked_local_checkpoint)
     )
     for _ in range(max_iter):
         neigh_min = (
@@ -627,7 +632,7 @@ def dedup_components(
                 "node",
                 F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("label"),
             )
-            .localCheckpoint()
+            .transform(tracked_local_checkpoint)
         )
         changed = (
             new_labels.join(
@@ -681,7 +686,7 @@ def near_dedup_survivors(
     columns, duplicate-set-sized output — and a per-component max_by.
     """
     pairs = dedup_minhash_lsh(df, id_col, text_col, k=k, threshold=threshold)
-    comp = dedup_components(pairs).persist()
+    comp = dedup_components(pairs).transform(tracked_persist)
     if quality_col is not None:
         scored = comp.join(
             df.select(F.col(id_col).alias("node"), F.col(quality_col).alias("_q")),
@@ -1121,6 +1126,67 @@ def title_hamming_pairs(
     )
     return (
         cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= max_dist)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def hamming_sig_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    n_bits: int = 63,
+    max_dist: int = 8,
+) -> DataFrame:
+    """All id-ordered pairs of integer signatures within ``max_dist``
+    Hamming distance, with the exact distance — the fixed-width-bitstring
+    counterpart of title_hamming_pairs (which blocks fixed-width STRINGS).
+
+    Scale design — bit-segment pigeonhole: the ``n_bits`` signature is cut
+    into ``max_dist + 1`` contiguous bit segments (shift + mask, pure JVM
+    arithmetic); two signatures within ``max_dist`` differing bits cannot
+    differ in every segment, so they agree exactly on at least one
+    (segment_idx, segment_value) — candidate generation is an equi-join on
+    that composite key, COMPLETE by pigeonhole (the brute-force oracle
+    must agree). Verification is one bit_count(xor) per candidate, no
+    Python boundary anywhere. Candidate volume is sum-of-C(bucket,2) over
+    segment buckets — LSH-band shape, never the O(n^2) cross join."""
+    n_seg = max_dist + 1
+    seg_w = (n_bits + n_seg - 1) // n_seg  # last segment may be narrower
+    keyed = sigs.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
+    segs = keyed.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("seg_idx"),
+                        (
+                            F.shiftright(F.col("_sig"), i * seg_w)
+                            .bitwiseAND(F.lit((1 << seg_w) - 1))
+                        ).alias("seg"),
+                    )
+                    for i in range(n_seg)
+                ]
+            )
+        ).alias("s"),
+    ).select("_id", "_sig", "s.seg_idx", "s.seg")
+    a = segs.select(
+        F.col("_id").alias("id_a"), F.col("_sig").alias("sa"), "seg_idx", "seg"
+    )
+    b = segs.select(
+        F.col("_id").alias("id_b"), F.col("_sig").alias("sb"), "seg_idx", "seg"
+    )
+    cand = (
+        a.join(b, ["seg_idx", "seg"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_dist)
         .select("id_a", "id_b", "hamming")
     )

@@ -19,6 +19,8 @@ quality gates can join/filter on it without schema surgery.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
+
+from big_data_player_analysis_spark.caching import tracked_persist
 from pyspark.sql import functions as F
 
 
@@ -303,7 +305,7 @@ def heavy_hitters_mg(
     summaries = items.select(F.col(item_col).alias(item_col)).mapInPandas(
         mg_partition, schema="item string, cnt long"
     )
-    agg = summaries.groupBy("item").agg(F.sum("cnt").alias("lower")).persist()
+    agg = summaries.groupBy("item").agg(F.sum("cnt").alias("lower")).transform(tracked_persist)
     total = agg.filter(F.col("item").isNull()).select(
         F.col("lower").alias("nn")
     )

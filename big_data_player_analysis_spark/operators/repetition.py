@@ -42,6 +42,8 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, Window
+
+from big_data_player_analysis_spark.caching import tracked_persist
 from pyspark.sql import functions as F
 
 REPEAT_WINDOW_TOKENS = 8  # tokens per window
@@ -110,7 +112,7 @@ def remove_repeated_windows(
         .agg(F.count(F.lit(1)).alias("nd"))
         .filter(F.col("nd") >= F.lit(min_docs))
         .select("whash")
-        .persist()
+        .transform(tracked_persist)
     )
     if broadcast_max_rows > 0 and frequent.count() <= broadcast_max_rows:
         frequent = F.broadcast(frequent)
@@ -252,7 +254,7 @@ def duplicate_span_profile(
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= F.lit(min_count))
         .select("whash")
-        .persist()
+        .transform(tracked_persist)
     )
     if broadcast_max_rows > 0 and dup.count() <= broadcast_max_rows:
         dup = F.broadcast(dup)

@@ -29,6 +29,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
+
+from big_data_player_analysis_spark.caching import tracked_local_checkpoint
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -150,7 +152,7 @@ def heroic_score(
         edges.select(F.col("challenger_id").alias("player_id"))
         .distinct()
         .withColumn("hs", F.lit(1.0))
-        .localCheckpoint()
+        .transform(tracked_local_checkpoint)
     )
 
     result = HeroicResult(scores=hs)
@@ -160,7 +162,7 @@ def heroic_score(
         new_hs = iteration_step(edges, hs, alpha, broadcast_scores)
         if vector_partitions:
             new_hs = new_hs.coalesce(vector_partitions)
-        new_hs = new_hs.localCheckpoint()  # truncate lineage each iteration
+        new_hs = new_hs.transform(tracked_local_checkpoint)  # truncate lineage each iteration
         msd = (
             keyed_squared_difference(hs, new_hs, "player_id", "hs")
             .agg(F.avg("sq_diff"))

@@ -346,8 +346,8 @@ def json_extract(spark: SparkSession, sf: str) -> DataFrame:
     sql="""
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
     FROM events GROUP BY event_type
     """,
     tags=("olap", "json", "variant"),
@@ -359,12 +359,15 @@ def variant_metrics(spark: SparkSession, sf: str) -> DataFrame:
     schema-on-read JSON at scale. Vs get_json_object
     (olap_json_extract), the parse happens once per row regardless of
     how many fields are later extracted, the encoded value is
-    columnar-shreddable, and malformed documents yield NULL
-    (try_variant_get) instead of failing the task — the behavior a
-    100 TB crawl with dirty payloads needs. The oracle reads the same
-    field with DuckDB's JSON extraction."""
+    columnar-shreddable, and malformed documents yield NULL — at BOTH
+    layers: try_parse_json nulls unparseable payloads, try_variant_get
+    nulls failed extractions/casts — instead of failing the task, the
+    behavior a 100 TB crawl with dirty payloads needs. The oracle reads
+    the same field with DuckDB's JSON extraction + TRY_CAST (DuckDB has
+    no try-parse, so the oracle assumes well-formed JSON documents —
+    which the test tables are — while tolerating non-numeric values)."""
     ev = t(spark, sf, "events").select(
-        "event_type", F.parse_json("props").alias("v")
+        "event_type", F.try_parse_json("props").alias("v")
     )
     k = F.try_variant_get(F.col("v"), "$.k", "long")
     return (

@@ -17,6 +17,8 @@ session_window's no-merge-on-exact-gap semantics.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from big_data_player_analysis_spark.caching import tracked_local_checkpoint
 from pyspark.sql import functions as F
 
 from big_data_player_analysis_spark.catalog import table_path
@@ -358,7 +360,7 @@ def stream_ingest_q(spark: SparkSession, sf: str) -> DataFrame:
         )
         return corpus.select(
             "doc_id", "source", "group_size", "batch"
-        ).localCheckpoint(eager=True)
+        ).transform(tracked_local_checkpoint)
 
 
 SQL_INCREMENTAL_MV = """
@@ -399,4 +401,4 @@ def stream_incremental_mv_q(spark: SparkSession, sf: str) -> DataFrame:
             table_path(sf, "events"),
             f"{scratch}/mv",
             f"{scratch}/ckpt",
-        ).localCheckpoint(eager=True)
+        ).transform(tracked_local_checkpoint)

@@ -63,6 +63,47 @@ def cache_root() -> str:
     return d
 
 
+def _proc_start_time(pid: int) -> int | None:
+    """Kernel start time (clock ticks since boot, /proc/<pid>/stat field
+    22) — the discriminator that makes a (pid, start) pair unique across
+    pid recycling. None when unreadable (non-Linux, or the process died
+    between the liveness probe and this read)."""
+    try:
+        with open(f"/proc/{pid}/stat", "rb") as f:
+            data = f.read().decode("ascii", "replace")
+        # comm (field 2) may itself contain spaces/parens; everything
+        # after the LAST ')' is fields 3+, so starttime is index 19 there
+        rest = data.rsplit(")", 1)[1].split()
+        return int(rest[19])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
+def _owner_tag() -> str:
+    """`<pid>s<starttime>` for the current process; falls back to bare
+    pid where /proc is unavailable."""
+    start = _proc_start_time(os.getpid())
+    return f"{os.getpid()}s{start}" if start is not None else str(os.getpid())
+
+
+def _owner_is_live(pid: int, start: int | None) -> bool:
+    """True iff the directory's recorded owner is still running. With a
+    recorded start time, pid liveness alone is not enough — a recycled
+    pid belonging to an unrelated process must NOT keep a dead run's
+    bytes alive (round-5 ADVICE), so the start times must match too.
+    Legacy tags without a start time keep the conservative pid-only
+    check."""
+    if pid == os.getpid():
+        return True
+    if not _pid_alive(pid):
+        return False
+    if start is None:
+        return True  # legacy tag: conservative
+    current = _proc_start_time(pid)
+    # unreadable stat for a live pid -> keep (conservative direction)
+    return current is None or current == start
+
+
 def spark_local_dir() -> str:
     """Target for spark.local.dir (shuffle spill, block-manager disk,
     broadcast files): a PER-PROCESS subdir, so `clean_scratch()` can
@@ -70,7 +111,7 @@ def spark_local_dir() -> str:
     of blind deletion — a concurrent live JVM's spill must never be
     touched (a bench run once wiped a running test session's shuffle
     files mid-suite: 302 failures from one clean_scratch)."""
-    d = os.path.join(workspace_root(), "spark-local", f"pid-{os.getpid()}")
+    d = os.path.join(workspace_root(), "spark-local", f"pid-{_owner_tag()}")
     os.makedirs(d, exist_ok=True)
     return d
 
@@ -84,11 +125,13 @@ def scratch_dir(prefix: str = "job") -> Iterator[str]:
     exits — `df.localCheckpoint(eager=True)` materializes the partitions
     into the block manager so the backing files can be deleted.
 
-    The name embeds the owning pid (`-pid<N>-`): a concurrent process's
-    clean_scratch() liveness-checks it and leaves in-flight scratch of a
-    LIVE run alone instead of wiping it mid-query.
+    The name embeds the owning pid + process start time
+    (`-pid<N>s<start>-`): a concurrent process's clean_scratch()
+    liveness-checks BOTH and leaves in-flight scratch of a LIVE run alone
+    instead of wiping it mid-query — and a recycled pid can't make a dead
+    run's scratch look live, because the start times won't match.
     """
-    d = tempfile.mkdtemp(prefix=f"{prefix}-pid{os.getpid()}-", dir=scratch_root())
+    d = tempfile.mkdtemp(prefix=f"{prefix}-pid{_owner_tag()}-", dir=scratch_root())
     try:
         yield d
     finally:
@@ -116,11 +159,12 @@ def clean_scratch(spark_local: bool = True) -> None:
     import re
 
     def _owner_alive(entry: str) -> bool:
-        m = re.search(r"-pid(\d+)-", entry)
+        m = re.search(r"-pid(\d+)(?:s(\d+))?-", entry)
         if not m:
             return False  # no owner tag -> reclaimable
         pid = int(m.group(1))
-        return pid == os.getpid() or _pid_alive(pid)
+        start = int(m.group(2)) if m.group(2) else None
+        return _owner_is_live(pid, start)
 
     for d in (scratch_root(), *(_LEGACY_DIRS)):
         if os.path.isdir(d):
@@ -136,12 +180,11 @@ def clean_scratch(spark_local: bool = True) -> None:
         local_root = os.path.join(workspace_root(), "spark-local")
         if os.path.isdir(local_root):
             for entry in os.listdir(local_root):
-                if entry.startswith("pid-"):
-                    try:
-                        pid = int(entry[4:])
-                    except ValueError:
-                        pid = -1
-                    if pid > 0 and (pid == os.getpid() or _pid_alive(pid)):
+                m = re.match(r"pid-(\d+)(?:s(\d+))?$", entry)
+                if m:
+                    pid = int(m.group(1))
+                    start = int(m.group(2)) if m.group(2) else None
+                    if _owner_is_live(pid, start):
                         continue
                 shutil.rmtree(
                     os.path.join(local_root, entry), ignore_errors=True

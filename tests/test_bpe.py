@@ -142,3 +142,92 @@ def test_bpe_merges_df_schema(spark):
     rows = df.orderBy("merge_rank").collect()
     assert [(r.left, r.right, r.pair_count) for r in rows] == python_bpe(CORPUS, 3)
     assert all(r.merged == r.left + r.right for r in rows)
+
+
+def test_bpe_token_ids_match_reference(spark):
+    """The distributed token-ID encode must equal the pure-Python replay
+    EXACTLY — id table (base alphabet then merges in rank order), per-word
+    encode, and the concatenation in original word order (posexplode +
+    array_sort reassembly) — including unseen words and a doc with
+    repeated words."""
+    from big_data_player_analysis_spark.plans.bpe import (
+        _encode_word,
+        bpe_token_ids,
+        bpe_vocab_ids,
+    )
+
+    docs = spark.createDataFrame(
+        list(CORPUS) + [("brand unseen lowly words",), ("low low unseen low",)],
+        "text string",
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    merges = [(a, b) for a, b, _ in python_bpe(CORPUS, 8)]
+    tok2id = bpe_vocab_ids(merges)
+
+    got = {
+        r.doc_id: (list(r.token_ids), r.n_words, r.n_tokens)
+        for r in bpe_token_ids(docs, "doc_id", "text", merges).collect()
+    }
+    for row in docs.collect():
+        ws = [w for w in re.split(r"[^a-z]+", row.text.lower()) if w]
+        ids = [tok2id[s] for w in ws for s in _encode_word(w, merges)]
+        assert got[row.doc_id] == (ids, len(ws), len(ids)), row.text
+
+
+def test_bpe_vocab_ids_deterministic_and_dense(spark):
+    from big_data_player_analysis_spark.plans.bpe import EOW, bpe_vocab_ids
+
+    merges = [(a, b) for a, b, _ in python_bpe(CORPUS, 6)]
+    tok2id = bpe_vocab_ids(merges)
+    # base alphabet + EOW occupy 0..26 (sorted), merges take 27.. in rank order
+    assert sorted(tok2id.values()) == list(range(len(tok2id)))
+    assert tok2id[EOW] == 26  # U+2581 sorts after 'z'
+    assert tok2id[merges[0][0] + merges[0][1]] == 27
+
+
+def test_bpe_tokenize_then_pack_chain(spark):
+    """End-to-end tokenize -> pack: pack_sequences consuming the ACTUAL
+    per-doc token counts (size(token_ids)) must equal packing the
+    pure-Python lengths through the same next-fit walk — the chain a
+    training-data writer runs."""
+    import hashlib
+
+    from big_data_player_analysis_spark.operators.chunking import pack_sequences
+    from big_data_player_analysis_spark.plans.bpe import _encode_word, bpe_token_ids
+
+    def hex_bucket_py(key, n):
+        # pure-Python twin of operators/sampling.py:hex_bucket + pmod
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:4], 16) % n
+
+    docs = spark.createDataFrame(
+        list(CORPUS) + [("brand unseen lowly words",)], "text string"
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    merges = [(a, b) for a, b, _ in python_bpe(CORPUS, 8)]
+    encoded = bpe_token_ids(docs, "doc_id", "text", merges)
+
+    budget, n_groups = 16, 2
+    got = {
+        r.doc_id: (r.grp, r.pack_id, r.off)
+        for r in pack_sequences(
+            encoded, "doc_id", "n_tokens", budget=budget, n_groups=n_groups
+        ).collect()
+    }
+
+    # pure-Python replay: same hash grouping, id order, next-fit walk
+    lens = {}
+    for row in docs.collect():
+        ws = [w for w in re.split(r"[^a-z]+", row.text.lower()) if w]
+        lens[row.doc_id] = sum(len(_encode_word(w, merges)) for w in ws)
+    want = {}
+    groups: dict[int, list[int]] = {}
+    for did in sorted(lens):
+        groups.setdefault(hex_bucket_py(did, n_groups), []).append(did)
+    for g, dids in groups.items():
+        pack, fill = 0, 0
+        for did in dids:
+            n = lens[did]
+            if fill and fill + n > budget:
+                pack, fill = pack + 1, 0
+            want[did] = (g, pack, fill)
+            fill += n
+        # documents larger than the budget still occupy their own pack
+    assert got == want

@@ -1402,3 +1402,82 @@ def test_quality_rounding_portable_on_tie_values(spark):
     ]
     got_py = [math.floor(v * 1e6 + 0.5) / 1e6 for v in ties]
     assert got_spark == got_duck == got_py
+
+
+def test_phash_dhash_matches_pure_python(spark):
+    """dhash_signatures (real BMP parse + grid sample + neighbor bits)
+    must equal an independent pure-Python replay of the closed forms, for
+    planted and non-planted docs across the (w, h) parameter lattice."""
+    from big_data_player_analysis_spark.multimodal import (
+        DHASH_GH,
+        DHASH_GW,
+        _texture_params,
+        _texture_value,
+        attach_textured_bmp_payload,
+        dhash_signatures,
+    )
+
+    ids = (0, 1, 7, 50, 51, 52, 101, 449, 450, 451)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.sig
+        for r in dhash_signatures(attach_textured_bmp_payload(df, "doc_id")).collect()
+    }
+    for i in ids:
+        _cid, w, h, seed, planted = _texture_params(i)
+        px, py = (3 * w) // 10, (2 * h) // 7
+        sig = 0
+        for gy in range(DHASH_GH):
+            ys = (gy * h) // DHASH_GH
+            for gx in range(DHASH_GW):
+                def g(xcol):
+                    xs = (xcol * w) // (DHASH_GW + 1)
+                    v = _texture_value(seed, xs, ys)
+                    if planted and xs == px and ys == py:
+                        v = (v + 128) % 256
+                    return v
+                if g(gx + 1) > g(gx):
+                    sig |= 1 << (gy * DHASH_GW + gx)
+        assert got[i] == sig, f"doc {i}"
+
+
+def test_phash_pairs_find_all_planted(spark, sf_small):
+    """Every planted (doc_id-1, doc_id) image pair must come out of the
+    pigeonhole-blocked join (completeness), and the exact distances must
+    equal a brute-force O(n^2) verify over the same Spark signatures —
+    proving the blocking loses nothing at any distance <= max_dist."""
+    from pyspark.sql import functions as F
+
+    from big_data_player_analysis_spark.catalog import load_table
+    from big_data_player_analysis_spark.multimodal import (
+        PHASH_PLANT_MOD,
+        attach_textured_bmp_payload,
+        dhash_signatures,
+    )
+    from big_data_player_analysis_spark.operators.dedup import hamming_sig_pairs
+
+    docs = load_table(spark, sf_small, "documents").select("doc_id")
+    sigs = dhash_signatures(attach_textured_bmp_payload(docs, "doc_id"))
+    pairs = hamming_sig_pairs(sigs, "doc_id", "sig", n_bits=63, max_dist=8)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+
+    n_docs = docs.count()
+    planted = [
+        (d - 1, d) for d in range(1, n_docs) if d % PHASH_PLANT_MOD == 1
+    ]
+    assert planted, "test corpus too small to plant pairs"
+    for p in planted:
+        assert p in got, f"planted pair {p} missed by the blocking"
+
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+        )
+        .filter(F.col("hamming") <= 8)
+    )
+    want = {(r.id_a, r.id_b): r.hamming for r in brute.collect()}
+    assert got == want

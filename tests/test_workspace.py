@@ -56,7 +56,28 @@ def test_clean_scratch_is_liveness_aware(ws):
 
 
 def test_spark_local_dir_is_per_process(ws):
-    assert os.path.basename(ws.spark_local_dir()) == f"pid-{os.getpid()}"
+    assert os.path.basename(ws.spark_local_dir()) == f"pid-{ws._owner_tag()}"
+    assert ws._owner_tag().startswith(str(os.getpid()))
+
+
+def test_pid_reuse_does_not_keep_dead_scratch(ws):
+    """A recycled pid must not make a DEAD run's scratch look live: the
+    tag embeds the owner's /proc start time, and liveness requires the
+    start times to match (round-5 ADVICE). Simulated by tagging a dir
+    with a LIVE pid (our own) but an impossible start time."""
+    sr = ws.scratch_root()
+    os.makedirs(f"{sr}/job-pid999999s1-recycled")  # dead pid, start-tagged
+    local_root = os.path.dirname(ws.spark_local_dir())
+    # live pid (pid 1 is always alive) + wrong start time -> reclaimable
+    os.makedirs(f"{local_root}/pid-1s999999999999", exist_ok=True)
+    # our own tag with the TRUE start time -> kept
+    mine = ws.spark_local_dir()
+
+    ws.clean_scratch()
+
+    assert not os.path.exists(f"{sr}/job-pid999999s1-recycled")
+    assert not os.path.exists(f"{local_root}/pid-1s999999999999")
+    assert os.path.exists(mine)
 
 
 def test_clean_scratch_spark_local_false_skips_spill(ws):

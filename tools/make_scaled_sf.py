@@ -129,21 +129,38 @@ def main():
     base_sf = float(base_dir.rstrip("/").rsplit("sf", 1)[-1])
     out_dir = os.path.join(out_root, f"sf{base_sf * factor:g}")
     os.makedirs(out_dir, exist_ok=True)
+    from big_data_player_analysis_spark.sources.formats import _source_fingerprint
+
     spark = get_spark("bdpa-make-scaled-sf")
     spans = key_spans(spark, base_dir)
     for table in SHARED_DIMS + SCALED_TABLES:
         dest = os.path.join(out_dir, f"{table}.parquet")
         # composition is deterministic in (base content, factor): a prior
-        # complete copy is byte-equivalent, so reuse instead of burning
-        # minutes + disk re-materializing (pass --fresh to force)
+        # complete copy whose recorded base fingerprint still matches is
+        # byte-equivalent, so reuse instead of burning minutes + disk
+        # re-materializing. The fingerprint check means regenerated
+        # testdata invalidates stale composed tables instead of being
+        # silently served (round-5 ADVICE); --fresh still forces.
+        src_key = (
+            _source_fingerprint(os.path.join(base_dir, f"{table}.parquet"))
+            + f":{factor}"
+        )
+        fp_file = os.path.join(dest, "_BASE_FINGERPRINT")
         if not fresh and os.path.exists(os.path.join(dest, "_SUCCESS")):
-            print(f"reuse {table}")
-            continue
+            recorded = None
+            if os.path.exists(fp_file):
+                with open(fp_file) as f:
+                    recorded = f.read().strip()
+            if recorded == src_key:
+                print(f"reuse {table}")
+                continue
         if table in SHARED_DIMS:
             df = load_table(spark, base_dir, table).coalesce(1)
         else:
             df = compose_table(spark, base_dir, table, factor, spans)
         df.write.mode("overwrite").parquet(dest)
+        with open(fp_file, "w") as f:
+            f.write(src_key)
         print(f"wrote {table}")
     print(out_dir)
 

@@ -85,6 +85,12 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        finally:
+            # result is collected -> the entry's persisted intermediates
+            # are dead; a 142-entry sweep must not accumulate them
+            from big_data_player_analysis_spark.caching import release_tracked
+
+            release_tracked()
         if spec.sql is None:
             print(f"rows-only {name}: {len(sdf)} rows  ({time.time()-t0:.1f}s)")
             n_rowsonly += 1
