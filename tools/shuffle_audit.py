@@ -82,6 +82,8 @@ AUDITED = [
     "olap_quantile_shard_merge",
     "olap_ks_drift",
     "olap_cogroup_order_lag",
+    "multimodal_phash_dedup",
+    "llm_bpe_encode",
 ]
 
 
