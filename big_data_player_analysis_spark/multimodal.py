@@ -756,11 +756,21 @@ def decode_bmp_features(media: DataFrame) -> DataFrame:
 # ------------------------------------------- perceptual hash (dHash)
 
 #: dHash grid: GH rows x (GW+1) sampled columns -> GW comparisons per row
-#: = GW*GH = 63 bits, deliberately < 64 so the signature always fits a
-#: non-negative BIGINT in both engines (bit 63 would overflow DuckDB's
-#: signed shift arithmetic in the oracle).
+#: = GW*GH = 126 bits, stored as N_SEG integer SEGMENTS of SEG_BITS bits
+#: each (the signature column is array<int>). The segment IS the blocking
+#: unit: candidate pairs must agree exactly on one (segment_idx, value),
+#: so per-segment bucket cardinality 2^SEG_BITS = 262,144 sets the
+#: operating point — expected candidate volume ~ n^2 * N_SEG / 2^SEG_BITS.
+#: A first cut used one 63-bit long split into 9 seven-bit segments: 128
+#: buckets per segment turned the candidate join quadratic at 64x
+#: (measured 104 s); 18-bit segments run the same cell at LSH-band
+#: volume, a tighter operating point than dedup_simhash_web's 16-bit
+#: bands. Pigeonhole completeness needs N_SEG > max_dist, so the default
+#: max Hamming distance is N_SEG - 1 = 6 (planted pairs measure <= 4).
 DHASH_GW = 9
-DHASH_GH = 7
+DHASH_GH = 14
+DHASH_SEG_BITS = 18
+DHASH_N_SEG = (DHASH_GW * DHASH_GH) // DHASH_SEG_BITS  # 7
 #: planted near-duplicate cadence: doc_id % PHASH_PLANT_MOD == 1 renders
 #: the PREVIOUS doc's texture with a one-pixel perturbation
 PHASH_PLANT_MOD = 50
@@ -840,7 +850,7 @@ def attach_textured_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
 DHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
-        T.StructField("sig", T.LongType(), False),
+        T.StructField("sig", T.ArrayType(T.IntegerType(), False), False),
     ]
 )
 
@@ -851,18 +861,20 @@ def dhash_signatures(media: DataFrame) -> DataFrame:
     to integer grayscale ((B + G + R) // 3), nearest-neighbor sample a
     (GW+1) x GH grid with the exact integer mapping src = (dst*len)//n —
     the same mapping resize_bmp_features uses — then emit one bit per
-    horizontal neighbor comparison, packed little-endian into a 63-bit
-    BIGINT. The canonical LAION-style image fingerprint: payload bytes
-    never shuffle, one narrow (doc_id, sig) row leaves the scan."""
+    horizontal neighbor comparison: 126 bits packed little-endian into
+    N_SEG (= 7) 18-bit segment ints, bit (gy*GW + gx) landing in segment
+    idx // SEG_BITS at position idx % SEG_BITS. The canonical LAION-style
+    image fingerprint: payload bytes never shuffle, one narrow
+    (doc_id, array<int>) row leaves the scan."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
 
         import numpy as np
 
-        weights = (1 << np.arange(DHASH_GW * DHASH_GH, dtype=np.int64)).reshape(
-            DHASH_GH, DHASH_GW
-        )
+        idx = np.arange(DHASH_GW * DHASH_GH, dtype=np.int64)
+        seg_of = idx // DHASH_SEG_BITS
+        weight = 1 << (idx % DHASH_SEG_BITS)
         for pdf in it:
             rows: dict[str, list] = {"doc_id": [], "sig": []}
             for did, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -882,9 +894,12 @@ def dhash_signatures(media: DataFrame) -> DataFrame:
                 ix = (np.arange(DHASH_GW + 1) * w) // (DHASH_GW + 1)
                 iy = (np.arange(DHASH_GH) * nrows) // DHASH_GH
                 grid = gray[iy][:, ix]
-                bits = (grid[:, 1:] > grid[:, :-1]).astype(np.int64)
+                bits = (grid[:, 1:] > grid[:, :-1]).astype(np.int64).flatten()
+                segs = np.bincount(
+                    seg_of, weights=bits * weight, minlength=DHASH_N_SEG
+                ).astype(np.int64)
                 rows["doc_id"].append(int(did))
-                rows["sig"].append(int((bits * weights).sum()))
+                rows["sig"].append([int(s) for s in segs])
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, DHASH_SCHEMA)

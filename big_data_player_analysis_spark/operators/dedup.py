@@ -1135,43 +1135,34 @@ def hamming_sig_pairs(
     sigs: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "sig",
-    n_bits: int = 63,
-    max_dist: int = 8,
+    max_dist: int = 6,
 ) -> DataFrame:
-    """All id-ordered pairs of integer signatures within ``max_dist``
-    Hamming distance, with the exact distance — the fixed-width-bitstring
+    """All id-ordered pairs of bit signatures within ``max_dist`` Hamming
+    distance, with the exact distance — the fixed-width-bitstring
     counterpart of title_hamming_pairs (which blocks fixed-width STRINGS).
+    ``sig_col`` is an array<int> of SEGMENT values: the signature's bits
+    pre-cut into n_seg equal segments (multimodal.py:dhash_signatures
+    packs its 126 bits as 7 x 18-bit ints).
 
-    Scale design — bit-segment pigeonhole: the ``n_bits`` signature is cut
-    into ``max_dist + 1`` contiguous bit segments (shift + mask, pure JVM
-    arithmetic); two signatures within ``max_dist`` differing bits cannot
-    differ in every segment, so they agree exactly on at least one
-    (segment_idx, segment_value) — candidate generation is an equi-join on
-    that composite key, COMPLETE by pigeonhole (the brute-force oracle
-    must agree). Verification is one bit_count(xor) per candidate, no
-    Python boundary anywhere. Candidate volume is sum-of-C(bucket,2) over
-    segment buckets — LSH-band shape, never the O(n^2) cross join."""
-    n_seg = max_dist + 1
-    seg_w = (n_bits + n_seg - 1) // n_seg  # last segment may be narrower
+    Scale design — segment pigeonhole: two signatures within ``max_dist``
+    (default: n_seg - 1, the largest distance the segment count admits)
+    differing bits cannot differ in every segment, so they agree exactly
+    on at least one (segment_idx, segment_value) — candidate generation
+    is an equi-join on that composite key, COMPLETE by pigeonhole (the
+    brute-force oracle must agree). Verification is one
+    sum-of-bit_count(xor) fold per candidate (zip_with + aggregate, pure
+    JVM). Candidate volume is sum-of-C(bucket,2) over segment buckets,
+    ~ n^2 * n_seg / 2^seg_bits — LSH-band shape whose operating point the
+    SEGMENT WIDTH sets (a 7-bit-segment first cut measured quadratic at
+    64x: 128 buckets/segment; 18-bit segments hold band volume below
+    dedup_simhash_web's 16-bit operating point), never the O(n^2) cross
+    join."""
     keyed = sigs.select(F.col(id_col).alias("_id"), F.col(sig_col).alias("_sig"))
     segs = keyed.select(
         "_id",
         "_sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("seg_idx"),
-                        (
-                            F.shiftright(F.col("_sig"), i * seg_w)
-                            .bitwiseAND(F.lit((1 << seg_w) - 1))
-                        ).alias("seg"),
-                    )
-                    for i in range(n_seg)
-                ]
-            )
-        ).alias("s"),
-    ).select("_id", "_sig", "s.seg_idx", "s.seg")
+        F.posexplode("_sig").alias("seg_idx", "seg"),
+    )
     a = segs.select(
         F.col("_id").alias("id_a"), F.col("_sig").alias("sa"), "seg_idx", "seg"
     )
@@ -1184,7 +1175,10 @@ def hamming_sig_pairs(
         .select("id_a", "id_b", "sa", "sb")
         .distinct()
     )
-    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+    ham = F.expr(
+        "aggregate(zip_with(sa, sb, (x, y) -> bit_count(x ^ y)), 0, "
+        "(acc, v) -> acc + v)"
+    ).cast("long")
     return (
         cand.withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_dist)

@@ -434,16 +434,20 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_curation_pipeline",
     "olap_tpch_q18_large_orders",
     "q16_heroic_iterative",
-    # §2.4 engine-scope representatives (13)
+    # §2.4 engine-scope representatives (10; round-6 rotation displaced
+    # olap_rolling_average, olap_retention_cohorts and
+    # olap_min_cost_supplier — all green r05 on round-6-unchanged code,
+    # with their families still in-window: time-series windows via
+    # olap_window_distribution + olap_anomaly_zscore's rolling z-score,
+    # product analytics via olap_funnel_conversion, TPC-H via
+    # olap_tpch_q18 (q1/q5 keep green r01-r03 rows + the local gate) —
+    # for the three round-6 promotions listed in the LLM/streaming tiers)
     "olap_partition_pruned_scan",
-    "olap_rolling_average",
     "dedup_ngram_jaccard",
     "olap_funnel_conversion",
     "olap_dq_audit",
     "llm_corpus_curation",
-    "olap_retention_cohorts",
     "olap_cdc_upsert",
-    "olap_min_cost_supplier",
     "olap_key_skew_profile",
     "olap_variant_metrics",
     "olap_scd2_history",
@@ -466,6 +470,12 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_bigram_surprisal",
     "dedup_embedding_cosine",
     "dedup_components",
+    # round-6 promotions: dedup_minhash_lsh re-enters (its persisted
+    # intermediates moved to the tracked-persist contract — code changed
+    # on a stale green row); multimodal_phash_dedup is new (dHash over
+    # real BMP decodes + segment-pigeonhole hamming join)
+    "dedup_minhash_lsh",
+    "multimodal_phash_dedup",
     "llm_dedup_incremental",
     "llm_cdc_chunks",
     "olap_anomaly_zscore",
@@ -476,9 +486,11 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "olap_window_distribution",
     "multimodal_png_decode",
     "llm_semantic_dedup",
-    # streaming tier (7)
+    # streaming tier (8; round-6 promotion: stream_curation_ingest is new
+    # — the mega-pipeline's stage chain as a foreachBatch ingest)
     "olap_ks_drift",
     "stream_incremental_mv",
+    "stream_curation_ingest",
     "olap_top_paths",
     "stream_near_dedup_ingest",
     "stream_stream_interval_join",
@@ -491,13 +503,16 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    # round-6 displacements (green r05 rows on round-6-unchanged code)
+    "olap_rolling_average",
+    "olap_retention_cohorts",
+    "olap_min_cost_supplier",
     "stream_stateful_user_stats",
     "stream_tumbling_counts",
     "olap_session_window",
     "q05_domain_completion",
     "q01_count_per_key",
     "stream_late_data_drop",
-    "dedup_minhash_lsh",
     "olap_apply_in_pandas_longest_run",
     "olap_tpch_q5_region_volume",
     "llm_quality_filters",

@@ -2380,11 +2380,17 @@ PIPE_DECONTAM_MIN_SHARED = 2
 
 # Stages BEFORE the component closure, shared by the recursive oracle,
 # the iterative oracle's tail, and the iterative pair extraction.
-SQL_PIPE_PRE = f"""
+# Everything up to the verified pair set, parameterized on which slice of
+# `documents` is the train input: the batch mega-pipeline holds out the
+# md5-prefix-'f' eval slice; the streaming curation ingest curates ALL
+# arriving docs (decontamination is a training-time step, not an ingest
+# step), so its single-batch oracle reuses this chain with TRUE.
+def _sql_pipe_pre(train_where: str) -> str:
+    return f"""
 pev AS (SELECT doc_id, text FROM documents
         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'f'),
 ptr AS (SELECT doc_id, text FROM documents
-        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'),
+        WHERE {train_where}),
 pp AS (SELECT doc_id, text, ' ' || lower(text) || ' ' AS p FROM ptr),
 ps AS (
   SELECT doc_id, text,
@@ -2441,6 +2447,11 @@ pcpairs AS (
   WHERE round(1.0 * n_common / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
 )
 """
+
+
+SQL_PIPE_PRE = _sql_pipe_pre(
+    "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> 'f'"
+)
 
 # Stages AFTER the component closure (references `comp` + SQL_PIPE_PRE
 # names): survivors -> decontaminate -> pack walk -> final projection.
@@ -2607,12 +2618,13 @@ def curation_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
 
 # The dHash texture/params are closed-form in doc_id (multimodal.py:
 # _texture_params / synth_textured_bmp_payload), so DuckDB can rebuild
-# every 63-bit signature relationally: sample the (GW+1) x GH grayscale
+# every 126-bit signature relationally: sample the (GW+1) x GH grayscale
 # grid with the same integer mapping src = (dst * len) // n, emit one bit
-# per horizontal neighbor comparison, pack with shifts. The gate oracle
-# then BRUTE-FORCES all pairs — which is what proves the Spark side's
-# pigeonhole blocking is complete (any pair the blocking missed would
-# appear here and hash-mismatch).
+# per horizontal neighbor comparison, pack bit gy*9+gx into 18-bit
+# segment (gy*9+gx)//18 — the same segment layout the Spark side blocks
+# on. The gate oracle then BRUTE-FORCES all pairs — which is what proves
+# the Spark side's pigeonhole blocking is complete (any pair the blocking
+# missed would appear here and hash-mismatch).
 _SQL_PHASH_SIGS = """
 WITH p AS (
   SELECT doc_id,
@@ -2628,8 +2640,8 @@ d AS (
 ),
 src AS (
   SELECT doc_id, planted, w, h, seed, gy, gx,
-         (gx * w) // 10 AS xs, (gy * h) // 7 AS ys
-  FROM d, LATERAL unnest(range(10)) AS tx(gx), LATERAL unnest(range(7)) AS ty(gy)
+         (gx * w) // 10 AS xs, (gy * h) // 14 AS ys
+  FROM d, LATERAL unnest(range(10)) AS tx(gx), LATERAL unnest(range(14)) AS ty(gy)
 ),
 m1 AS (
   SELECT doc_id, planted, w, h, gy, gx, xs, ys,
@@ -2650,10 +2662,10 @@ bits AS (
   JOIN vals b ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
   WHERE a.gx < 9
 ),
-sigs AS (
-  SELECT doc_id,
-         CAST(sum(bit * (CAST(1 AS BIGINT) << (gy * 9 + gx))) AS BIGINT) AS sig
-  FROM bits GROUP BY doc_id
+segs AS (
+  SELECT doc_id, (gy * 9 + gx) // 18 AS seg_idx,
+         CAST(sum(bit * (1 << ((gy * 9 + gx) % 18))) AS BIGINT) AS seg
+  FROM bits GROUP BY doc_id, (gy * 9 + gx) // 18
 )
 """
 
@@ -2661,33 +2673,35 @@ SQL_PHASH_DEDUP = (
     _SQL_PHASH_SIGS
     + """
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.sig, b.sig)) <= 8
+       CAST(sum(bit_count(xor(a.seg, b.seg))) AS BIGINT) AS hamming
+FROM segs a
+JOIN segs b ON b.seg_idx = a.seg_idx AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING sum(bit_count(xor(a.seg, b.seg))) <= 6
 """
 )
 
 # Above the gate the all-pairs verify is quadratic in the corpus; the
-# scale oracle replays the SAME pigeonhole blocking relationally (9
-# seven-bit segments of the 63-bit signature; <= 8 differing bits must
-# agree on at least one segment) — completeness is a theorem, not a
-# sampled property, so the blocked form is exactly equivalent.
+# scale oracle replays the SAME pigeonhole blocking relationally (7
+# eighteen-bit segments; <= 6 differing bits must agree on at least one
+# segment) — completeness is a theorem, not a sampled property, so the
+# blocked form is exactly equivalent.
 SQL_PHASH_DEDUP_BLOCKED = (
     _SQL_PHASH_SIGS
     + """,
-segs AS (
-  SELECT doc_id, sig, i AS seg_idx, (sig >> (7 * i)) & 127 AS seg
-  FROM sigs, LATERAL unnest(range(9)) AS t(i)
-),
 cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         a.sig AS sa, b.sig AS sb
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM segs a
   JOIN segs b ON a.seg_idx = b.seg_idx AND a.seg = b.seg
              AND a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(sa, sb)) <= 8
+SELECT c.id_a, c.id_b,
+       CAST(sum(bit_count(xor(sa.seg, sb.seg))) AS BIGINT) AS hamming
+FROM cand c
+JOIN segs sa ON sa.doc_id = c.id_a
+JOIN segs sb ON sb.doc_id = c.id_b AND sb.seg_idx = sa.seg_idx
+GROUP BY c.id_a, c.id_b
+HAVING sum(bit_count(xor(sa.seg, sb.seg))) <= 6
 """
 )
 
@@ -2708,16 +2722,20 @@ def multimodal_phash_q(spark: SparkSession, sf: str) -> DataFrame:
     dHash signatures decoded from genuine 24-bit BMP containers inside
     mapInPandas (multimodal.py:dhash_signatures — parse, integer
     grayscale, (GW+1) x GH nearest-neighbor grid, one bit per horizontal
-    neighbor comparison, packed into a 63-bit BIGINT), over textured
-    synthetic images with PLANTED single-pixel near-duplicates every
-    PHASH_PLANT_MOD docs; (2) bit-segment pigeonhole pair generation
-    (operators/dedup.py:hamming_sig_pairs — the title_hamming machinery
-    specialized to integer signatures). 100 TB shape: payload bytes never
-    shuffle (one narrow (doc_id, sig) row leaves the decode scan), and
-    candidates come from a 9-way segment equi-join — LSH-band volume,
-    complete by pigeonhole, never O(n^2). Gate oracle brute-forces all
-    pairs (proving blocking completeness); the scale oracle replays the
-    blocked form."""
+    neighbor comparison: 126 bits packed as 7 x 18-bit segment ints),
+    over textured synthetic images with PLANTED single-pixel
+    near-duplicates every PHASH_PLANT_MOD docs; (2) segment-pigeonhole
+    pair generation (operators/dedup.py:hamming_sig_pairs — the
+    title_hamming machinery specialized to bit signatures). 100 TB shape:
+    payload bytes never shuffle (one narrow (doc_id, array<int>) row
+    leaves the decode scan), and candidates come from a 7-way 18-bit
+    segment equi-join — expected volume n^2 * 7/2^18, a tighter operating
+    point than dedup_simhash_web's 16-bit bands (a 63-bit/7-bit-segment
+    first cut measured quadratic at 64x: 104 s; this design runs the same
+    cell at band volume), complete by pigeonhole for distance <= 6 —
+    planted pairs measure <= 4 — never O(n^2). Gate oracle brute-forces
+    all pairs (proving blocking completeness); the scale oracle replays
+    the blocked form."""
     from big_data_player_analysis_spark.multimodal import (
         attach_textured_bmp_payload,
         dhash_signatures,
@@ -2726,5 +2744,5 @@ def multimodal_phash_q(spark: SparkSession, sf: str) -> DataFrame:
 
     media = attach_textured_bmp_payload(t(spark, sf, "documents"), "doc_id")
     return hamming_sig_pairs(
-        dhash_signatures(media), "doc_id", "sig", n_bits=63, max_dist=8
+        dhash_signatures(media), "doc_id", "sig", max_dist=6
     )

@@ -402,3 +402,88 @@ def stream_incremental_mv_q(spark: SparkSession, sf: str) -> DataFrame:
             f"{scratch}/mv",
             f"{scratch}/ckpt",
         ).transform(tracked_local_checkpoint)
+
+
+# ------------------------------------------------- streaming curation
+
+from big_data_player_analysis_spark.registry.llm_ops import (  # noqa: E402
+    CURATION_MIN_QUALITY,
+    SQL_PIPE_UND,
+    _sql_pipe_pre,
+    closure_oracle,
+)
+
+# Single-batch driver shape: the whole documents table arrives as one
+# micro-batch (no eval holdout at ingest — decontamination is a
+# training-time step), so the curated corpus equals the batch chain
+# quality gate -> line dedup -> survivor closure, replayed by the same
+# parameterized CTE chain the mega-pipeline oracle uses, plus the
+# constant batch id the sink partitions on. Output deliberately excludes
+# the cleaned text column (n_tokens pins its token count; the window
+# rebuild itself is pinned by the batch pipeline's oracle).
+_SQL_CURATE_TAIL = """
+, pgs AS (SELECT component, CAST(count(*) AS BIGINT) AS group_size
+          FROM comp GROUP BY component),
+psurv AS (
+  SELECT c.doc_id, c.clean_text,
+         CAST(coalesce(g.group_size, 1) AS BIGINT) AS group_size
+  FROM pclean c
+  LEFT JOIN comp cm ON c.doc_id = cm.node
+  LEFT JOIN pgs g ON g.component = c.doc_id
+  WHERE cm.node IS NULL OR cm.component = c.doc_id)
+SELECT s.doc_id, d.source, s.group_size,
+       CAST(len(regexp_split_to_array(trim(coalesce(s.clean_text, '')), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(0 AS INT) AS batch
+FROM psurv s JOIN documents d ON d.doc_id = s.doc_id
+"""
+
+SQL_STREAM_CURATION = (
+    "WITH RECURSIVE " + _sql_pipe_pre("TRUE").strip() + SQL_PIPE_UND + _SQL_CURATE_TAIL
+)
+
+_SQL_CURATE_PAIRS = (
+    "WITH " + _sql_pipe_pre("TRUE").strip() + "\nSELECT doc_a, doc_b FROM pcpairs"
+)
+
+ORACLE_SCALE_CURATION = closure_oracle(
+    ", " + _sql_pipe_pre("TRUE").strip() + _SQL_CURATE_TAIL,
+    pairs_sql=_SQL_CURATE_PAIRS,
+)
+
+
+@query(
+    "stream_curation_ingest",
+    sql=SQL_STREAM_CURATION,
+    tags=("streaming", "llm", "pipeline", "dedup"),
+    oracle_scale=ORACLE_SCALE_CURATION,
+)
+def stream_curation_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming corpus CURATION end-to-end (streaming/curation.py): the
+    mega-pipeline's stage chain run as a real foreachBatch availableNow
+    ingest — per micro-batch quality/language gate, C4 boilerplate-window
+    strip, one survivor per intra-batch near-dup cluster, incremental
+    near-dedup against everything previously curated (corpus side never
+    exchanged on the band key), landing in an idempotent batch=<id>
+    partition (crash replay overwrites identically). The production
+    shape of continuous pre-training corpus intake; llm_curation_pipeline
+    is the batch one-shot of the same policy. Driver shape: one source
+    file = one batch, so the curated corpus hash-checks against the
+    parameterized gate+line-dedup+closure oracle (recursive CTE at the
+    gate, union-find oracle_scale above it); multi-batch filtering and
+    replay idempotence are pinned in tests/test_streaming_curation.py."""
+    from big_data_player_analysis_spark.streaming.curation import (
+        stream_curation_ingest,
+    )
+    from big_data_player_analysis_spark.workspace import scratch_dir
+
+    with scratch_dir("curate") as scratch:
+        corpus = stream_curation_ingest(
+            spark,
+            table_path(sf, "documents"),
+            f"{scratch}/corpus",
+            f"{scratch}/ckpt",
+            min_quality=CURATION_MIN_QUALITY,
+        )
+        return corpus.select(
+            "doc_id", "source", "group_size", "n_tokens", "batch"
+        ).transform(tracked_local_checkpoint)

@@ -1417,16 +1417,21 @@ def test_phash_dhash_matches_pure_python(spark):
         dhash_signatures,
     )
 
+    from big_data_player_analysis_spark.multimodal import (
+        DHASH_N_SEG,
+        DHASH_SEG_BITS,
+    )
+
     ids = (0, 1, 7, 50, 51, 52, 101, 449, 450, 451)
     df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
     got = {
-        r.doc_id: r.sig
+        r.doc_id: list(r.sig)
         for r in dhash_signatures(attach_textured_bmp_payload(df, "doc_id")).collect()
     }
     for i in ids:
         _cid, w, h, seed, planted = _texture_params(i)
         px, py = (3 * w) // 10, (2 * h) // 7
-        sig = 0
+        segs = [0] * DHASH_N_SEG
         for gy in range(DHASH_GH):
             ys = (gy * h) // DHASH_GH
             for gx in range(DHASH_GW):
@@ -1437,8 +1442,9 @@ def test_phash_dhash_matches_pure_python(spark):
                         v = (v + 128) % 256
                     return v
                 if g(gx + 1) > g(gx):
-                    sig |= 1 << (gy * DHASH_GW + gx)
-        assert got[i] == sig, f"doc {i}"
+                    idx = gy * DHASH_GW + gx
+                    segs[idx // DHASH_SEG_BITS] |= 1 << (idx % DHASH_SEG_BITS)
+        assert got[i] == segs, f"doc {i}"
 
 
 def test_phash_pairs_find_all_planted(spark, sf_small):
@@ -1458,7 +1464,7 @@ def test_phash_pairs_find_all_planted(spark, sf_small):
 
     docs = load_table(spark, sf_small, "documents").select("doc_id")
     sigs = dhash_signatures(attach_textured_bmp_payload(docs, "doc_id"))
-    pairs = hamming_sig_pairs(sigs, "doc_id", "sig", n_bits=63, max_dist=8)
+    pairs = hamming_sig_pairs(sigs, "doc_id", "sig", max_dist=6)
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
 
     n_docs = docs.count()
@@ -1475,9 +1481,13 @@ def test_phash_pairs_find_all_planted(spark, sf_small):
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
-            "hamming", F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))).cast("long")
+            "hamming",
+            F.expr(
+                "aggregate(zip_with(sa, sb, (x, y) -> bit_count(x ^ y)), 0, "
+                "(acc, v) -> acc + v)"
+            ).cast("long"),
         )
-        .filter(F.col("hamming") <= 8)
+        .filter(F.col("hamming") <= 6)
     )
     want = {(r.id_a, r.id_b): r.hamming for r in brute.collect()}
     assert got == want

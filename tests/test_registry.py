@@ -70,9 +70,9 @@ def test_primary_window():
     }
     # twenty-ninth/thirtieth rotations: the streaming tier keeps FOUR
     # in-window rows (tumbling, session_window, stateful_user_stats
-    # rotated out on triple-green/union evidence, hash-unchanged code —
-    # see PRIMARY_ORDER's rotation notes)
-    assert sum(n.startswith("stream_") for n in window) == 4
+    # rotated out on triple-green/union evidence, hash-unchanged code);
+    # round 6 adds stream_curation_ingest (new) -> FIVE
+    assert sum(n.startswith("stream_") for n in window) == 5
     # round-4 rotations: dedup_ngram_jaccard -> llm_near_dedup_survivors,
     # multimodal_image_decode (BMP) -> multimodal_png_decode,
     # llm_chunk_fixed -> llm_dedup_incremental, llm_pii_redact ->
@@ -89,16 +89,23 @@ def test_primary_window():
     # end-to-end mega-pipeline) in; olap_gap_fill, olap_zorder_key and
     # olap_quantile_binning out (green r4 rows on unchanged code, families
     # still represented — see PRIMARY_ORDER's rotation notes)
+    # round-6 rotations: dedup_minhash_lsh (tracked-persist contract
+    # changed its code on a stale green row), multimodal_phash_dedup (new)
+    # and stream_curation_ingest (new) in; olap_rolling_average,
+    # olap_retention_cohorts and olap_min_cost_supplier out (green r05
+    # rows on round-6-unchanged code, families still represented — see
+    # PRIMARY_ORDER's rotation notes)
     assert {
         "dedup_simhash", "dedup_simhash_web", "llm_curation_pipeline",
+        "dedup_minhash_lsh", "multimodal_phash_dedup", "stream_curation_ingest",
         "olap_window_distribution", "olap_triangle_count",
         "llm_title_hamming_dedup",
         "llm_near_dedup_survivors", "llm_substring_dup_spans",
         "llm_heavy_ngrams_sketch", "stream_outer_interval_join",
         "olap_quantile_shard_merge", "olap_ks_drift", "olap_cogroup_order_lag",
         "olap_top_paths",
-        "olap_variant_metrics", "olap_min_cost_supplier",
-        "olap_funnel_conversion", "olap_retention_cohorts",
+        "olap_variant_metrics",
+        "olap_funnel_conversion",
         "llm_bigram_surprisal", "olap_anomaly_zscore",
         "dedup_embedding_cosine", "dedup_components",
         "llm_dedup_incremental", "llm_cdc_chunks",
@@ -110,7 +117,6 @@ def test_primary_window():
         "olap_tpch_q18_large_orders", "olap_unpivot",
         "stream_outer_interval_join",
         "olap_scd2_history", "olap_partition_pruned_scan", "olap_hll_shard_merge",
-        "olap_rolling_average",
     } <= window
 
 

@@ -279,7 +279,7 @@ def _phash_probe(docs):
 
     media = attach_textured_bmp_payload(docs.select("doc_id"), "doc_id")
     return hamming_sig_pairs(
-        dhash_signatures(media), "doc_id", "sig", n_bits=63, max_dist=8
+        dhash_signatures(media), "doc_id", "sig", max_dist=6
     )
 
 
