@@ -584,12 +584,17 @@ def dedup_components(
     min-id per component, drop the rest).
 
     Iterative min-label propagation: every node starts labeled with itself;
-    each sweep takes the min label over direct neighbors; converges in
-    O(graph diameter) sweeps — near-dup components are small quasi-cliques,
-    so typically 2-3. Per sweep: one join + one min-aggregate, both keyed
-    shuffles; labels are localCheckpoint'd to stop lineage growth (same
-    discipline as plans/heroic.py). Driver sees only the changed-count
-    scalar.
+    each sweep takes the min label over direct neighbors AND itself (the
+    edge table carries self-loops so one join + one min-aggregate covers
+    both); converges in O(graph diameter) sweeps — near-dup components are
+    small quasi-cliques, so typically 2-3. Each sweep is ONE Spark job:
+    the label table localCheckpoints LAZILY and the convergence probe —
+    sum(label), which strictly decreases until the fixed point because
+    per-node labels are monotonically non-increasing — materializes it in
+    the same action (an earlier shape ran three jobs per sweep: an eager
+    checkpoint, a re-join against the previous labels, and a changed-row
+    count; the label-sum probe needs none of them). Driver sees only the
+    one-row sum scalar.
 
     A chain with diameter > max_iter would exit the loop un-converged and
     silently return SPLIT components (round-1 ADVICE finding) — with
@@ -604,47 +609,59 @@ def dedup_components(
     re-executed that pipeline end-to-end (measured: the composed survivors
     operator went super-linear at 64x, 51 s, purely from re-verification;
     with the checkpoint the sweeps read materialized edge blocks)."""
-    edges = pairs.select(F.col(col_a).alias("a"), F.col(col_b).alias("b"))
+    # materialize the RAW pair set first: `pairs` is typically the output
+    # of a whole candidate-generation + exact-verification pipeline, and
+    # every derivation below (symmetrize, node set, self-loops, label
+    # init) would otherwise re-execute it once per read
+    und = pairs.select(F.col(col_a).alias("a"), F.col(col_b).alias("b")).transform(
+        tracked_local_checkpoint
+    )
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    # symmetrized + self-loops: min over a node's edge group = min over
+    # neighbors AND itself, so each sweep needs no second join back to
+    # the node's own label. Lazy checkpoint — the first sweep's action
+    # materializes it from the cached `und` blocks.
     edges = (
-        edges.union(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .union(nodes.select(F.col("node").alias("a"), F.col("node").alias("b")))
         .distinct()
-        .transform(tracked_local_checkpoint)
+        .transform(lambda df: tracked_local_checkpoint(df, eager=False))
     )
-    labels = (
-        edges.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .transform(tracked_local_checkpoint)
+    labels = nodes.withColumn("label", F.col("node")).transform(
+        lambda df: tracked_local_checkpoint(df, eager=False)
     )
+    # sum(label) is a strictly decreasing convergence measure (labels are
+    # per-node monotonically non-increasing); DECIMAL so a 1e9-node corpus
+    # with 1e9-sized ids cannot overflow the probe. The agg action also
+    # materializes the lazy checkpoint above.
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
+    converged = False
     for _ in range(max_iter):
-        neigh_min = (
+        new_labels = (
             edges.join(
                 labels.select(F.col("node").alias("b"), F.col("label").alias("nl")),
                 "b",
             )
             .groupBy("a")
-            .agg(F.min("nl").alias("nl"))
-            .select(F.col("a").alias("node"), "nl")
+            .agg(F.min("nl").alias("label"))
+            .select(F.col("a").alias("node"), "label")
+            .transform(lambda df: tracked_local_checkpoint(df, eager=False))
         )
-        new_labels = (
-            labels.join(neigh_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("nl", F.col("label"))).alias("label"),
-            )
-            .transform(tracked_local_checkpoint)
-        )
-        changed = (
-            new_labels.join(
-                labels.select("node", F.col("label").alias("old")), "node"
-            )
-            .filter(F.col("label") != F.col("old"))
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
+            converged = True
             break
-    else:
+        prev_sum = new_sum
+    if not converged:
         if strict:
             raise RuntimeError(
                 f"dedup_components did not converge within max_iter={max_iter} "

@@ -84,6 +84,7 @@ AUDITED = [
     "olap_cogroup_order_lag",
     "multimodal_phash_dedup",
     "llm_bpe_encode",
+    "stream_curation_ingest",
 ]
 
 
