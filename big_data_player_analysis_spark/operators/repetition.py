@@ -101,8 +101,16 @@ def remove_repeated_windows(
     shuffle anti-join unconditionally."""
     if window_tokens <= 0 or min_docs < 2:
         raise ValueError("need window_tokens > 0 and min_docs >= 2")
-    wins = _windows(df, id_col, text_col, window_tokens).withColumn(
-        "whash", F.xxhash64("wtext")
+    # Persisted: the window table is read THREE times (frequent-set
+    # aggregate, the anti-join's probe side, per-doc window counts), and
+    # without the persist each read re-executed the tokenise/explode AND
+    # every upstream stage of the input (in the curation pipeline that is
+    # the whole quality/language gate — measured as the second-largest
+    # stage cost purely from re-execution).
+    wins = (
+        _windows(df, id_col, text_col, window_tokens)
+        .withColumn("whash", F.xxhash64("wtext"))
+        .transform(tracked_persist)
     )
     per_doc = wins.select("doc_id", "n_windows").distinct()
     frequent = (

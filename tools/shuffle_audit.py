@@ -152,6 +152,31 @@ def _fmt_mb(b: int) -> str:
 # Design explanation per outlier — rendered under the table so the
 # numbers never stand uninterpreted.
 NOTES = {
+    "multimodal_phash_dedup": (
+        "payload bytes never shuffle: the decode scan emits one "
+        "(doc_id, 7-int segment array) row per image, so both sw columns "
+        "read ~0 MB; the 10.1x ratio is 0.01 MB -> 0.1 MB of segment "
+        "rows + candidate pairs — linear in docs, band-volume candidates "
+        "(n^2 * 7/2^18)."
+    ),
+    "llm_bpe_encode": (
+        "the 11.8x sw growth on 10x input is vocabulary growth, not a "
+        "plan transition: composed copies rewrite text through rotated "
+        "alphabets, so every copy mints NEW distinct words and the "
+        "distinct-word encode table + the per-doc token-id reassembly "
+        "(posexplode -> join-back -> array_sort collect) grow with "
+        "distinct words x docs; on a natural corpus the vocab saturates "
+        "(Heaps' law) and the join-back side dominates linearly. Token "
+        "TEXT never shuffles with the corpus — only (word, id-array) "
+        "and (doc, pos, ids) rows."
+    ),
+    "stream_curation_ingest": (
+        "per-micro-batch curation: shuffle is ~0.12x input at both "
+        "scales (window-frequency aggregate + band exchange + survivor "
+        "joins), linear 6.7x on 10x data; the corpus side of the "
+        "incremental stage is never exchanged on the band key (same "
+        "contract as stream_near_dedup_ingest)."
+    ),
     "olap_key_skew_profile": (
         "global exact percentiles with no global sort: the exchanges are "
         "the per-key partial count and the KB-scale count-of-counts "
