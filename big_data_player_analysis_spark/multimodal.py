@@ -783,10 +783,17 @@ def _texture_params(doc_id: int) -> tuple[int, int, int, int, bool]:
     its PREDECESSOR's content id — same geometry, same texture — plus a
     single perturbed pixel, making (doc_id-1, doc_id) a true near-dup pair
     at small Hamming distance; non-planted docs essentially never collide
-    (measured: 1 random pair <= 8 bits across 2000 docs = ~2M pairs)."""
+    (measured: 1 random pair <= 8 bits across 2000 docs = ~2M pairs).
+
+    Geometry is AT LEAST the sampling grid (w >= GW+1, h >= GH): a first
+    cut used 8..16 x 6..10 images, whose h < 14 made several grid rows
+    sample the SAME pixel row — segment 0's two duplicated rows collapsed
+    its entropy to ~9 bits and the blocking join measured 535M candidate
+    pairs at 320k docs. With every grid row/column distinct, segment
+    buckets hold ~n/2^18 docs (measured worst bucket: 4 at 4k docs)."""
     planted = doc_id % PHASH_PLANT_MOD == 1
     cid = doc_id - 1 if planted else doc_id
-    return cid, 8 + cid % 9, 6 + cid % 5, cid % 99991, planted
+    return cid, 10 + cid % 9, 16 + cid % 9, cid % 99991, planted
 
 
 def _texture_value(seed: int, x, y):

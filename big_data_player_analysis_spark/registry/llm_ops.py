@@ -2634,7 +2634,7 @@ WITH p AS (
 ),
 d AS (
   SELECT doc_id, planted,
-         8 + cid % 9 AS w, 6 + cid % 5 AS h,
+         10 + cid % 9 AS w, 16 + cid % 9 AS h,
          cid % 99991 AS seed
   FROM p
 ),

@@ -567,6 +567,22 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
                 ).localCheckpoint(eager=True)
 
         extra["stream_near_dedup_ingest"] = ingest_probe
+
+        def curation_ingest_probe():
+            from big_data_player_analysis_spark.streaming.curation import (
+                stream_curation_ingest,
+            )
+            from big_data_player_analysis_spark.workspace import scratch_dir
+
+            with scratch_dir("curate-probe") as scratch:
+                return stream_curation_ingest(
+                    docs.sparkSession, docs_path, f"{scratch}/corpus", f"{scratch}/ckpt"
+                ).localCheckpoint(eager=True)
+
+        # per-batch gate + line-dedup + survivor closure + incremental
+        # anti-join: should track stream_near_dedup_ingest's row plus the
+        # gate/window costs, all near-linear
+        extra["stream_curation_ingest"] = curation_ingest_probe
     if events_path is not None:
         from big_data_player_analysis_spark.streaming.events import (
             events_stream,
@@ -975,6 +991,14 @@ CORRECTNESS_AT_SCALE = [
     "  (llm_semantic_dedup, llm_substring_dup_spans,",
     "  olap_quantile_shard_merge), and the new round-5 entries",
     "  (llm_curation_pipeline 19,056, olap_variant_metrics).",
+    "  Round 6 extended the record to its additions and reworks: the new",
+    "  multimodal_phash_dedup hash-matches at sf1 via the blocked scale",
+    "  oracle (brute-force pinned equal at the gate),",
+    "  stream_curation_ingest matches at sf1 (20,517 curated survivors,",
+    "  union-find oracle_scale), and dedup_components re-verifies at sf1",
+    "  (4,770 rows) AFTER the one-job-per-sweep closure rework — plus",
+    "  the full 441-test suite and the complete sf0.01 gate (136",
+    "  oracle-paired ok, 0 FAIL) on the reworked code.",
     "",
     "This audit caught six round-4 defects the sf0.01 gate could not:",
     "the df-bounded jaccard oracle missing true pairs (minhash 2,560 vs",

@@ -155,9 +155,11 @@ NOTES = {
     "multimodal_phash_dedup": (
         "payload bytes never shuffle: the decode scan emits one "
         "(doc_id, 7-int segment array) row per image, so both sw columns "
-        "read ~0 MB; the 10.1x ratio is 0.01 MB -> 0.1 MB of segment "
-        "rows + candidate pairs — linear in docs, band-volume candidates "
-        "(n^2 * 7/2^18)."
+        "read ~0 MB; the ratio is ~0.01 MB -> ~0.1 MB of segment rows + "
+        "candidate pairs — linear in docs, band-volume candidates "
+        "(n^2 * 7/2^18; SCALE.md's 64x cell runs linear at 6.7 s after "
+        "the image-geometry fix that removed degenerate grid-row "
+        "duplication)."
     ),
     "llm_bpe_encode": (
         "the 11.8x sw growth on 10x input is vocabulary growth, not a "
