@@ -53,7 +53,19 @@ def run_one(spark, spec, sf_dir: str) -> float:
     sink). Tracked persists are released AFTER the timing stops: the
     cached intermediates are part of the query's own execution, but their
     blocks must not linger into the next query's measurement (storage
-    pressure -> spill churn over a 45-query x 2-pass suite)."""
+    pressure -> spill churn over a 46-query x 2-pass suite).
+
+    MEASUREMENT-SEMANTICS NOTE (round 6): releasing between runs also
+    ends an accidental flattering of earlier records. Rounds 1-5 never
+    unpersisted, and Spark's CacheManager substitutes cached
+    InMemoryRelations into ANY later plan whose subtree semantically
+    matches — so a query's second pass (and any later query sharing a
+    subplan, e.g. near_dedup_survivors embedding dedup_minhash_lsh) read
+    pass-1's caches instead of executing. Cold-path evidence: r5's
+    dedup_minhash_lsh recorded [4.399, 0.929] — the 4.4 s first pass IS
+    the true cold cost this bench now reports every pass (~3.4 s
+    measured quiet). Compare r6+ numbers to PRIOR rounds' first-pass
+    values, not their cache-warmed minima."""
     from big_data_player_analysis_spark.caching import release_tracked
 
     t0 = time.time()
@@ -163,6 +175,10 @@ def main() -> None:
             "sf": sf,
             "slowest": slowest,
             "detail": "tools/bench_last.json",
+            # r1-r5 minima were flattered by cross-run CacheManager plan
+            # reuse (persists were never released); r6+ measures the true
+            # cold path — compare to prior rounds' FIRST-pass runs
+            "semantics": "cold per-run since r6 (tracked persists released)",
         }
     )
     # the one-line contract: flush everything else, then emit the JSON as

@@ -609,12 +609,14 @@ def dedup_components(
     re-executed that pipeline end-to-end (measured: the composed survivors
     operator went super-linear at 64x, 51 s, purely from re-verification;
     with the checkpoint the sweeps read materialized edge blocks)."""
-    # materialize the RAW pair set first: `pairs` is typically the output
-    # of a whole candidate-generation + exact-verification pipeline, and
-    # every derivation below (symmetrize, node set, self-loops, label
-    # init) would otherwise re-execute it once per read
+    # checkpoint the RAW pair set: `pairs` is typically the output of a
+    # whole candidate-generation + exact-verification pipeline, and every
+    # derivation below (symmetrize, node set, self-loops, label init)
+    # would otherwise re-execute it once per read. Lazy — the label-sum
+    # init action below materializes it (labels <- nodes <- und), so the
+    # whole setup costs ONE job.
     und = pairs.select(F.col(col_a).alias("a"), F.col(col_b).alias("b")).transform(
-        tracked_local_checkpoint
+        lambda df: tracked_local_checkpoint(df, eager=False)
     )
     nodes = (
         und.select(F.col("a").alias("node"))
