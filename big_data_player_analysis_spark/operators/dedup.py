@@ -633,33 +633,41 @@ def dedup_components(
         .distinct()
         .transform(lambda df: tracked_local_checkpoint(df, eager=False))
     )
-    labels = nodes.withColumn("label", F.col("node")).transform(
-        lambda df: tracked_local_checkpoint(df, eager=False)
-    )
     # sum(label) is a strictly decreasing convergence measure (labels are
     # per-node monotonically non-increasing); DECIMAL so a 1e9-node corpus
-    # with 1e9-sized ids cannot overflow the probe. The agg action also
-    # materializes the lazy checkpoint above.
-    prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    ).first()["s"]
+    # with 1e9-sized ids cannot overflow the probe. Each sweep's agg
+    # action also materializes that sweep's lazy checkpoint, so a sweep
+    # is exactly one job. Sweep 1 is the identity case — every label IS
+    # its node — so its neighbor join folds away into a bare
+    # min-aggregate over the edge table (which the self-loops seed with
+    # each node's own id); prev_sum starts as a None sentinel because a
+    # first sweep over a non-empty id-ordered pair set always changes at
+    # least one label.
+    labels = None
+    prev_sum, new_sum = None, None
     converged = False
     for _ in range(max_iter):
-        new_labels = (
-            edges.join(
-                labels.select(F.col("node").alias("b"), F.col("label").alias("nl")),
-                "b",
+        if labels is None:
+            swept = edges.groupBy("a").agg(F.min("b").alias("label"))
+        else:
+            swept = (
+                edges.join(
+                    labels.select(
+                        F.col("node").alias("b"), F.col("label").alias("nl")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("nl").alias("label"))
             )
-            .groupBy("a")
-            .agg(F.min("nl").alias("label"))
-            .select(F.col("a").alias("node"), "label")
-            .transform(lambda df: tracked_local_checkpoint(df, eager=False))
+        new_labels = swept.select(F.col("a").alias("node"), "label").transform(
+            lambda df: tracked_local_checkpoint(df, eager=False)
         )
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
         labels = new_labels
-        if new_sum == prev_sum:
+        if prev_sum is not None and new_sum == prev_sum:
             converged = True
             break
         prev_sum = new_sum
