@@ -644,7 +644,8 @@ def dedup_components(
     # first sweep over a non-empty id-ordered pair set always changes at
     # least one label.
     labels = None
-    prev_sum, new_sum = None, None
+    _unset = object()  # None is a REAL sum value (empty graph) — sum(empty) is NULL
+    prev_sum, new_sum = _unset, _unset
     converged = False
     for _ in range(max_iter):
         if labels is None:
@@ -667,7 +668,9 @@ def dedup_components(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
         labels = new_labels
-        if prev_sum is not None and new_sum == prev_sum:
+        # converged when the sum stops decreasing — or immediately on an
+        # EMPTY pair set (sum NULL = zero nodes; nothing to propagate)
+        if new_sum is None or (prev_sum is not _unset and new_sum == prev_sum):
             converged = True
             break
         prev_sum = new_sum

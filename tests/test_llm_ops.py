@@ -1491,3 +1491,15 @@ def test_phash_pairs_find_all_planted(spark, sf_small):
     )
     want = {(r.id_a, r.id_b): r.hamming for r in brute.collect()}
     assert got == want
+
+
+def test_dedup_components_empty_pairs(spark):
+    """An empty pair set (e.g. a micro-batch with no intra-batch dups)
+    must return an empty labeling immediately — the round-6 sum-probe
+    rework initially spun to max_iter here because sum(empty) is NULL on
+    every sweep and the None sentinel masked the fixed point."""
+    from big_data_player_analysis_spark.operators.dedup import dedup_components
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    out = dedup_components(empty).collect()
+    assert out == []
