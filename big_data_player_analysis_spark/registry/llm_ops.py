@@ -14,7 +14,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from big_data_player_analysis_spark.caching import tracked_persist
+from big_data_player_analysis_spark.caching import (
+    tracked_local_checkpoint,
+    tracked_persist,
+)
 from pyspark.sql import functions as F
 
 from big_data_player_analysis_spark.functions.text import (
@@ -2564,13 +2567,16 @@ def curation_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
     projections, the one text-sized exchange is the line-dedup window
     aggregate, dedup moves ~0.02x of its input through the band
     exchange, the eval shingle set broadcasts, and packing is one grp
-    exchange of (id, nt). The DAG fans out at two stage boundaries
+    exchange of (id, nt). The DAG fans out at three stage boundaries
     (cleaned text feeds both sides of the dedup; survivors feed both
-    decontamination and the final projection), so those two frames are
-    persisted — Catalyst does not share common subplans within one
-    query, and without the persist each fan-out re-ran every upstream
-    stage (first audit measured 77 MB shuffled at sf1 vs the ~35 MB
-    stage sum; persisted, the budget matches the sum)."""
+    decontamination and the final projection; the decontaminated
+    `final` table feeds both the packer and the join-back), so those
+    three frames are materialized (lazy localCheckpoint) — Catalyst
+    does not share common subplans within one query, and without the
+    materialization each fan-out re-ran every upstream stage (first
+    audit measured 77 MB shuffled at sf1 vs the ~35 MB stage sum; the
+    unmaterialized `final` fan-out alone re-ran the whole 32-char
+    decontamination shingle join, ~2.5 s of the 15 s sf0.1 cold pass)."""
     from big_data_player_analysis_spark.operators.chunking import pack_sequences
 
     docs = t(spark, sf, "documents")
@@ -2587,14 +2593,24 @@ def curation_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("_q") >= CURATION_MIN_QUALITY) & (F.col("_lang") == "en")
     ).select("doc_id", "text")
 
+    # The three fan-out frames use a LAZY localCheckpoint, not a plain
+    # persist: a persist leaves the full logical plan in place, and every
+    # downstream branch of this six-stage composition re-ANALYZES it —
+    # the job timeline showed a ~4 s driver-only gap (no Spark job
+    # running) purely from Catalyst re-analysis/optimization of the
+    # accumulated plan; truncating lineage at the stage boundaries cut
+    # the sf0.1 cold pass 12.4 -> 8.3 s. The tradeoff (checkpoint blocks
+    # are not recomputable after executor loss) is the same one
+    # plans/heroic.py documents for its iteration frames.
+    _stage = lambda df: tracked_local_checkpoint(df, eager=False)  # noqa: E731
     cleaned = remove_repeated_windows(
         gated, "doc_id", "text",
         window_tokens=REPEAT_WINDOW_TOKENS, min_docs=REPEAT_MIN_DOCS,
-    ).select("doc_id", F.col("clean_text").alias("text")).transform(tracked_persist)
+    ).select("doc_id", F.col("clean_text").alias("text")).transform(_stage)
 
     surv = near_dedup_survivors(
         cleaned, "doc_id", "text", k=SHINGLE_K, threshold=JACCARD_THRESHOLD
-    ).transform(tracked_persist)
+    ).transform(_stage)
 
     contaminated = decontaminate(
         surv.select("doc_id", "text"), eval_docs, "doc_id", "text",
@@ -2606,7 +2622,7 @@ def curation_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
         F.size(
             F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
         ).cast("long").alias("n_tokens"),
-    )
+    ).transform(_stage)
 
     packed = pack_sequences(
         final, "doc_id", "n_tokens", budget=PACK_BUDGET, n_groups=PACK_GROUPS

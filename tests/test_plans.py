@@ -626,12 +626,14 @@ def test_variant_metrics_narrow_parse_with_partial_agg(spark, specs):
 
 def test_curation_pipeline_no_cross_product_and_persisted_fanout(spark, specs):
     """The mega-pipeline plans with no nested-loop/cartesian join anywhere
-    (every stage is keyed/broadcast), and the two fan-out stage boundaries
-    read from InMemoryTableScan (the persist that keeps the exchange
-    budget equal to the stage sum — losing it re-runs upstream stages,
-    first audit measured 77 MB vs the ~35 MB sum at sf1)."""
+    (every stage is keyed/broadcast), and the fan-out stage boundaries
+    read from a materialized checkpoint (Scan ExistingRDD — the lazy
+    localCheckpoint that keeps the exchange budget equal to the stage
+    sum AND truncates lineage so Catalyst does not re-analyze the whole
+    composition per branch; losing it re-runs upstream stages, first
+    audit measured 77 MB vs the ~35 MB sum at sf1)."""
     df = specs["llm_curation_pipeline"].fn(spark, SF)
     p = plan_str(df)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
-    assert "InMemoryTableScan" in p
+    assert "Scan ExistingRDD" in p
