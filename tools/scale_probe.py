@@ -184,12 +184,28 @@ def timed(build) -> float:
     shows sustained external load swings (load-average bursts with zero
     in-container CPU consumers) that inflate single-shot wall times up to
     6x; the min of back-to-back runs estimates the uncontended cost. The
-    load average at probe time is recorded in SCALE.md."""
+    load average at probe time is recorded in SCALE.md.
+
+    COLD-PATH SEMANTICS (round 6, same change as bench.py): tracked
+    persists/checkpoints are released after EACH run. Before, the second
+    run of a persist-based operator silently read the first run's cached
+    fragments (CacheManager substitutes cached InMemoryRelations into any
+    later plan whose subtree matches), so the recorded min was the
+    cache-warmed cost — dedup_minhash_lsh's pre-r6 64x cell read 4.7 s
+    where the true cold cost is ~42 s (the signature pandas_udf pass over
+    320k docs, linear and scan-proportional). Checkpoint-based operators
+    never got that reuse (a checkpointed RDD's plan is unique per
+    instance), so rows mixed warm and cold semantics depending on an
+    implementation detail. Now every run pays its full cost; compare r6+
+    cells to prior rounds' cells only with this in mind."""
+    from big_data_player_analysis_spark.caching import release_tracked
+
     times = []
     for _ in range(2):
         t0 = time.time()
         build().write.format("noop").mode("overwrite").save()
         times.append(time.time() - t0)
+        release_tracked()
     return round(min(times), 2)
 
 
@@ -918,6 +934,18 @@ def render_scale_md(results, rows, n_invocations) -> None:
         "runs each (this host has sustained external load bursts that",
         "inflate wall times up to 6x; the min across repeats estimates the",
         f"uncontended cost; load average at last probe: {' '.join(loadavg)}).",
+        "MEASUREMENT SEMANTICS (round 6, same change as bench.py): each",
+        "run now releases its tracked persists/checkpoints, so every cell",
+        "measures the COLD end-to-end cost. Pre-r6 cells for persist-based",
+        "operators were cache-warmed minima (the second run read the first",
+        "run's cached fragments via CacheManager plan matching) — e.g.",
+        "dedup_minhash_lsh's 64x cell read 4.7 s warm where the true cold",
+        "cost is ~42 s, ~30 s of which is the signature pandas_udf pass",
+        "over 320k docs (linear, scan-proportional, embarrassingly",
+        "parallel — the pre-shuffle narrow pass a 1000-executor run",
+        "spreads with the scan). Compare r6+ cells to earlier rounds'",
+        "only with this in mind; within-round growth ratios are the",
+        "design signal either way.",
         "olap_triangle_count's 64x cell was round 4's one suspected",
         "scale-killer (184.19 s recorded = 10.3x for the final 4x step); the",
         "round-5 re-measure landed 74.8 s = 4.2x per 4x step — linear, as",
