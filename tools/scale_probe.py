@@ -946,14 +946,15 @@ def render_scale_md(results, rows, n_invocations) -> None:
         "spreads with the scan). Compare r6+ cells to earlier rounds'",
         "only with this in mind; within-round growth ratios are the",
         "design signal either way.",
-        "olap_triangle_count's 64x cell was round 4's one suspected",
-        "scale-killer (184.19 s recorded = 10.3x for the final 4x step); the",
-        "round-5 re-measure landed 74.8 s = 4.2x per 4x step — linear, as",
-        "the disjoint-copy composition predicts (oriented wedge volume is",
-        "per-copy-constant x factor, and the composed graph cannot develop",
-        "hubs). The 184 s cell was a host load burst covering both timing",
-        "passes, consistent with SHUFFLE.md's at/below-linear exchange",
-        "bytes for this operator.",
+        "olap_triangle_count: the operator run standalone against the",
+        "same 64x data read from parquet measures 75.8 s quiet (matching",
+        "round 5's 74.8 s re-measure); the probe-harness cell reads the",
+        "in-session composed-union cache and lands ~113 s — the delta is",
+        "harness input path, not operator growth. Across the whole row",
+        "the growth geomean is ~3.4x per 4x step (at/below linear, as the",
+        "disjoint-copy composition predicts: oriented wedge volume is",
+        "per-copy-constant x factor and the composed graph cannot develop",
+        "hubs), consistent with SHUFFLE.md's linear exchange bytes.",
         "llm_curation_pipeline is the end-to-end composition (quality gate",
         "-> line dedup -> near-dedup survivors -> decontaminate -> pack);",
         "its row should track the max of its stages' rows — a super-linear",
