@@ -50,7 +50,15 @@ def _released(fn: Callable[[SparkSession, str], DataFrame]):
     their (lazy) build, so the earliest safe unpersist point in the
     driver's run-compare-run loop is the start of the next entry. Keeps a
     142-entry sweep on one JVM at <= one entry's cached blocks (round-5
-    verdict defect #1)."""
+    verdict defect #1).
+
+    CONTRACT for external driver authors: registry results may be backed
+    by lazy localCheckpoints (lineage truncated), not just persists.
+    Released persists recompute on demand, but a released checkpoint's
+    blocks are GONE — re-reading a prior entry's DataFrame after
+    requesting the next one hard-fails instead of recomputing slowly.
+    Fully consume (collect/write) each entry's result before building the
+    next entry."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from big_data_player_analysis_spark.caching import release_tracked

@@ -69,10 +69,14 @@ def run_one(spark, spec, sf_dir: str) -> float:
     from big_data_player_analysis_spark.caching import release_tracked
 
     t0 = time.time()
-    df = spec.fn(spark, sf_dir)
-    df.write.format("noop").mode("overwrite").save()
-    elapsed = round(time.time() - t0, 3)
-    release_tracked()
+    try:
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = round(time.time() - t0, 3)
+    finally:
+        # release even when the build/write throws, or this run's tracked
+        # blocks stay cached and pollute every later query's cold timing
+        release_tracked()
     return elapsed
 
 

@@ -736,7 +736,11 @@ def near_dedup_survivors(
     columns, duplicate-set-sized output — and a per-component max_by.
     """
     pairs = dedup_minhash_lsh(df, id_col, text_col, k=k, threshold=threshold)
-    comp = dedup_components(pairs).transform(_materialize)
+    # no _materialize here: dedup_components returns a trivial projection
+    # over its per-sweep-checkpointed label table, so downstream branches
+    # re-read already-cached blocks — a second checkpoint would store a
+    # duplicate copy of the component labels for no re-analysis savings
+    comp = dedup_components(pairs)
     if quality_col is not None:
         scored = comp.join(
             df.select(F.col(id_col).alias("node"), F.col(quality_col).alias("_q")),

@@ -203,9 +203,13 @@ def timed(build) -> float:
     times = []
     for _ in range(2):
         t0 = time.time()
-        build().write.format("noop").mode("overwrite").save()
-        times.append(time.time() - t0)
-        release_tracked()
+        try:
+            build().write.format("noop").mode("overwrite").save()
+            times.append(time.time() - t0)
+        finally:
+            # release even on a throwing cell — leaked tracked blocks would
+            # stay cached for every subsequent cell and skew their timings
+            release_tracked()
     return round(min(times), 2)
 
 
