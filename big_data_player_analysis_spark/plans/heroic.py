@@ -30,7 +30,10 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
-from big_data_player_analysis_spark.caching import tracked_local_checkpoint
+from big_data_player_analysis_spark.caching import (
+    tracked_local_checkpoint,
+    tracked_persist,
+)
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -66,18 +69,33 @@ def edges_with_avgs(duels: DataFrame, num_partitions: int | None = None) -> Data
     """Distinct edges enriched with both endpoints' smoothed averages
     (reference Q6+Q9+Q10, exercise_4.py:49-123), pre-partitioned on
     challenged_id — the key of the per-iteration join — so iterations reuse
-    the partitioning instead of re-shuffling the big side."""
+    the partitioning instead of re-shuffling the big side.
+
+    The duels input is materialized ONCE (eager tracked persist) before
+    fan-out: three consumers read it (distinct edges, the smoothed-avg
+    aggregate, the player universe), and with explicit F.broadcast hints
+    each consumer ran as an independent concurrent stage whose
+    column-pruned copy of the duels subplan could not be
+    exchange-deduplicated (different pruned payloads defeat
+    ReuseExchange) — measured at composed sf1 as three events-sized
+    exchanges (72 MB total, the r6 SHUFFLE row's sr:sw 4.2) where one
+    suffices. The eager count fills the cache before the consumers race.
+    No broadcast HINTS on the avg sides either: AQE converts the
+    player-sized avg joins to broadcast at runtime; explicit hints would
+    spawn concurrent build futures that race past a cold cache."""
+    duels = tracked_persist(duels)
+    duels.count()
     edges = distinct_pairs(duels, ["challenger_id", "challenged_id"])
     avg = smoothed_avg_completed(duels)
     out = (
         edges.join(
-            F.broadcast(avg.select(F.col("player_id").alias("challenged_id"),
-                                   F.col("avg_score").alias("avg_challenged"))),
+            avg.select(F.col("player_id").alias("challenged_id"),
+                       F.col("avg_score").alias("avg_challenged")),
             on="challenged_id",
         )
         .join(
-            F.broadcast(avg.select(F.col("player_id").alias("challenger_id"),
-                                   F.col("avg_score").alias("avg_challenger"))),
+            avg.select(F.col("player_id").alias("challenger_id"),
+                       F.col("avg_score").alias("avg_challenger")),
             on="challenger_id",
         )
     )

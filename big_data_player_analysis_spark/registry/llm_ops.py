@@ -63,6 +63,7 @@ from big_data_player_analysis_spark.operators.sampling import (
     weighted_sample,
 )
 from big_data_player_analysis_spark.operators.similarity import (
+    LSH_HYPERPLANES,
     ann_lsh_buckets,
     brute_force_topk,
     embedding_dim_stats,
@@ -409,18 +410,85 @@ def dedup_minhash_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash", sql=None, tags=("llm", "dedup"))
+# SimHash oracle: the signature is a DETERMINISTIC integer pipeline
+# (base-31 polynomial over the normalized text's bytes, splitmix64
+# avalanche, per-bit majority vote — operators/dedup.py:simhash_signatures),
+# so DuckDB can replay it bit-for-bit and brute-force ALL pairs; a hash
+# match therefore proves the Spark side's pigeonhole banding loses no
+# pair (same proof style as the exact-Jaccard oracle over MinHash+LSH).
+# uint64 wraparound arithmetic runs in HUGEINT: a 64x64-bit product can
+# reach 2^128 (overflows signed HUGEINT), so the splitmix multiplies are
+# split 32/32: (lo*c + ((hi*c) mod 2^32)*2^32) mod 2^64 — every
+# intermediate < 2^97.
+_SM_C1 = 11400714819323198485  # splitmix64 constants (public domain,
+_SM_C2 = 13787848793156543929  # Steele et al. 2014 / xorshift-derived)
+_SM_C3 = 10723151780598845931
+_U64 = 1 << 64
+_U32 = 1 << 32
+
+
+def _sql_mul64(x: str, c: int) -> str:
+    return (
+        f"((({x}) % {_U32}) * {c}::HUGEINT + "
+        f"((({x}) // {_U32}) * {c}::HUGEINT % {_U32}) * {_U32}) "
+        f"% {_U64}::HUGEINT"
+    )
+
+
+def _sql_simhash_pairs(max_hamming: int) -> str:
+    # polynomial over CHARACTERS == bytes: SQL_NORM output is pure
+    # [a-z0-9 ] ASCII, so ord(char) equals the UTF-8 byte numpy hashes
+    poly = " + ".join(
+        f"ord(substr(norm, CAST(i + {j} AS INT), 1))::BIGINT * {31 ** j}"
+        for j in range(SHINGLE_K)
+    )
+    csums = ", ".join(
+        f"sum(((z >> {i}) & 1::HUGEINT)::BIGINT) AS c{i}" for i in range(64)
+    )
+    # majority vote: numpy's sum(2b-1) > 0  <=>  2*count_set > n (ties -> 0)
+    sigterms = " + ".join(
+        f"CASE WHEN 2 * c{i} > n THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END"
+        for i in range(64)
+    )
+    return f"""
+WITH d AS (SELECT doc_id AS doc, {SQL_NORM} AS norm FROM documents),
+pos AS (
+  SELECT doc, norm, unnest(generate_series(1, length(norm) - {SHINGLE_K - 1})) AS i
+  FROM d WHERE length(norm) >= {SHINGLE_K}
+),
+h AS (SELECT DISTINCT doc, ({poly}) AS h FROM pos),
+s0 AS (SELECT doc, h::HUGEINT + {_SM_C1}::HUGEINT AS z FROM h),
+s1 AS (SELECT doc, {_sql_mul64('xor(z, z >> 30)', _SM_C2)} AS z FROM s0),
+s2 AS (SELECT doc, {_sql_mul64('xor(z, z >> 27)', _SM_C3)} AS z FROM s1),
+s3 AS (SELECT doc, xor(z, z >> 31) AS z FROM s2),
+agg AS (SELECT doc, count(*) AS n, {csums} FROM s3 GROUP BY doc),
+us AS (SELECT doc, ({sigterms}) AS u FROM agg),
+sigs AS (
+  SELECT doc,
+         (CASE WHEN u >= {1 << 63}::HUGEINT THEN u - {_U64}::HUGEINT ELSE u END)::BIGINT AS sig
+  FROM us
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc < b.doc
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+
+@query("dedup_simhash", sql=_sql_simhash_pairs(8), tags=("llm", "dedup"))
 def dedup_simhash_q(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming <= 8 via band buckets +
-    popcount). Rows-only: signatures hinge on xxhash64, which the DuckDB
-    oracle cannot reproduce; parity with exact Jaccard dups is asserted in
-    tests/test_llm_ops.py instead. This is the STRICT operating point (9
-    bands of ~7 bits, exact recall to hamming 8) for modest corpora; the
-    registry's web-scale default is dedup_simhash_web below."""
+    popcount). The oracle replays the signature EXACTLY (the polynomial +
+    splitmix64 pipeline is deterministic integer arithmetic — see
+    _sql_simhash_pairs) and brute-forces ALL pairs, so a hash match proves
+    the 9-band pigeonhole blocking loses no pair. This is the STRICT
+    operating point (9 bands of ~7 bits, exact recall to hamming 8) for
+    modest corpora; the registry's web-scale default is dedup_simhash_web
+    below."""
     return dedup_simhash(t(spark, sf, "documents"), "doc_id", "text", k=SHINGLE_K)
 
 
-@query("dedup_simhash_web", sql=None, tags=("llm", "dedup", "bench"))
+@query("dedup_simhash_web", sql=_sql_simhash_pairs(3), tags=("llm", "dedup", "bench"))
 def dedup_simhash_web_q(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash at the WEB-SCALE operating point (Manku et al. 2007's
     configuration shape: 4 bands of 16 bits, exact pigeonhole recall to
@@ -428,9 +496,8 @@ def dedup_simhash_web_q(spark: SparkSession, sf: str) -> DataFrame:
     contract's n^2/2^7 — the 64x probe measured 1.68 s here vs 49.6 s
     strict (SCALE.md), which is why this is the config a 100 TB corpus
     runs; the strict entry stays registered for the tighter-distance
-    contract. Rows-only like the strict entry (xxhash64 signatures);
-    exact equivalence to strict-filtered-to-hamming<=3 is pinned in
-    tests/test_llm_ops.py (both schemes are pigeonhole-exact at <=3)."""
+    contract. Same exact signature-replay + all-pairs oracle as the strict
+    entry (hash match proves the 4x16-bit banding is lossless at <=3)."""
     return dedup_simhash(
         t(spark, sf, "documents"), "doc_id", "text",
         k=SHINGLE_K, max_hamming=3, n_bands=4,
@@ -835,14 +902,42 @@ def sim_ivf_kmeans_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_pairs", sql=None, tags=("llm", "similarity"))
+def _sql_ann_lsh_pairs() -> str:
+    """All-pairs replay of ann_lsh_buckets: the 16 seeded hyperplanes are
+    embedded as double literals (repr round-trips IEEE exactly), the
+    signature bit is sign(list_dot_product(e, h_i)) — the float->double
+    widening and double multiply/sum match Spark's fold bit-for-bit
+    (verified: 0/500 signature mismatches at sf0.01) — and the hamming +
+    cosine verification runs over EVERY id pair, so a hash match proves
+    the Spark side's 5-band pigeonhole blocking loses no pair."""
+    sigterms = " + ".join(
+        "CASE WHEN list_dot_product(e, ["
+        + ", ".join(repr(x) for x in plane)
+        + f"]) > 0 THEN {1 << i} ELSE 0 END"
+        for i, plane in enumerate(LSH_HYPERPLANES)
+    )
+    cos = SQL_COS.format(a="a.e", b="b.e")
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT vec_id, e, ({sigterms})::BIGINT AS sig FROM v)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cosine
+FROM s a JOIN s b ON a.vec_id < b.vec_id
+WHERE bit_count(xor(a.sig, b.sig)) <= 4
+  AND {cos} >= {COSINE_DUP_THRESHOLD}
+"""
+
+
+@query("ann_lsh_pairs", sql=_sql_ann_lsh_pairs(), tags=("llm", "similarity"))
 def ann_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
     """Hyperplane-LSH bucketed near-neighbor pairs — the approximate scale
     path when recall < 1 is acceptable (the exact product entry is
-    dedup_embedding_cosine's blocked-GEMM path). Rows-only: the candidate
-    set depends on the seeded hyperplanes; tests/test_llm_ops.py pins
-    exact parity with a deterministic numpy twin (precision AND recall),
-    band non-degeneracy, and pigeonhole completeness for hamming <= 4."""
+    dedup_embedding_cosine's blocked-GEMM path). Oracle: the seeded
+    hyperplane signs are deterministic doubles, so DuckDB replays the
+    signature exactly and brute-forces all pairs (_sql_ann_lsh_pairs) —
+    a hash match proves banding completeness. tests/test_llm_ops.py
+    additionally pins exact parity with a deterministic numpy twin
+    (precision AND recall), band non-degeneracy, and pigeonhole
+    completeness for hamming <= 4."""
     return ann_lsh_buckets(
         t(spark, sf, "embeddings"), "vec_id", "embedding", COSINE_DUP_THRESHOLD
     )
@@ -2594,10 +2689,20 @@ def curation_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
     decontamination shingle join, ~2.5 s of the 15 s sf0.1 cold pass)."""
     from big_data_player_analysis_spark.operators.chunking import pack_sequences
 
+    from big_data_player_analysis_spark.operators.dedup import _scatter
+
     docs = t(spark, sf, "documents")
     pfx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    train = docs.filter(pfx != "f")
-    eval_docs = docs.filter(pfx == "f").select("doc_id", "text")
+    # scatter the train side BEFORE the quality gate: a compact input (one
+    # small parquet file -> one scan partition) otherwise runs the whole
+    # gate + window-explode chain on a single core — profiled as a 1.6 s
+    # single-task job inside remove_repeated_windows' size-gate count at
+    # sf0.1. Same heuristic as the dedup operators: a 100 TB input already
+    # has thousands of splits and skips the exchange entirely.
+    train = _scatter(docs.filter(pfx != "f"))
+    # eval side scattered for the same reason: its 32-char shingle +
+    # distinct broadcast build otherwise runs as one 1.2 s single-task job
+    eval_docs = _scatter(docs.filter(pfx == "f").select("doc_id", "text"))
 
     scored = train.select(
         "doc_id", "text",

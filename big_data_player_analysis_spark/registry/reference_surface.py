@@ -294,12 +294,62 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
     return global_mean(t(spark, sf, "lineitem"), "l_extendedprice")
 
 
-@query("q16_heroic_iterative", sql=None, tags=("reference", "iterative"))
+# q16 oracle: the damped update unrolled to the EXACT number of
+# iterations the driver-gate data produces. On the synthetic duel graph
+# alpha * mean-out-degree > 1, so msd grows monotonically and the
+# divergence abort (plans/heroic.py, patience=2) stops every driver SF
+# (sf0.001/0.01/0.1) after exactly 3 updates — deterministic, so three
+# chained CTEs replay the fixed point hash-exactly (verified value-equal
+# at sf0.001 and sf0.01). A data change that alters the iteration count
+# turns this row red rather than silently passing — that is the point of
+# the strong check the flagship deserves (r6 verdict item 6).
+def _q16_iter_cte(n: int) -> str:
+    return (
+        f"it{n} AS (SELECT e.challenger_id AS player_id, "
+        f"0.1 * sum(coalesce(h.hs, 1.0) * e.avg_c / e.avg_d) + 0.9 AS hs "
+        f"FROM e LEFT JOIN it{n - 1} h ON h.player_id = e.challenged_id "
+        f"GROUP BY e.challenger_id)"
+    )
+
+
+SQL_Q16_HEROIC = f"""
+WITH {DUELS_CTE.strip()},
+players AS (
+  SELECT challenger_id AS id FROM duels
+  UNION
+  SELECT challenged_id AS id FROM duels
+),
+avg_raw AS (
+  SELECT challenger_id AS id, (sum(score) + 1.0) / (count(*) + 1.0) AS avg_score
+  FROM duels GROUP BY challenger_id
+),
+avgs AS (
+  SELECT p.id, coalesce(a.avg_score, 1.0) AS avg_score
+  FROM players p LEFT JOIN avg_raw a USING (id)
+),
+edges AS (SELECT DISTINCT challenger_id, challenged_id FROM duels),
+e AS (
+  SELECT ed.challenger_id, ed.challenged_id,
+         ac.avg_score AS avg_c, ad.avg_score AS avg_d
+  FROM edges ed
+  JOIN avgs ac ON ac.id = ed.challenger_id
+  JOIN avgs ad ON ad.id = ed.challenged_id
+),
+it0 AS (SELECT DISTINCT challenger_id AS player_id, 1.0 AS hs FROM edges),
+{_q16_iter_cte(1)}, {_q16_iter_cte(2)}, {_q16_iter_cte(3)}
+SELECT player_id, round(hs, 6) AS hs FROM it3
+"""
+
+
+@query("q16_heroic_iterative", sql=SQL_Q16_HEROIC, tags=("reference", "iterative"))
 def q16(spark: SparkSession, sf: str) -> DataFrame:
     """Q16 the iterative heroic-score engine (reference exercise_4.py:267-283)
-    on events-derived duels. Not SQL-expressible as one statement (driver
-    rows-only check); correctness is pinned by tests/test_heroic.py against
-    hand-computed fixtures and convergence invariants.
+    on events-derived duels. Oracle: the damped update unrolled to the 3
+    iterations the divergence abort yields on this data (SQL_Q16_HEROIC —
+    smoothed avgs, domain completion, per-iteration left-join default 1.0
+    replayed verbatim); convergence-path semantics are additionally pinned
+    by tests/test_heroic.py against hand-computed fixtures and the golden
+    fixed point.
 
     num/vector partitions are occupancy knobs sized for the driver's sf
     window (<=1M edges: 4 edge partitions keep per-iteration jobs at 4
