@@ -7,16 +7,19 @@ queryable without touching bytes). Decode/feature-extraction runs as an
 Arrow-batched ``mapInPandas`` operator: one Python process per partition,
 whole column batches across the boundary, no per-row pickling.
 
-Four decode paths are REAL: audio (stdlib ``wave`` over RIFF/WAVE
+Five decode paths are REAL: audio (stdlib ``wave`` over RIFF/WAVE
 payloads), uncompressed images (numpy over 24-bit BMP, parsed from the
-public spec), COMPRESSED images (PNG — stdlib zlib inflate + RFC 2083
-per-scanline unfiltering with CRC-checked chunk parsing, no imaging
-library), and uncompressed video (``decode_video_frames`` — RIFF 'AVI '
-container walk with nested LISTs/stream headers and per-frame DIB raster
-parse, one output row per frame). Only COMPRESSED video remains a
-documented stub (``decode_video``; ffmpeg-class codecs are not in this
-container); ``decode_features`` keeps the deterministic pseudo-feature
-path for the generic opaque-binary case.
+public spec), COMPRESSED images twice over — PNG (stdlib zlib inflate +
+RFC 2083 per-scanline unfiltering with CRC-checked chunk parsing, no
+imaging library) and baseline JPEG (``decode_jpeg_features`` — ITU-T T.81
+marker walk, standard-table huffman entropy decode, dequantization and a
+float IDCT, stdlib+numpy only) — and uncompressed video
+(``decode_video_frames`` — RIFF 'AVI ' container walk with nested
+LISTs/stream headers and per-frame DIB raster parse, one output row per
+frame). Only COMPRESSED video remains a documented stub
+(``decode_video``; ffmpeg-class codecs are not in this container);
+``decode_features`` keeps the deterministic pseudo-feature path for the
+generic opaque-binary case.
 """
 
 from __future__ import annotations
@@ -910,3 +913,380 @@ def dhash_signatures(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(batches, DHASH_SCHEMA)
+
+
+# ------------------------------------------------- real JPEG decode (baseline)
+
+# Baseline JFIF, grayscale, built from the public ITU-T T.81 spec with no
+# imaging library: Annex K.1 luminance quantization table, Annex K.3
+# standard huffman tables (canonical code assignment per C.2), zigzag
+# coefficient order, byte-stuffed entropy coding, and a float separable
+# IDCT. The synthesizer emits per-block DC levels (and a known AC(0,1)
+# coefficient on a deterministic subset of blocks) chosen so the decoded
+# pixels are EXACTLY closed-form in doc_id: a DC-only block reconstructs
+# to a constant (IDCT of the lone DC coefficient is flat), and an integer
+# base level plus the fixed AC basis pattern rounds per-pixel to
+# base + round(pattern) — so image-level means are relationally derivable
+# while the decoder runs the full standard pipeline (marker walk, DQT/DHT
+# parse, huffman DC/AC decode, dequant, IDCT, level shift, clamp).
+
+JPEG_QUANT_LUMA = [
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+]
+
+
+def _jpeg_zigzag():
+    order = []
+    for s in range(15):
+        idx = [(i, s - i) for i in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            idx = idx[::-1]
+        order.extend(idx)
+    return order
+
+
+JPEG_ZIGZAG = _jpeg_zigzag()
+
+# Annex K.3: (codes-per-length 1..16, values) for the standard luma tables
+JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+JPEG_DC_VALS = list(range(12))
+JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_canonical_codes(bits, vals):
+    """value -> (code, length), T.81 C.2 canonical assignment."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_idct_matrix():
+    import numpy as np
+
+    M = np.zeros((8, 8))
+    for k in range(8):
+        for n in range(8):
+            M[k, n] = np.cos((2 * n + 1) * k * np.pi / 16)
+    M *= 0.5
+    M[0, :] *= 1 / np.sqrt(2)
+    return M  # pixels = M.T @ coefs @ M (then +128, round, clamp)
+
+
+JPEG_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), False),
+        T.StructField("height", T.LongType(), False),
+        T.StructField("mean_gray", T.DoubleType(), False),
+        T.StructField("mean_col0", T.DoubleType(), False),
+    ]
+)
+
+# closed-form synthesis geometry / block levels (the SQL oracle's contract)
+JPEG_AC_QVAL = 1  # quantized AC(0,1) coefficient planted on pattern blocks
+
+
+def _jpeg_params(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, seed): multiples of 8 so every MCU is full."""
+    return 16 + 8 * (doc_id % 5), 24 + 8 * (doc_id % 4), doc_id % 99991
+
+
+def _jpeg_block_level(seed: int, bx: int, by: int) -> int:
+    """EVEN base gray level in [48, 206]: even so level = 2*qDC + 128 is
+    exact under the Annex K DC quant step of 16 (qDC = (level-128)/2),
+    and the margin keeps base + AC pattern inside [0, 255] (no clamping,
+    which would break the closed form)."""
+    return 2 * ((seed + 17 * bx + 29 * by) % 80) + 48
+
+
+def _jpeg_has_pattern(bx: int, by: int) -> bool:
+    return (bx + by) % 3 == 0
+
+
+def jpeg_pattern_constants() -> tuple[float, float]:
+    """(k_mean, k_col0): the per-pixel ROUNDED contribution of the planted
+    quantized-AC(0,1) basis, averaged over the whole block and over its
+    x=0 column — the constants the SQL oracle adds per pattern block.
+    Pure math in the fixed tables (k_mean = 0.0, k_col0 = 2.0)."""
+    import numpy as np
+
+    M = _jpeg_idct_matrix()
+    coef = np.zeros((8, 8))
+    coef[0, 1] = JPEG_AC_QVAL * JPEG_QUANT_LUMA[0][1]
+    pat = np.round(M.T @ coef @ M)
+    return float(pat.mean()), float(pat[:, 0].mean())
+
+
+def synth_jpeg_payload(doc_id: int) -> bytes:
+    """A REAL baseline JFIF (SOI, APP0, DQT, SOF0, 2x DHT, SOS, entropy
+    data with byte stuffing, EOI): one grayscale component, standard
+    tables, differential DC coding across MCUs, AC run/size coding with
+    EOB per block."""
+    import struct
+
+    w, h, seed = _jpeg_params(doc_id)
+    dc_codes = _jpeg_canonical_codes(JPEG_DC_BITS, JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(JPEG_AC_BITS, JPEG_AC_VALS)
+
+    buf = bytearray()
+    acc = nbits = 0
+
+    def write(code: int, length: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << length) | (code & ((1 << length) - 1))
+        nbits += length
+        while nbits >= 8:
+            byte = (acc >> (nbits - 8)) & 0xFF
+            buf.append(byte)
+            if byte == 0xFF:
+                buf.append(0x00)  # T.81 byte stuffing
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    prev_dc = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            qdc = (_jpeg_block_level(seed, bx, by) - 128) // 2
+            diff = qdc - prev_dc
+            prev_dc = qdc
+            if diff == 0:
+                size, bits = 0, 0
+            else:
+                size = abs(diff).bit_length()
+                bits = diff if diff > 0 else diff + (1 << size) - 1
+            c, ln = dc_codes[size]
+            write(c, ln)
+            if size:
+                write(bits, size)
+            if _jpeg_has_pattern(bx, by):
+                c, ln = ac_codes[0x01]  # run 0, size 1
+                write(c, ln)
+                write(JPEG_AC_QVAL, 1)  # amplitude +1
+            c, ln = ac_codes[0x00]  # EOB
+            write(c, ln)
+    if nbits:
+        pad = 8 - nbits
+        write((1 << pad) - 1, pad)
+    scan = bytes(buf)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    qz = bytes(JPEG_QUANT_LUMA[r][c] for (r, c) in JPEG_ZIGZAG)
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + qz)
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xC4, b"\x00" + bytes(JPEG_DC_BITS) + bytes(JPEG_DC_VALS))
+    out += seg(0xC4, b"\x10" + bytes(JPEG_AC_BITS) + bytes(JPEG_AC_VALS))
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def attach_jpeg_payload(df: DataFrame, id_col: str) -> DataFrame:
+    """One baseline-JFIF payload per row, synthesized deterministically
+    from the id (Arrow pandas_udf, batch-at-a-time)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def _synth(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: synth_jpeg_payload(int(i)))
+
+    return df.select(F.col(id_col).alias("doc_id"), _synth(id_col).alias("payload"))
+
+
+def decode_jpeg_features(media: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG decode via mapInPandas, no imaging library:
+    marker walk, DQT/DHT parse (canonical huffman reconstruction), SOF0
+    geometry, entropy decode with 0xFF00 unstuffing, differential-DC +
+    AC run/size coefficient recovery, dequantization, zigzag placement,
+    float separable IDCT, level shift, round + clamp — then geometry +
+    whole-image mean and the x%8==0 column mean (AC-sensitive; the
+    planted AC basis is antisymmetric so the whole-image mean alone
+    cannot catch a dropped coefficient). Only 8-bit single-component
+    baseline, no subsampling — anything else raises rather than
+    mis-decodes (same contract as decode_png_features). Scale shape:
+    narrow Arrow-batched map, payload bytes never shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        M = _jpeg_idct_matrix()
+
+        def decode_one(did: int, payload: bytes):
+            if payload[:2] != b"\xff\xd8":
+                raise ValueError(f"doc {did}: not a JPEG payload")
+            pos, qt, huff = 2, {}, {0: {}, 1: {}}
+            w = h = None
+            dc_sel = ac_sel = 0
+            scan_start = None
+            while pos < len(payload):
+                if payload[pos] != 0xFF:
+                    raise ValueError(f"doc {did}: bad marker sync at {pos}")
+                marker = payload[pos + 1]
+                if marker == 0xD9:
+                    break
+                (ln,) = struct.unpack_from(">H", payload, pos + 2)
+                data = payload[pos + 4 : pos + 2 + ln]
+                if marker == 0xDB:
+                    i = 0
+                    while i < len(data):
+                        pq, tq = data[i] >> 4, data[i] & 0xF
+                        if pq != 0:
+                            raise ValueError(f"doc {did}: 16-bit DQT unsupported")
+                        tbl = np.zeros((8, 8), dtype=np.int64)
+                        for k2, (r, c) in enumerate(JPEG_ZIGZAG):
+                            tbl[r, c] = data[i + 1 + k2]
+                        qt[tq] = tbl
+                        i += 65
+                    # fallthrough to next marker
+                elif marker == 0xC0:
+                    prec, h, w, ncomp = struct.unpack_from(">BHHB", data, 0)
+                    if prec != 8 or ncomp != 1 or data[7] != 0x11:
+                        raise ValueError(
+                            f"doc {did}: only 8-bit unsubsampled grayscale "
+                            "baseline supported"
+                        )
+                elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    raise ValueError(f"doc {did}: non-baseline JPEG unsupported")
+                elif marker == 0xC4:
+                    i = 0
+                    while i < len(data):
+                        tc, th = data[i] >> 4, data[i] & 0xF
+                        bits = list(data[i + 1 : i + 17])
+                        nv = sum(bits)
+                        vals = list(data[i + 17 : i + 17 + nv])
+                        codes = _jpeg_canonical_codes(bits, vals)
+                        huff[tc][th] = {(c, l): v for v, (c, l) in codes.items()}
+                        i += 17 + nv
+                elif marker == 0xDA:
+                    if data[0] != 1:
+                        raise ValueError(f"doc {did}: one scan component expected")
+                    dc_sel, ac_sel = data[2] >> 4, data[2] & 0xF
+                    scan_start = pos + 2 + ln
+                    break
+                pos += 2 + ln
+            if w is None or scan_start is None:
+                raise ValueError(f"doc {did}: missing SOF0/SOS")
+
+            stream = payload[scan_start:]
+            spos = acc = nbits = 0
+
+            def read(n: int) -> int:
+                nonlocal spos, acc, nbits
+                while nbits < n:
+                    b = stream[spos]
+                    spos += 1
+                    if b == 0xFF:
+                        nxt = stream[spos]
+                        if nxt == 0x00:
+                            spos += 1
+                        else:
+                            raise ValueError(
+                                f"doc {did}: marker 0xFF{nxt:02x} inside scan"
+                            )
+                    acc = (acc << 8) | b
+                    nbits += 8
+                v = (acc >> (nbits - n)) & ((1 << n) - 1)
+                nbits -= n
+                acc &= (1 << nbits) - 1
+                return v
+
+            def read_huff(table) -> int:
+                code = length = 0
+                while length <= 16:
+                    code = (code << 1) | read(1)
+                    length += 1
+                    if (code, length) in table:
+                        return table[(code, length)]
+                raise ValueError(f"doc {did}: bad huffman code")
+
+            def extend(bits_v: int, size: int) -> int:
+                if size == 0:
+                    return 0
+                return (
+                    bits_v
+                    if bits_v >= (1 << (size - 1))
+                    else bits_v - (1 << size) + 1
+                )
+
+            nbx, nby = (w + 7) // 8, (h + 7) // 8
+            img = np.zeros((nby * 8, nbx * 8), dtype=np.uint8)
+            q = qt[0]
+            dct, act = huff[0][dc_sel], huff[1][ac_sel]
+            pred = 0
+            for by in range(nby):
+                for bx in range(nbx):
+                    coef = np.zeros((8, 8), dtype=np.int64)
+                    size = read_huff(dct)
+                    pred += extend(read(size), size) if size else 0
+                    coef[0, 0] = pred
+                    k = 1
+                    while k < 64:
+                        rs = read_huff(act)
+                        if rs == 0x00:  # EOB
+                            break
+                        if rs == 0xF0:  # ZRL
+                            k += 16
+                            continue
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError(f"doc {did}: AC run past block end")
+                        rr, cc = JPEG_ZIGZAG[k]
+                        coef[rr, cc] = extend(read(rs & 0xF), rs & 0xF)
+                        k += 1
+                    pix = M.T @ (coef * q).astype(np.float64) @ M + 128.0
+                    img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                        np.round(pix), 0, 255
+                    ).astype(np.uint8)
+            return w, h, img[:h, :w]
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "mean_gray": [], "mean_col0": [],
+            }
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, img = decode_one(int(did), payload)
+                g = img.astype(np.float64)
+                rows["doc_id"].append(int(did))
+                rows["width"].append(int(w))
+                rows["height"].append(int(h))
+                rows["mean_gray"].append(round(float(g.mean()), 6))
+                rows["mean_col0"].append(round(float(g[:, 0::8].mean()), 6))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, JPEG_FEATURE_SCHEMA)

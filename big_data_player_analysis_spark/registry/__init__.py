@@ -421,6 +421,27 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # olap_zorder_key (green r4 on unchanged code; the data-layout /
 # partition-skipping family stays via olap_partition_pruned_scan green
 # r4).
+# Round-7 rotation: eight entries enter on the changed-code / new-entry
+# rule — ann_lsh_pairs (candidate plumbing restructured to ids-only +
+# Arrow GEMM cosine, and its oracle upgraded from rows-only to an exact
+# hyperplane-replay hash match), multimodal_jpeg_decode (NEW — real
+# baseline-JFIF huffman+IDCT decode, the r6 stretch item), and the
+# bench-tag additions whose closures therefore changed
+# (llm_decontaminate, llm_url_canonical_dedup, multimodal_audio_decode,
+# multimodal_features, multimodal_frame_sample, multimodal_image_decode).
+# Displaced, all hash-match-green r06 on round-7-unchanged code, with
+# family coverage retained in-window: olap_triangle_count (graph family
+# stays via dedup_components), olap_tpch_q18_large_orders (TPC-H keeps
+# r01-r06 green rows + the local gate), olap_unpivot,
+# llm_quality_percentile_filter (quality gating exercised inside
+# llm_corpus_curation + llm_curation_pipeline, both in-window),
+# olap_dq_audit, olap_cdc_upsert (CDC/SCD family stays via
+# olap_scd2_history), llm_weighted_sample (sampling family stays via
+# the weighted mix inside llm_corpus_curation; llm_pack_sequences
+# cannot rotate out — its closure changed since the r03 snapshot and
+# carries no output-neutrality exemption, so it stays in-window),
+# llm_title_hamming_dedup
+# (hamming-blocked string dedup stays via dedup_simhash/_web).
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -430,9 +451,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     # driver row yet)
     "llm_heavy_ngrams_sketch",
     "olap_quantile_shard_merge",
-    "olap_triangle_count",
     "llm_curation_pipeline",
-    "olap_tpch_q18_large_orders",
     "q16_heroic_iterative",
     # §2.4 engine-scope representatives (10; round-6 rotation displaced
     # olap_rolling_average, olap_retention_cohorts and
@@ -445,9 +464,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "olap_partition_pruned_scan",
     "dedup_ngram_jaccard",
     "olap_funnel_conversion",
-    "olap_dq_audit",
     "llm_corpus_curation",
-    "olap_cdc_upsert",
     "olap_key_skew_profile",
     "olap_variant_metrics",
     "olap_scd2_history",
@@ -455,15 +472,12 @@ PRIMARY_ORDER: tuple[str, ...] = (
     # r3 — green r01+r02 on unchanged code, overlaps llm_quality_filters'
     # text-quality built-ins — displaced by the new llm_top_ngrams, which
     # has no driver row yet)
-    "olap_unpivot",
-    "llm_quality_percentile_filter",
     "dedup_simhash",
     "dedup_simhash_web",
     "llm_line_dedup",
     "olap_hll_shard_merge",
-    "llm_pack_sequences",
     "llm_bpe_encode",
-    "llm_title_hamming_dedup",
+    "llm_pack_sequences",
     "llm_near_dedup_survivors",
     "llm_near_dedup_best_quality",
     "llm_substring_dup_spans",
@@ -482,10 +496,18 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "multimodal_video_decode",
     "llm_bpe_train",
     "multimodal_image_resize",
-    "llm_weighted_sample",
     "olap_window_distribution",
     "multimodal_png_decode",
     "llm_semantic_dedup",
+    # round-7 promotions (changed-code rule + the new JPEG decode)
+    "ann_lsh_pairs",
+    "multimodal_jpeg_decode",
+    "llm_decontaminate",
+    "llm_url_canonical_dedup",
+    "multimodal_audio_decode",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_image_decode",
     # streaming tier (8; round-6 promotion: stream_curation_ingest is new
     # — the mega-pipeline's stage chain as a foreachBatch ingest)
     "olap_ks_drift",

@@ -520,7 +520,7 @@ WHERE round(1.0 * n_common / (na.n + nb.n - n_common), 6) >= {JACCARD_THRESHOLD}
 """
 
 
-@query("llm_dedup_incremental", sql=SQL_INCREMENTAL, tags=("llm", "dedup"))
+@query("llm_dedup_incremental", sql=SQL_INCREMENTAL, tags=("llm", "dedup", "bench"))
 def dedup_incremental_q(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental near-dedup: which documents of an incoming 20% ingest
     batch (doc_id % 5 == 0) near-duplicate an existing corpus document
@@ -651,7 +651,7 @@ SQL_COMPONENTS = SQL_CLOSURE_COMP + TAIL_COMPONENTS
 @query(
     "dedup_components",
     sql=SQL_COMPONENTS,
-    tags=("llm", "dedup", "graph"),
+    tags=("llm", "dedup", "graph", "bench"),
     oracle_scale=closure_oracle(TAIL_COMPONENTS),
 )
 def dedup_components_q(spark: SparkSession, sf: str) -> DataFrame:
@@ -732,7 +732,7 @@ SQL_SURVIVORS_BEST = SQL_CLOSURE_COMP + TAIL_SURVIVORS_BEST
 @query(
     "llm_near_dedup_best_quality",
     sql=SQL_SURVIVORS_BEST,
-    tags=("llm", "dedup", "pipeline"),
+    tags=("llm", "dedup", "pipeline", "bench"),
     oracle_scale=closure_oracle(TAIL_SURVIVORS_BEST),
 )
 def near_dedup_best_quality_q(spark: SparkSession, sf: str) -> DataFrame:
@@ -827,7 +827,7 @@ def corpus_curation_q(spark: SparkSession, sf: str) -> DataFrame:
     FROM v a JOIN v b ON a.vec_id < b.vec_id
     WHERE {SQL_COS.format(a='a.e', b='b.e')} >= {COSINE_DUP_THRESHOLD}
     """,
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup", "bench"),
 )
 def dedup_cosine_q(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup pairs, cosine >= 0.45, EXACT via blocked GEMM
@@ -927,7 +927,7 @@ WHERE bit_count(xor(a.sig, b.sig)) <= 4
 """
 
 
-@query("ann_lsh_pairs", sql=_sql_ann_lsh_pairs(), tags=("llm", "similarity"))
+@query("ann_lsh_pairs", sql=_sql_ann_lsh_pairs(), tags=("llm", "similarity", "bench"))
 def ann_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
     """Hyperplane-LSH bucketed near-neighbor pairs — the approximate scale
     path when recall < 1 is acceptable (the exact product entry is
@@ -1040,7 +1040,7 @@ def sim_knn_vec_q(spark: SparkSession, sf: str) -> DataFrame:
            CAST(octet_length(encode(text)) % 30 + 1 AS BIGINT) AS fake_n_frames
     FROM documents
     """,
-    tags=("llm", "multimodal"),
+    tags=("llm", "multimodal", "bench"),
 )
 def multimodal_q(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-payload media plumbing: attach payload bytes + metadata, run
@@ -1061,7 +1061,7 @@ def multimodal_q(spark: SparkSession, sf: str) -> DataFrame:
            CAST((n - u.fr + nf - 1) // nf AS BIGINT) AS frame_len
     FROM f, LATERAL (SELECT unnest(range(0, nf, 5)) AS fr) u
     """,
-    tags=("llm", "multimodal"),
+    tags=("llm", "multimodal", "bench"),
 )
 def multimodal_frames_q(spark: SparkSession, sf: str) -> DataFrame:
     """Frame sampling (1-to-N mapInPandas explode): every 5th fake frame
@@ -1228,7 +1228,7 @@ HAVING count(*) >= {DECONTAM_MIN_SHARED}
 """
 
 
-@query("llm_decontaminate", sql=SQL_DECONTAM, tags=("llm", "dedup"))
+@query("llm_decontaminate", sql=SQL_DECONTAM, tags=("llm", "dedup", "bench"))
 def decontaminate_q(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark decontamination over the documents corpus: a deterministic
     ~6% eval slice (md5 prefix 'f' — same portable hash-split as the
@@ -1344,7 +1344,7 @@ FROM cn GROUP BY canonical_url
 """
 
 
-@query("llm_url_canonical_dedup", sql=SQL_URL_CANON, tags=("llm", "dedup", "urls"))
+@query("llm_url_canonical_dedup", sql=SQL_URL_CANON, tags=("llm", "dedup", "urls", "bench"))
 def url_canonical_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
     """Web-corpus URL dedup: canonicalize crawl URLs (case, default ports,
     tracking params, param order, fragments — functions/urls.py), then
@@ -1386,7 +1386,7 @@ FROM documents
 """
 
 
-@query("multimodal_audio_decode", sql=SQL_AUDIO_DECODE, tags=("llm", "multimodal"))
+@query("multimodal_audio_decode", sql=SQL_AUDIO_DECODE, tags=("llm", "multimodal", "bench"))
 def multimodal_audio_q(spark: SparkSession, sf: str) -> DataFrame:
     """REAL media decode, full oracle: per-doc WAV payloads (genuine
     RIFF/WAVE containers, 16-bit PCM square waves) are parsed by the
@@ -1417,7 +1417,7 @@ FROM documents
 """
 
 
-@query("multimodal_image_decode", sql=SQL_IMAGE_DECODE, tags=("llm", "multimodal"))
+@query("multimodal_image_decode", sql=SQL_IMAGE_DECODE, tags=("llm", "multimodal", "bench"))
 def multimodal_image_q(spark: SparkSession, sf: str) -> DataFrame:
     """REAL image decode, full oracle: per-doc 24-bit BMP payloads
     (genuine BITMAPFILEHEADER/BITMAPINFOHEADER containers with padded
@@ -1460,7 +1460,7 @@ FROM p JOIN bx USING (doc_id) JOIN gy USING (doc_id)
 """
 
 
-@query("multimodal_image_resize", sql=SQL_IMAGE_RESIZE, tags=("llm", "multimodal"))
+@query("multimodal_image_resize", sql=SQL_IMAGE_RESIZE, tags=("llm", "multimodal", "bench"))
 def multimodal_resize_q(spark: SparkSession, sf: str) -> DataFrame:
     """REAL image resize, full oracle: BMP payloads are decoded and
     nearest-neighbor-downscaled by 2 inside mapInPandas (integer source
@@ -1489,7 +1489,7 @@ FROM documents
 """
 
 
-@query("multimodal_png_decode", sql=SQL_PNG_DECODE, tags=("llm", "multimodal"))
+@query("multimodal_png_decode", sql=SQL_PNG_DECODE, tags=("llm", "multimodal", "bench"))
 def multimodal_png_q(spark: SparkSession, sf: str) -> DataFrame:
     """REAL compressed-image decode, full oracle: per-doc PNG payloads
     (genuine RFC 2083 containers — CRC'd chunks, one zlib-deflated IDAT,
@@ -1507,6 +1507,66 @@ def multimodal_png_q(spark: SparkSession, sf: str) -> DataFrame:
 
     media = attach_png_payload(t(spark, sf, "documents"), "doc_id")
     return decode_png_features(media)
+
+
+def _sql_jpeg_decode() -> str:
+    """Relational replay of the baseline-JPEG closed form: per-block EVEN
+    base levels are exact through the DC quantize/dequantize/IDCT
+    round-trip (multimodal.py:_jpeg_block_level documents why), and the
+    planted quantized-AC(0,1) basis adds the constants k_mean (0.0 — the
+    basis is antisymmetric) and k_col0 (2.0) per pattern block, computed
+    here from the SAME tables the decoder uses."""
+    from big_data_player_analysis_spark.multimodal import jpeg_pattern_constants
+
+    k_mean, k_col0 = jpeg_pattern_constants()
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         16 + 8 * (doc_id % 5) AS w,
+         24 + 8 * (doc_id % 4) AS h,
+         doc_id % 99991 AS seed
+  FROM documents
+),
+b AS (
+  SELECT doc_id, w, h,
+         2 * ((seed + 17 * bx + 29 * by) % 80) + 48 AS level,
+         CASE WHEN (bx + by) % 3 = 0 THEN 1 ELSE 0 END AS pat
+  FROM d,
+  LATERAL (SELECT unnest(range(w // 8)) AS bx) tx,
+  LATERAL (SELECT unnest(range(h // 8)) AS by) ty
+)
+SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       round(avg(level) + {k_mean!r} * avg(pat), 6) AS mean_gray,
+       round(avg(level) + {k_col0!r} * avg(pat), 6) AS mean_col0
+FROM b GROUP BY doc_id, w, h
+"""
+
+
+@query(
+    "multimodal_jpeg_decode",
+    sql=_sql_jpeg_decode(),
+    tags=("llm", "multimodal", "bench"),
+)
+def multimodal_jpeg_q(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL baseline-JPEG decode, full oracle (round-6 verdict stretch
+    item 8): per-doc JFIF payloads — standard ITU-T T.81 Annex K quant +
+    huffman tables, differential-DC / AC-run-size entropy coding with
+    byte stuffing — are decoded inside mapInPandas with stdlib struct +
+    numpy only (marker walk, DHT canonical-code rebuild, huffman decode,
+    dequant, zigzag, float IDCT, level shift, clamp) and reduced to
+    geometry + whole-image and x%8==0-column means. Block levels and the
+    planted AC coefficient are closed-form in doc_id, so DuckDB replays
+    the decoded means exactly (_sql_jpeg_decode) while the decoder runs
+    the full standard pipeline; a dropped/mis-scaled AC coefficient shifts
+    mean_col0 (k=2.0/pattern block) and a DC error shifts everything
+    (multimodal.py:synth_jpeg_payload/decode_jpeg_features)."""
+    from big_data_player_analysis_spark.multimodal import (
+        attach_jpeg_payload,
+        decode_jpeg_features,
+    )
+
+    media = attach_jpeg_payload(t(spark, sf, "documents"), "doc_id")
+    return decode_jpeg_features(media)
 
 
 # Video frames share the BMP/PNG closed-form raster (B = x, G = y) with a
@@ -2243,7 +2303,7 @@ def bpe_train_q(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_merges_df(t(spark, sf, "documents"), "text", n_merges=12)
 
 
-@query("llm_bpe_encode", sql=None, tags=("llm", "tokenizer", "iterative"))
+@query("llm_bpe_encode", sql=None, tags=("llm", "tokenizer", "iterative", "bench"))
 def bpe_encode_q(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenizer application end-to-end: learn 12 merges from the corpus
     (llm_bpe_train's loop), then encode every document with them and emit

@@ -1503,3 +1503,69 @@ def test_dedup_components_empty_pairs(spark):
     empty = spark.createDataFrame([], "doc_a long, doc_b long")
     out = dedup_components(empty).collect()
     assert out == []
+
+
+def test_jpeg_decode_roundtrip(spark):
+    """Real baseline-JPEG decode: geometry + means must equal the closed
+    form replayed in pure Python from the same block-level/pattern rules —
+    exercising differential DC across MCUs, the planted AC(0,1)
+    coefficient, and the standard-table huffman paths."""
+    from big_data_player_analysis_spark.multimodal import (
+        _jpeg_block_level,
+        _jpeg_has_pattern,
+        _jpeg_params,
+        attach_jpeg_payload,
+        decode_jpeg_features,
+        jpeg_pattern_constants,
+    )
+
+    k_mean, k_col0 = jpeg_pattern_constants()
+    ids = (0, 1, 2, 3, 17, 300)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {r.doc_id: r for r in decode_jpeg_features(
+        attach_jpeg_payload(df, "doc_id")
+    ).collect()}
+    for i in ids:
+        w, h, seed = _jpeg_params(i)
+        levels, pats = [], []
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                levels.append(_jpeg_block_level(seed, bx, by))
+                pats.append(1.0 if _jpeg_has_pattern(bx, by) else 0.0)
+        r = out[i]
+        assert (r.width, r.height) == (w, h)
+        assert r.mean_gray == pytest.approx(
+            np.mean(levels) + k_mean * np.mean(pats), abs=1e-6
+        )
+        assert r.mean_col0 == pytest.approx(
+            np.mean(levels) + k_col0 * np.mean(pats), abs=1e-6
+        )
+        # the AC coefficient must be visible in col0 but not the image mean
+        assert k_mean == 0.0 and k_col0 == 2.0
+
+
+def test_jpeg_decode_rejects_non_baseline(spark):
+    """A progressive SOF2 marker must raise, not mis-decode."""
+    from big_data_player_analysis_spark.multimodal import (
+        decode_jpeg_features,
+        synth_jpeg_payload,
+    )
+
+    good = bytearray(synth_jpeg_payload(5))
+    idx = bytes(good).find(b"\xff\xc0")
+    good[idx + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    df = spark.createDataFrame(
+        [(1, bytes(good))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="non-baseline"):
+        decode_jpeg_features(df).collect()
+
+
+def test_jpeg_decode_rejects_non_jpeg(spark):
+    from big_data_player_analysis_spark.multimodal import decode_jpeg_features
+
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG not a jpeg")], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="not a JPEG"):
+        decode_jpeg_features(df).collect()

@@ -95,11 +95,17 @@ def test_primary_window():
     # olap_retention_cohorts and olap_min_cost_supplier out (green r05
     # rows on round-6-unchanged code, families still represented — see
     # PRIMARY_ORDER's rotation notes)
+    # round-7 rotations: ann_lsh_pairs + six bench-tag closure changes +
+    # the new multimodal_jpeg_decode in; olap_triangle_count,
+    # olap_tpch_q18_large_orders, olap_unpivot,
+    # llm_quality_percentile_filter, olap_dq_audit, olap_cdc_upsert,
+    # llm_weighted_sample, llm_title_hamming_dedup out (hash-match green
+    # r06 rows on round-7-unchanged code, families still represented —
+    # see PRIMARY_ORDER's rotation notes)
     assert {
         "dedup_simhash", "dedup_simhash_web", "llm_curation_pipeline",
         "dedup_minhash_lsh", "multimodal_phash_dedup", "stream_curation_ingest",
-        "olap_window_distribution", "olap_triangle_count",
-        "llm_title_hamming_dedup",
+        "olap_window_distribution",
         "llm_near_dedup_survivors", "llm_substring_dup_spans",
         "llm_heavy_ngrams_sketch", "stream_outer_interval_join",
         "olap_quantile_shard_merge", "olap_ks_drift", "olap_cogroup_order_lag",
@@ -110,13 +116,15 @@ def test_primary_window():
         "dedup_embedding_cosine", "dedup_components",
         "llm_dedup_incremental", "llm_cdc_chunks",
         "multimodal_video_decode", "llm_bpe_train", "multimodal_image_resize",
-        "llm_semantic_dedup", "llm_quality_percentile_filter",
+        "llm_semantic_dedup",
         "llm_line_dedup", "olap_key_skew_profile", "llm_near_dedup_best_quality",
         "llm_pack_sequences", "llm_bpe_encode", "llm_corpus_curation",
-        "llm_weighted_sample", "multimodal_png_decode", "olap_dq_audit", "olap_cdc_upsert",
-        "olap_tpch_q18_large_orders", "olap_unpivot",
-        "stream_outer_interval_join",
+        "multimodal_png_decode",
         "olap_scd2_history", "olap_partition_pruned_scan", "olap_hll_shard_merge",
+        "ann_lsh_pairs", "multimodal_jpeg_decode", "llm_decontaminate",
+        "llm_url_canonical_dedup", "multimodal_audio_decode",
+        "multimodal_features", "multimodal_frame_sample",
+        "multimodal_image_decode", "q16_heroic_iterative",
     } <= window
 
 
