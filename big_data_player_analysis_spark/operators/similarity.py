@@ -247,7 +247,15 @@ def ann_lsh_buckets(
     guarantees this covers every pair with signature hamming <=
     max_hamming=4), then are verified with the hamming bound AND exact
     cosine >= threshold. The band join is a plain equi-join — shuffle on
-    (band, bits), never an n^2 cross product.
+    (band, bits), never an n^2 cross product — but SELECTIVITY is the
+    signature width's job: per-band candidate volume is ~ n^2 / 2^width,
+    so the demo's 16-bit signature (3-4-bit bands) is for <= ~10^4
+    vectors. A scale deployment raises LSH_PLANES / band widths so
+    2^width >= n / target-bucket-occupancy (the Manku-style sizing
+    dedup_simhash_web demonstrates); where required recall pushes
+    candidates toward brute-force density, dedup_embedding_cosine's
+    blocked GEMM or semantic_dedup's adaptive sign-buckets are the
+    designed alternatives (SHUFFLE.md ann_lsh_pairs note).
 
     Candidate plumbing carries IDS AND SIGS ONLY (two longs per row): the
     first-cut plan attached both 64-double vectors to every band-join row

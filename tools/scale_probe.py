@@ -303,6 +303,15 @@ def _phash_probe(docs):
     )
 
 
+def _jpeg_probe(docs):
+    from big_data_player_analysis_spark.multimodal import (
+        attach_jpeg_payload,
+        decode_jpeg_features,
+    )
+
+    return decode_jpeg_features(attach_jpeg_payload(docs.select("doc_id"), "doc_id"))
+
+
 def _bpe_probe(docs):
     from big_data_player_analysis_spark.plans.bpe import bpe_merges_df
 
@@ -429,6 +438,7 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
         near_dedup_survivors,
         semantic_dedup,
     )
+    from big_data_player_analysis_spark.operators.similarity import ann_lsh_buckets
     from big_data_player_analysis_spark.multimodal import (
         attach_png_payload,
         decode_png_features,
@@ -672,6 +682,18 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
         "multimodal_png_decode": lambda: decode_png_features(
             attach_png_payload(docs, "doc_id")
         ),
+        # baseline JFIF huffman+IDCT decode: narrow per-doc Arrow map like
+        # the PNG row (payload bytes never leave the scan split), so the
+        # row should read linear — per-doc cost is blocks * (entropy
+        # decode + one 8x8 float IDCT)
+        "multimodal_jpeg_decode": lambda: _jpeg_probe(docs),
+        # banded hyperplane-LSH at the DEMO signature width: candidates
+        # carry (id, sig) longs only, but per-band volume is n^2/2^width
+        # and 16-bit signatures stop being selective past ~10^4 vectors —
+        # the row is EXPECTED super-linear (SHUFFLE.md measured 120x on
+        # 10x); the documented knob is signature/band width, sized like
+        # dedup_simhash_web's 16-bit bands at scale
+        "ann_lsh_pairs": lambda: ann_lsh_buckets(emb, "vec_id", "embedding", 0.45),
         **extra,
         "dedup_exact": lambda: dedup_exact(docs, "doc_id", "text"),
         # segment-pigeonhole blocking: candidate volume is sum of
@@ -950,6 +972,26 @@ def render_scale_md(results, rows, n_invocations) -> None:
         "spreads with the scan). Compare r6+ cells to earlier rounds'",
         "only with this in mind; within-round growth ratios are the",
         "design signal either way.",
+        "The one flagged 'cold regression' of round 6 is the same",
+        "semantics change, not code: dedup_simhash_web's pre-r6 bench",
+        "number (0.61 s sf0.1) was warm-by-sharing — dedup_simhash ran",
+        "earlier in the suite and its tracked-persisted signature table",
+        "(an IDENTICAL subplan: both entries share simhash_signatures)",
+        "stayed cached, so simhash_web's 'first run' skipped the whole",
+        "signature pass. Measured directly (r7): web cold 1.9 s; web run",
+        "immediately after strict WITHOUT releasing caches 0.73 s ~= the",
+        "old number. The 126-bit segmented-signature commit (68616b7)",
+        "touched only the image pHash, not simhash; nothing to re-tune —",
+        "the cold cost IS the signature pandas_udf pass, linear and",
+        "scan-proportional.",
+        "ann_lsh_pairs is EXPECTED super-linear in this table: the demo",
+        "16-bit signature's 3-4-bit bands give per-band candidate volume",
+        "~ n^2/2^width, which stops being selective past ~10^4 vectors",
+        "(SHUFFLE.md's 120x sw growth row). The documented scale knob is",
+        "signature/band width (the dedup_simhash_web sizing); at",
+        "candidate densities near brute force, dedup_embedding_cosine's",
+        "blocked GEMM / llm_semantic_dedup's adaptive sign-buckets are",
+        "the designed alternatives.",
         "olap_triangle_count: the operator run standalone against the",
         "same 64x data read from parquet measures 75.8 s quiet (matching",
         "round 5's 74.8 s re-measure); the probe-harness cell reads the",
@@ -1032,6 +1074,18 @@ CORRECTNESS_AT_SCALE = [
     "  (4,770 rows) AFTER the one-job-per-sweep closure rework — plus",
     "  the full 441-test suite and the complete sf0.01 gate (136",
     "  oracle-paired ok, 0 FAIL) on the reworked code.",
+    "  Round 7 extended the record to its oracle upgrades and reworks:",
+    "  the four entries promoted from rows-only to hash-matched oracles",
+    "  (dedup_simhash / dedup_simhash_web via the exact splitmix64",
+    "  signature replay, ann_lsh_pairs via the hyperplane-sign replay,",
+    "  q16_heroic_iterative via the 3-iteration unrolled damped update —",
+    "  1,500 rows at sf0.1) all hash-match at sf0.1 alongside the NEW",
+    "  multimodal_jpeg_decode (5,000 rows, DC-exact closed form through",
+    "  a real huffman+IDCT decode) and the reworked",
+    "  llm_curation_pipeline (scattered gate inputs, output unchanged):",
+    "  6 ok, 0 FAIL at 10x the gate, plus the full 446-test suite and",
+    "  the complete sf0.01 gate (140 oracle-paired ok + 5 rows-only,",
+    "  0 FAIL) on the round-7 tree.",
     "",
     "This audit caught six round-4 defects the sf0.01 gate could not:",
     "the df-bounded jaccard oracle missing true pairs (minhash 2,560 vs",

@@ -85,6 +85,7 @@ AUDITED = [
     "multimodal_phash_dedup",
     "llm_bpe_encode",
     "stream_curation_ingest",
+    "ann_lsh_pairs",
 ]
 
 
@@ -217,8 +218,29 @@ NOTES = {
     ),
     "q16_heroic_iterative": (
         "per-iteration score vectors broadcast; the shuffled bytes are "
-        "the one-time edge materialization plus per-iteration partial "
-        "aggregates, with lineage truncated by localCheckpoint."
+        "the ONE materialization of the duels window exchange (round 7: "
+        "the duels input is eagerly persisted before the three-consumer "
+        "edge build — the old broadcast-hint futures raced three "
+        "column-pruned copies of that exchange that ReuseExchange cannot "
+        "dedup, which was the r6 sf1 row's sr:sw 4.2) plus the distinct-"
+        "edge and per-iteration vector aggregates, lineage truncated by "
+        "localCheckpoint. Measured post-fix at composed sf1: sw 95.8 -> "
+        "36.3 MB, sr:sw 1.0."
+    ),
+    "ann_lsh_pairs": (
+        "the exchanges carry 16-bit signatures + id pairs ONLY (two longs "
+        "per candidate row; round 7 removed the 64-double vectors that "
+        "previously rode through the band join and dedup exchange) plus "
+        "the keyed join-back of vectors for surviving pairs. The 120x "
+        "sw growth on the 10x step is the DEMO CONFIGURATION's candidate "
+        "volume, not plumbing: per-band candidates ~ n^2 / 2^width, and "
+        "the 16-bit signature's 3-4-bit bands stop being selective past "
+        "~10^4 vectors. The knob is signature width / band width (scale "
+        "deployments size 2^width >= n / target-bucket-occupancy — the "
+        "same Manku-style sizing dedup_simhash_web demonstrates with its "
+        "16-bit bands); with candidates exceeding brute-force density, "
+        "dedup_embedding_cosine's blocked GEMM or llm_semantic_dedup's "
+        "adaptive sign-buckets are the better paths at this corpus shape."
     ),
     "q06_distinct_pairs": (
         "hash-distinct over the events-derived edge table: the exchange "
