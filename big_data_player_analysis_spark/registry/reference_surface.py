@@ -300,9 +300,16 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
 # divergence abort (plans/heroic.py, patience=2) stops every driver SF
 # (sf0.001/0.01/0.1) after exactly 3 updates — deterministic, so three
 # chained CTEs replay the fixed point hash-exactly (verified value-equal
-# at sf0.001 and sf0.01). A data change that alters the iteration count
-# turns this row red rather than silently passing — that is the point of
-# the strong check the flagship deserves (r6 verdict item 6).
+# at sf0.001 and sf0.01, hash-match at sf0.1). A data change that alters
+# the iteration count turns this row red rather than silently passing —
+# that is the point of the strong check the flagship deserves (r6
+# verdict item 6). KNOWN SCOPE: the unroll is tied to the driver SFs'
+# iteration count; the COMPOSED sf1 table (make_scaled_sf.py interleaves
+# copies inside each event_type stream, producing a different duel graph
+# that CONVERGES after 2 updates, msd 4.38 -> 0.044 <= tol) mismatches
+# by construction — re-unroll to that data's count when auditing there
+# (the sf1 scale evidence for q16 is SCALE.md's probe row, whose
+# disjoint-subgraph composition preserves the gate dynamics).
 def _q16_iter_cte(n: int) -> str:
     return (
         f"it{n} AS (SELECT e.challenger_id AS player_id, "

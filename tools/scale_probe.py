@@ -1085,7 +1085,14 @@ CORRECTNESS_AT_SCALE = [
     "  llm_curation_pipeline (scattered gate inputs, output unchanged):",
     "  6 ok, 0 FAIL at 10x the gate, plus the full 446-test suite and",
     "  the complete sf0.01 gate (140 oracle-paired ok + 5 rows-only,",
-    "  0 FAIL) on the round-7 tree.",
+    "  0 FAIL) on the round-7 tree. At composed sf1,",
+    "  multimodal_jpeg_decode, ann_lsh_pairs and dedup_simhash_web",
+    "  hash-match (3 ok); q16's unrolled-3 oracle intentionally does",
+    "  NOT apply there — the consistent-key composition interleaves",
+    "  copies inside each event_type stream, and that graph CONVERGES",
+    "  after 2 damped updates (msd 4.38 -> 0.044 <= tol) where the gate",
+    "  data diverges-and-aborts after 3; the oracle is scoped to the",
+    "  driver SFs by construction (registry/reference_surface.py note).",
     "",
     "This audit caught six round-4 defects the sf0.01 gate could not:",
     "the df-bounded jaccard oracle missing true pairs (minhash 2,560 vs",
