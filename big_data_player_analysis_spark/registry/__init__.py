@@ -441,7 +441,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # cannot rotate out — its closure changed since the r03 snapshot and
 # carries no output-neutrality exemption, so it stays in-window),
 # llm_title_hamming_dedup
-# (hamming-blocked string dedup stays via dedup_simhash/_web).
+# (hamming-blocked string dedup stays via dedup_simhash/_web). A late
+# round-7 promotion adds multimodal_mjpeg_decode (NEW — real compressed
+# video: MJPEG-AVI container walk + per-frame baseline-JPEG decode),
+# displacing llm_cdc_chunks (hash-match green r06 on round-7-unchanged
+# code; chunking family stays via llm_pack_sequences and the packing
+# stage inside llm_curation_pipeline, both in-window).
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -491,7 +496,6 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "multimodal_phash_dedup",
     "llm_dedup_incremental",
-    "llm_cdc_chunks",
     "olap_anomaly_zscore",
     "multimodal_video_decode",
     "llm_bpe_train",
@@ -502,6 +506,7 @@ PRIMARY_ORDER: tuple[str, ...] = (
     # round-7 promotions (changed-code rule + the new JPEG decode)
     "ann_lsh_pairs",
     "multimodal_jpeg_decode",
+    "multimodal_mjpeg_decode",
     "llm_decontaminate",
     "llm_url_canonical_dedup",
     "multimodal_audio_decode",

@@ -1569,3 +1569,57 @@ def test_jpeg_decode_rejects_non_jpeg(spark):
     )
     with pytest.raises(Exception, match="not a JPEG"):
         decode_jpeg_features(df).collect()
+
+
+def test_mjpeg_decode_roundtrip(spark):
+    """Real MJPEG-AVI decode: one row per frame, per-frame means equal the
+    closed form — per-(block, frame) DC levels through the full container
+    walk + JPEG entropy/IDCT pipeline."""
+    from big_data_player_analysis_spark.multimodal import (
+        _jpeg_has_pattern,
+        _mjpeg_block_level,
+        _mjpeg_params,
+        attach_mjpeg_payload,
+        decode_mjpeg_frames,
+        jpeg_pattern_constants,
+    )
+
+    k_mean, k_col0 = jpeg_pattern_constants()
+    ids = (0, 1, 2, 5, 17, 300)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {}
+    for r in decode_mjpeg_frames(attach_mjpeg_payload(df, "doc_id")).collect():
+        out[(r.doc_id, r.frame_no)] = r
+    for i in ids:
+        w, h, nf, seed = _mjpeg_params(i)
+        for f in range(nf):
+            r = out[(i, f)]
+            assert (r.width, r.height) == (w, h)
+            levels, pats = [], []
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    levels.append(_mjpeg_block_level(seed, bx, by, f))
+                    pats.append(1.0 if _jpeg_has_pattern(bx, by) else 0.0)
+            assert r.mean_gray == pytest.approx(
+                np.mean(levels) + k_mean * np.mean(pats), abs=1e-6
+            )
+            assert r.mean_col0 == pytest.approx(
+                np.mean(levels) + k_col0 * np.mean(pats), abs=1e-6
+            )
+    # frame explode: every (doc, frame) accounted for, nothing extra
+    assert len(out) == sum(_mjpeg_params(i)[2] for i in ids)
+
+
+def test_mjpeg_decode_rejects_uncompressed_avi(spark):
+    """A DIB (uncompressed) AVI must raise — that's decode_video_frames'
+    path, not the MJPEG decoder's."""
+    from big_data_player_analysis_spark.multimodal import (
+        decode_mjpeg_frames,
+        synth_avi_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, synth_avi_payload(3))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="not an MJPEG stream"):
+        decode_mjpeg_frames(df).collect()

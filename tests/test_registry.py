@@ -114,7 +114,7 @@ def test_primary_window():
         "olap_funnel_conversion",
         "llm_bigram_surprisal", "olap_anomaly_zscore",
         "dedup_embedding_cosine", "dedup_components",
-        "llm_dedup_incremental", "llm_cdc_chunks",
+        "llm_dedup_incremental", "multimodal_mjpeg_decode",
         "multimodal_video_decode", "llm_bpe_train", "multimodal_image_resize",
         "llm_semantic_dedup",
         "llm_line_dedup", "olap_key_skew_profile", "llm_near_dedup_best_quality",

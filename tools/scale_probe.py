@@ -312,6 +312,15 @@ def _jpeg_probe(docs):
     return decode_jpeg_features(attach_jpeg_payload(docs.select("doc_id"), "doc_id"))
 
 
+def _mjpeg_probe(docs):
+    from big_data_player_analysis_spark.multimodal import (
+        attach_mjpeg_payload,
+        decode_mjpeg_frames,
+    )
+
+    return decode_mjpeg_frames(attach_mjpeg_payload(docs.select("doc_id"), "doc_id"))
+
+
 def _bpe_probe(docs):
     from big_data_player_analysis_spark.plans.bpe import bpe_merges_df
 
@@ -687,6 +696,9 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
         # row should read linear — per-doc cost is blocks * (entropy
         # decode + one 8x8 float IDCT)
         "multimodal_jpeg_decode": lambda: _jpeg_probe(docs),
+        # MJPEG-AVI: container walk + per-frame JPEG decode — same
+        # narrow-map shape as the still-image row, ~2.5 frames/doc
+        "multimodal_mjpeg_decode": lambda: _mjpeg_probe(docs),
         # banded hyperplane-LSH at the DEMO signature width: candidates
         # carry (id, sig) longs only, but per-band volume is n^2/2^width
         # and 16-bit signatures stop being selective past ~10^4 vectors —
