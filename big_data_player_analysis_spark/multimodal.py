@@ -167,6 +167,22 @@ def synth_wav_payload(doc_id: int) -> bytes:
     return buf.getvalue()
 
 
+def _scatter_ids(df: DataFrame, id_col: str) -> DataFrame:
+    """Project to the id column and round-robin it across the session's
+    default parallelism BEFORE payload synthesis: a compact input (one
+    small parquet file -> one scan partition) otherwise pins the whole
+    synth + decode chain to a single task — profiled as the entire wall
+    of the still-JPEG and MJPEG bench entries (synthesis and decode are
+    CPU-bound Python). Only bare ids move through the exchange (8 bytes a
+    row); payload bytes are created AFTER it and never shuffle, which is
+    the contract the plan pins assert. A 100 TB input already has
+    thousands of splits and skips the exchange entirely (same heuristic
+    as operators/dedup.py:_scatter)."""
+    from big_data_player_analysis_spark.operators.dedup import _scatter
+
+    return _scatter(df.select(F.col(id_col).alias("doc_id")))
+
+
 def attach_wav_payload(df: DataFrame, id_col: str) -> DataFrame:
     """Simulate audio ingestion: one WAV payload per row, synthesized
     deterministically from the id (real ingestion lands the bytes from the
@@ -179,7 +195,8 @@ def attach_wav_payload(df: DataFrame, id_col: str) -> DataFrame:
     def _synth(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: synth_wav_payload(int(i)))
 
-    return df.select(F.col(id_col).alias("doc_id"), _synth(id_col).alias("payload"))
+    ids = _scatter_ids(df, id_col)
+    return ids.select("doc_id", _synth("doc_id").alias("payload"))
 
 
 def decode_audio_features(media: DataFrame) -> DataFrame:
@@ -275,7 +292,8 @@ def attach_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
     def _synth(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: synth_bmp_payload(int(i)))
 
-    return df.select(F.col(id_col).alias("doc_id"), _synth(id_col).alias("payload"))
+    ids = _scatter_ids(df, id_col)
+    return ids.select("doc_id", _synth("doc_id").alias("payload"))
 
 
 # ------------------------------------------------- real image resize
@@ -431,7 +449,8 @@ def attach_png_payload(df: DataFrame, id_col: str) -> DataFrame:
     def _synth(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: synth_png_payload(int(i)))
 
-    return df.select(F.col(id_col).alias("doc_id"), _synth(id_col).alias("payload"))
+    ids = _scatter_ids(df, id_col)
+    return ids.select("doc_id", _synth("doc_id").alias("payload"))
 
 
 def decode_png_features(media: DataFrame) -> DataFrame:
@@ -624,7 +643,8 @@ def attach_avi_payload(df: DataFrame, id_col: str) -> DataFrame:
     def _synth(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: synth_avi_payload(int(i)))
 
-    return df.select(F.col(id_col).alias("doc_id"), _synth(id_col).alias("payload"))
+    ids = _scatter_ids(df, id_col)
+    return ids.select("doc_id", _synth("doc_id").alias("payload"))
 
 
 def decode_video_frames(media: DataFrame) -> DataFrame:
@@ -857,7 +877,8 @@ def attach_textured_bmp_payload(df: DataFrame, id_col: str) -> DataFrame:
     def _synth(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: synth_textured_bmp_payload(int(i)))
 
-    return df.select(F.col(id_col).alias("doc_id"), _synth(id_col).alias("payload"))
+    ids = _scatter_ids(df, id_col)
+    return ids.select("doc_id", _synth("doc_id").alias("payload"))
 
 
 DHASH_SCHEMA = T.StructType(
@@ -1125,7 +1146,8 @@ def attach_jpeg_payload(df: DataFrame, id_col: str) -> DataFrame:
     def _synth(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: synth_jpeg_payload(int(i)))
 
-    return df.select(F.col(id_col).alias("doc_id"), _synth(id_col).alias("payload"))
+    ids = _scatter_ids(df, id_col)
+    return ids.select("doc_id", _synth("doc_id").alias("payload"))
 
 
 def decode_jpeg_features(media: DataFrame) -> DataFrame:
@@ -1457,7 +1479,8 @@ def attach_mjpeg_payload(df: DataFrame, id_col: str) -> DataFrame:
     def _synth(ids: pd.Series) -> pd.Series:
         return ids.map(lambda i: synth_mjpeg_avi_payload(int(i)))
 
-    return df.select(F.col(id_col).alias("doc_id"), _synth(id_col).alias("payload"))
+    ids = _scatter_ids(df, id_col)
+    return ids.select("doc_id", _synth("doc_id").alias("payload"))
 
 
 def decode_mjpeg_frames(media: DataFrame) -> DataFrame:
