@@ -88,6 +88,7 @@ def remove_repeated_windows(
     window_tokens: int = REPEAT_WINDOW_TOKENS,
     min_docs: int = REPEAT_MIN_DOCS,
     broadcast_max_rows: int = REPEAT_BROADCAST_MAX_ROWS,
+    scatter: bool = True,
 ) -> DataFrame:
     """(doc_id, clean_text, n_windows, n_removed): text rebuilt without
     windows that appear in >= min_docs distinct documents. A document all
@@ -107,8 +108,14 @@ def remove_repeated_windows(
     # every upstream stage of the input (in the curation pipeline that is
     # the whole quality/language gate — measured as the second-largest
     # stage cost purely from re-execution).
+    from big_data_player_analysis_spark.operators.dedup import _scatter
+
+    # scatter=False for composed callers whose input is already spread
+    # (the curation pipeline scatters its train side once up front — the
+    # file-list heuristic cannot see that through the intervening
+    # projections and would re-exchange the text)
     wins = (
-        _windows(df, id_col, text_col, window_tokens)
+        _windows(_scatter(df) if scatter else df, id_col, text_col, window_tokens)
         .withColumn("whash", F.xxhash64("wtext"))
         .transform(tracked_persist)
     )
@@ -197,6 +204,9 @@ def duplicate_span_profile(
     """
     if window_tokens <= 1 or min_count < 2:
         raise ValueError("need window_tokens > 1 and min_count >= 2")
+    from big_data_player_analysis_spark.operators.dedup import _scatter
+
+    df = _scatter(df)  # the rolling-hash Arrow pass is CPU-bound per doc
     k = window_tokens
     toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     base = df.select(

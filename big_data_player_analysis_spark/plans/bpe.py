@@ -45,8 +45,10 @@ def word_histogram(docs: DataFrame, text_col: str, max_words: int) -> DataFrame:
     job. Lowercased, split on non-letter runs so the symbol universe stays
     alphabetic; empty tokens dropped. Ordered-limit plans as
     TakeOrderedAndProject (no global sort)."""
+    from big_data_player_analysis_spark.operators.dedup import _scatter
+
     words = (
-        docs.select(
+        _scatter(docs).select(
             F.explode(
                 F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^a-z]+")
             ).alias("word")
@@ -220,7 +222,9 @@ def bpe_token_ids(
 
     tok2id = bpe_vocab_ids(merges)
 
-    words = docs.select(
+    from big_data_player_analysis_spark.operators.dedup import _scatter
+
+    words = _scatter(docs).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
             F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"[^a-z]+")

@@ -2849,6 +2849,7 @@ def curation_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
     cleaned = remove_repeated_windows(
         gated, "doc_id", "text",
         window_tokens=REPEAT_WINDOW_TOKENS, min_docs=REPEAT_MIN_DOCS,
+        scatter=False,  # train is scattered once above
     ).select("doc_id", F.col("clean_text").alias("text")).transform(_stage)
 
     surv = near_dedup_survivors(
