@@ -156,15 +156,20 @@ SPAN_WINDOW_TOKENS = 10  # k for OVERLAPPING k-token windows
 SPAN_MIN_COUNT = 2  # a window occurring >= this many times corpus-wide is dup
 
 
-def duplicate_span_profile(
+def _duplicate_spans(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    window_tokens: int = SPAN_WINDOW_TOKENS,
-    min_count: int = SPAN_MIN_COUNT,
-    broadcast_max_rows: int = REPEAT_BROADCAST_MAX_ROWS,
-) -> DataFrame:
-    """Exact-substring duplication profile (Lee et al. 2021, "Deduplicating
+    window_tokens: int,
+    min_count: int,
+    broadcast_max_rows: int,
+):
+    """Shared span builder for duplicate_span_profile (report) and
+    remove_duplicate_spans (rewrite): returns (base, spans) where base is
+    (doc_id, _text, n_tokens) and spans is the merged maximal duplicated
+    intervals (doc_id, s, e) — the full scale design is documented on
+    duplicate_span_profile, whose machinery this is."""
+    _impl_doc = """Exact-substring duplication profile (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better", arXiv:2107.06499): every
     OVERLAPPING ``window_tokens``-token window occurring >= ``min_count``
     times in the whole corpus (all occurrences counted, including repeats
@@ -202,6 +207,7 @@ def duplicate_span_profile(
     equivalence argument as the module docstring); the SQL oracle groups
     window text itself.
     """
+    del _impl_doc
     if window_tokens <= 1 or min_count < 2:
         raise ValueError("need window_tokens > 1 and min_count >= 2")
     from big_data_player_analysis_spark.operators.dedup import _scatter
@@ -295,6 +301,25 @@ def duplicate_span_profile(
     )
     spans = islands.groupBy("doc_id", "isl").agg(
         F.min("p").alias("s"), F.max("e").alias("e")
+    ).select("doc_id", "s", "e")
+    return base, spans
+
+
+def duplicate_span_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = SPAN_WINDOW_TOKENS,
+    min_count: int = SPAN_MIN_COUNT,
+    broadcast_max_rows: int = REPEAT_BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    """Exact-substring duplication PROFILE (Lee et al. 2021 EXACTSUBSTR):
+    (doc_id, n_tokens, n_dup_tokens, n_spans, dup_frac) — the report a
+    curation run thresholds on. Span machinery and the full 100 TB design
+    notes live in _duplicate_spans; remove_duplicate_spans below is the
+    rewrite pass over the same spans."""
+    base, spans = _duplicate_spans(
+        df, id_col, text_col, window_tokens, min_count, broadcast_max_rows
     )
     per_doc = spans.groupBy("doc_id").agg(
         F.sum(F.col("e") - F.col("s")).alias("n_dup_tokens"),
@@ -309,4 +334,57 @@ def duplicate_span_profile(
             F.coalesce("n_dup_tokens", F.lit(0)).cast("double")
             / F.col("n_tokens")
         ).alias("dup_frac"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_tokens: int = SPAN_WINDOW_TOKENS,
+    min_count: int = SPAN_MIN_COUNT,
+    broadcast_max_rows: int = REPEAT_BROADCAST_MAX_ROWS,
+) -> DataFrame:
+    """Exact-substring duplication REMOVAL — the rewrite half of Lee et
+    al. 2021's EXACTSUBSTR pipeline: every token inside a merged
+    duplicated span is cut and the text rebuilt from the surviving tokens
+    in order (single-space rejoin, the same canonical-whitespace contract
+    as remove_repeated_windows' rebuild). Documents shorter than the
+    window or with no duplicated span come back unchanged (modulo the
+    whitespace canonicalization).
+
+    Returns (doc_id, clean_text, n_tokens, n_removed_tokens).
+
+    Scale shape: _duplicate_spans' machinery (one narrow Arrow
+    rolling-hash pass, size-gated dup-set semi join, gaps-and-islands
+    merge over DUPLICATED positions only) plus ONE keyed join of the
+    per-doc span arrays back onto the corpus — span arrays are
+    duplicated-region-sized, and the token cut is a codegen'd
+    higher-order filter (index lambda + exists over the span structs), no
+    Python in the rewrite path."""
+    base, spans = _duplicate_spans(
+        df, id_col, text_col, window_tokens, min_count, broadcast_max_rows
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_spans")
+    )
+    toks = F.split(F.trim(F.coalesce(F.col("_text"), F.lit(""))), r"\s+")
+    joined = base.join(per_doc, "doc_id", "left").select(
+        "doc_id", "n_tokens", toks.alias("_toks"), "_spans"
+    )
+    kept = F.filter(
+        F.col("_toks"),
+        lambda t, i: ~F.exists(
+            F.col("_spans"), lambda sp: (i >= sp["s"]) & (i < sp["e"])
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.when(F.col("_spans").isNull(), F.array_join(F.col("_toks"), " "))
+        .otherwise(F.array_join(kept, " "))
+        .alias("clean_text"),
+        "n_tokens",
+        F.when(F.col("_spans").isNull(), F.lit(0).cast("long"))
+        .otherwise(F.col("n_tokens") - F.size(kept).cast("long"))
+        .alias("n_removed_tokens"),
     )

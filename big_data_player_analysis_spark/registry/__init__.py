@@ -446,7 +446,13 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # video: MJPEG-AVI container walk + per-frame baseline-JPEG decode),
 # displacing llm_cdc_chunks (hash-match green r06 on round-7-unchanged
 # code; chunking family stays via llm_pack_sequences and the packing
-# stage inside llm_curation_pipeline, both in-window).
+# stage inside llm_curation_pipeline, both in-window). And
+# llm_substring_dedup (NEW — the EXACTSUBSTR rewrite pass completing the
+# in-window llm_substring_dup_spans report) displaces
+# olap_window_distribution (hash-match green r06 on round-7-unchanged
+# code; window-function evidence stays via olap_anomaly_zscore's rolling
+# windows and the r01-r06 green rows + local gate for the distribution
+# family).
 PRIMARY_ORDER: tuple[str, ...] = (
     # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
     # q14/q15/q18 rotated out on green union rows, all code-unchanged;
@@ -500,13 +506,13 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "multimodal_video_decode",
     "llm_bpe_train",
     "multimodal_image_resize",
-    "olap_window_distribution",
     "multimodal_png_decode",
     "llm_semantic_dedup",
     # round-7 promotions (changed-code rule + the new JPEG decode)
     "ann_lsh_pairs",
     "multimodal_jpeg_decode",
     "multimodal_mjpeg_decode",
+    "llm_substring_dedup",
     "llm_decontaminate",
     "llm_url_canonical_dedup",
     "multimodal_audio_decode",

@@ -2002,6 +2002,7 @@ from big_data_player_analysis_spark.operators.repetition import (  # noqa: E402
     SPAN_MIN_COUNT,
     SPAN_WINDOW_TOKENS,
     duplicate_span_profile,
+    remove_duplicate_spans,
 )
 
 SQL_DUP_SPANS = f"""
@@ -2072,6 +2073,87 @@ def substring_dup_spans_q(spark: SparkSession, sf: str) -> DataFrame:
     llm_line_dedup: overlapping windows catch duplicated substrings at ANY
     alignment, not just window-grid boilerplate."""
     return duplicate_span_profile(t(spark, sf, "documents"), "doc_id", "text")
+
+
+SQL_SPAN_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id, {REPEAT_SQL_TOKS} AS toks FROM documents),
+n AS (
+  SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n_tokens FROM d),
+w AS (
+  SELECT doc_id,
+         CAST(unnest(range(0, n_tokens - {SPAN_WINDOW_TOKENS} + 1)) AS BIGINT)
+           AS p,
+         toks
+  FROM n WHERE n_tokens >= {SPAN_WINDOW_TOKENS}),
+wt AS (
+  SELECT doc_id, p,
+         array_to_string(
+           list_slice(toks, CAST(p + 1 AS INT),
+                      CAST(p + {SPAN_WINDOW_TOKENS} AS INT)), ' ') AS wtext
+  FROM w),
+dup AS (
+  SELECT wtext FROM (
+    SELECT wtext, count(*) AS c FROM wt GROUP BY wtext)
+  WHERE c >= {SPAN_MIN_COUNT}),
+dp AS (
+  SELECT doc_id, p, p + {SPAN_WINDOW_TOKENS} AS e
+  FROM wt WHERE wtext IN (SELECT wtext FROM dup)),
+isl AS (
+  SELECT doc_id, p, e,
+         CASE WHEN p > coalesce(
+                max(e) OVER (PARTITION BY doc_id ORDER BY p
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_isl
+  FROM isl_src),
+spans AS (
+  SELECT doc_id, island, min(p) AS s, max(e) AS ee
+  FROM (
+    SELECT doc_id, p, e,
+           sum(new_isl) OVER (PARTITION BY doc_id ORDER BY p) AS island
+    FROM isl) i
+  GROUP BY doc_id, island),
+tok AS (
+  SELECT n.doc_id, u.tok, u.i
+  FROM n, LATERAL (
+    SELECT unnest(toks) AS tok,
+           unnest(generate_series(1, len(toks))) AS i) u),
+kept AS (
+  SELECT t.doc_id, t.tok, t.i
+  FROM tok t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans sp
+    WHERE sp.doc_id = t.doc_id AND t.i - 1 >= sp.s AND t.i - 1 < sp.ee)),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id)
+SELECT n.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       n.n_tokens,
+       CAST(n.n_tokens - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed_tokens
+FROM n LEFT JOIN rebuilt r ON n.doc_id = r.doc_id
+"""
+SQL_SPAN_DEDUP = SQL_SPAN_DEDUP.replace("FROM isl_src", "FROM dp")
+
+
+@query(
+    "llm_substring_dedup",
+    sql=SQL_SPAN_DEDUP,
+    tags=("llm", "dedup", "text", "bench"),
+)
+def substring_dedup_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-substring duplication REMOVAL (the rewrite half of Lee et al.
+    2021's EXACTSUBSTR pipeline, completing llm_substring_dup_spans'
+    report): every token inside a corpus-duplicated merged span is cut
+    and the document rebuilt from the survivors in order
+    (operators/repetition.py:remove_duplicate_spans — the shared
+    rolling-hash span machinery plus one keyed span join and a codegen'd
+    index-lambda token filter). The oracle replays span construction on
+    the window TEXT itself and rebuilds with an ordered string_agg, so a
+    hash match certifies both the span bounds and the rewrite."""
+    return remove_duplicate_spans(t(spark, sf, "documents"), "doc_id", "text")
 
 
 # ------------------------------------------------- deterministic sharding

@@ -495,3 +495,53 @@ class TestCdcChunks:
         # everything beyond the first boundary after the edit is shared
         assert len(shared) >= max(1, len(base) - 2)
         assert base != edit  # the head chunk did change
+
+
+def test_remove_duplicate_spans_matches_profile(spark):
+    """The rewrite and the report must agree: n_removed_tokens equals the
+    profile's n_dup_tokens per doc, and surviving tokens are exactly the
+    complement of the merged spans."""
+    from big_data_player_analysis_spark.operators.repetition import (
+        duplicate_span_profile,
+        remove_duplicate_spans,
+    )
+
+    rows = [
+        (0, "a b c d e f g h i j unique zero tail"),
+        (1, "a b c d e f g h i j other one ending"),
+        (2, "totally different words without any shared window at all"),
+        (3, "tiny"),
+        (4, None),
+        (5, "x y a b c d e f g h i j z"),  # shared run mid-document
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prof = {r.doc_id: r for r in duplicate_span_profile(
+        df, "doc_id", "text", window_tokens=5, min_count=2).collect()}
+    out = {r.doc_id: r for r in remove_duplicate_spans(
+        df, "doc_id", "text", window_tokens=5, min_count=2).collect()}
+    assert set(out) == set(prof)
+    for did, r in out.items():
+        assert r.n_removed_tokens == prof[did].n_dup_tokens, did
+        # kept + removed account for every token
+        kept = len(r.clean_text.split()) if r.clean_text else 0
+        assert kept + r.n_removed_tokens == prof[did].n_tokens or (
+            r.clean_text == "" and prof[did].n_tokens - r.n_removed_tokens <= 1
+        ), did  # empty-text doc: split('') counts one empty token
+    # the shared 10-token run disappears from every carrier
+    for did in (0, 1, 5):
+        assert "a b c d e f g h i j" not in out[did].clean_text
+    # untouched docs come back whitespace-canonical but content-identical
+    assert out[2].clean_text == rows[2][1]
+
+
+def test_remove_duplicate_spans_preserves_document_set(spark, sf_small):
+    """Every document survives (possibly empty) — curation filters, not
+    the rewriter, decide to drop."""
+    from big_data_player_analysis_spark.catalog import load_table
+    from big_data_player_analysis_spark.operators.repetition import (
+        remove_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_small, "documents")
+    out = remove_duplicate_spans(docs, "doc_id", "text")
+    assert out.count() == docs.count()

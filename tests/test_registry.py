@@ -105,7 +105,7 @@ def test_primary_window():
     assert {
         "dedup_simhash", "dedup_simhash_web", "llm_curation_pipeline",
         "dedup_minhash_lsh", "multimodal_phash_dedup", "stream_curation_ingest",
-        "olap_window_distribution",
+        "llm_substring_dedup",
         "llm_near_dedup_survivors", "llm_substring_dup_spans",
         "llm_heavy_ngrams_sketch", "stream_outer_interval_join",
         "olap_quantile_shard_merge", "olap_ks_drift", "olap_cogroup_order_lag",

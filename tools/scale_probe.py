@@ -36,6 +36,7 @@ from big_data_player_analysis_spark.operators.chunking import (
 )
 from big_data_player_analysis_spark.operators.repetition import (
     duplicate_span_profile,
+    remove_duplicate_spans,
     remove_repeated_windows,
 )
 from big_data_player_analysis_spark.operators.sampling import apply_mix, shard_assign
@@ -737,6 +738,11 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
         "llm_cdc_chunks": lambda: cdc_chunks(docs, "doc_id", "text"),
         "llm_line_dedup": lambda: remove_repeated_windows(docs, "doc_id", "text"),
         "llm_substring_dup_spans": lambda: duplicate_span_profile(
+            docs, "doc_id", "text"
+        ),
+        # the rewrite half: same span machinery + one keyed span join and
+        # a codegen'd token filter — should track the profile row
+        "llm_substring_dedup": lambda: remove_duplicate_spans(
             docs, "doc_id", "text"
         ),
         "llm_heavy_ngrams_sketch": lambda: _heavy_ngrams_probe(docs),
