@@ -86,6 +86,7 @@ AUDITED = [
     "llm_bpe_encode",
     "stream_curation_ingest",
     "ann_lsh_pairs",
+    "llm_substring_dedup",
 ]
 
 
@@ -241,6 +242,14 @@ NOTES = {
         "16-bit bands); with candidates exceeding brute-force density, "
         "dedup_embedding_cosine's blocked GEMM or llm_semantic_dedup's "
         "adaptive sign-buckets are the better paths at this corpus shape."
+    ),
+    "llm_substring_dedup": (
+        "the rewrite half of EXACTSUBSTR: same exchanges as the profile "
+        "row (window-hash partial agg, size-gated dup-set, islands merge "
+        "over duplicated positions only) plus ONE keyed join of per-doc "
+        "span arrays back onto the corpus — span arrays are "
+        "duplicated-region-sized; the rebuilt text never exchanges (the "
+        "token filter is a narrow codegen'd projection)."
     ),
     "q06_distinct_pairs": (
         "hash-distinct over the events-derived edge table: the exchange "
