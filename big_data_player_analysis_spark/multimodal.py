@@ -1192,7 +1192,11 @@ def decode_baseline_jpeg(did: int, payload: bytes):
     separable IDCT, level shift, round + clamp. Shared by the still-
     image path (decode_jpeg_features) and the MJPEG-in-AVI frames
     (decode_mjpeg_frames). Only 8-bit single-component baseline —
-    anything else raises rather than mis-decodes."""
+    anything else (progressive SOF2, subsampling, 16-bit DQT) raises
+    rather than mis-decodes, and so do restart markers (DRI/RSTn reset
+    the DC predictor mid-scan; a payload using them hits the
+    marker-inside-scan guard) — fail-closed on every unsupported
+    feature, never silently wrong pixels."""
     import struct
 
     import numpy as np

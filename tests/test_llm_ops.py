@@ -1623,3 +1623,20 @@ def test_mjpeg_decode_rejects_uncompressed_avi(spark):
     )
     with pytest.raises(Exception, match="not an MJPEG stream"):
         decode_mjpeg_frames(df).collect()
+
+
+def test_jpeg_decode_fails_closed_on_truncated_scan(spark):
+    """A payload cut mid-scan must raise (bit reader runs off the stream),
+    never return partially-decoded pixels."""
+    from big_data_player_analysis_spark.multimodal import (
+        decode_jpeg_features,
+        synth_jpeg_payload,
+    )
+
+    good = synth_jpeg_payload(9)
+    truncated = good[: len(good) - 40]  # drop most of the entropy data + EOI
+    df = spark.createDataFrame(
+        [(1, truncated)], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception):
+        decode_jpeg_features(df).collect()
