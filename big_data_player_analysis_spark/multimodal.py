@@ -686,16 +686,23 @@ def decode_video_frames(media: DataFrame) -> DataFrame:
                 (riff_len,) = struct.unpack_from("<I", payload, 4)
                 w = h = None
                 total_frames = None
+                stream_type = None  # fccType of the most recent strh
                 frames: list[tuple[int, int]] = []
 
                 def scan_list(start: int, end: int):
-                    nonlocal w, h, total_frames
+                    nonlocal w, h, total_frames, stream_type
                     for fourcc, dstart, dlen in walk(payload, start, end):
                         if fourcc == b"LIST":
                             scan_list(dstart + 4, dstart + dlen)
                         elif fourcc == b"avih":
                             total_frames = struct.unpack_from("<I", payload, dstart + 16)[0]
-                        elif fourcc == b"strf":
+                        elif fourcc == b"strh":
+                            stream_type = payload[dstart : dstart + 4]
+                        elif fourcc == b"strf" and stream_type == b"vids" and w is None:
+                            # only a VIDEO stream's strf is a
+                            # BITMAPINFOHEADER; an audio strf is a
+                            # WAVEFORMATEX (round-7 ADVICE #2 — first
+                            # video stream wins)
                             _, bw, bh, _, bpp, comp = struct.unpack_from(
                                 "<IiiHHI", payload, dstart
                             )
@@ -1317,6 +1324,12 @@ def decode_baseline_jpeg(did: int, payload: bytes):
                     break
                 if rs == 0xF0:  # ZRL
                     k += 16
+                    if k > 63:
+                        # mirror the run/size branch: a ZRL that runs past
+                        # the block end means the bitstream is desynced;
+                        # fail closed rather than decode wrong pixels
+                        # (round-7 ADVICE #1)
+                        raise ValueError(f"doc {did}: ZRL run past block end")
                     continue
                 k += rs >> 4
                 if k > 63:
@@ -1507,10 +1520,11 @@ def decode_mjpeg_frames(media: DataFrame) -> DataFrame:
             if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
                 raise ValueError(f"doc {did}: not an AVI payload")
             compression = None
+            stream_type = None  # fccType of the most recent strh
             frames: list[bytes] = []
 
             def scan(start: int, end: int) -> None:
-                nonlocal compression
+                nonlocal compression, stream_type
                 pos = start
                 while pos + 8 <= end:
                     fourcc = payload[pos : pos + 4]
@@ -1518,8 +1532,15 @@ def decode_mjpeg_frames(media: DataFrame) -> DataFrame:
                     data_start = pos + 8
                     if fourcc == b"LIST":
                         scan(data_start + 4, data_start + clen)
+                    elif fourcc == b"strh":
+                        stream_type = payload[data_start : data_start + 4]
                     elif fourcc == b"strf":
-                        compression = payload[data_start + 16 : data_start + 20]
+                        # biCompression only exists in a VIDEO stream's
+                        # BITMAPINFOHEADER; an audio strf is a WAVEFORMATEX
+                        # whose offset 16 is garbage for this purpose.
+                        # First video stream wins (round-7 ADVICE #2).
+                        if stream_type == b"vids" and compression is None:
+                            compression = payload[data_start + 16 : data_start + 20]
                     elif fourcc == b"00dc":
                         frames.append(payload[data_start : data_start + clen])
                     pos = data_start + clen + (clen % 2)

@@ -218,10 +218,21 @@ def lsh_bucket_signature(vec_col):
         import numpy as np
 
         H = np.asarray(LSH_HYPERPLANES, dtype=np.float64)  # (16, 64)
-        V = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, 64)
-        bits = (V @ H.T) > 0  # (n, 16)
-        weights = (1 << np.arange(LSH_PLANES, dtype=np.int64))
-        return pd.Series(bits.astype(np.int64) @ weights)
+        # null rows would collapse np.asarray(tolist()) to a ragged object
+        # array and break the GEMM (round-7 ADVICE #3): mask them out,
+        # signature NULL. reshape(-1, dim) keeps an empty batch (0, dim)
+        # and raises explicitly on a wrong-width vector instead of letting
+        # einsum produce shape garbage.
+        out = pd.Series([None] * len(vecs), dtype="object")
+        valid = vecs.notna()
+        if valid.any():
+            V = np.asarray(vecs[valid].tolist(), dtype=np.float64).reshape(
+                -1, H.shape[1]
+            )
+            bits = (V @ H.T) > 0  # (n, 16)
+            weights = (1 << np.arange(LSH_PLANES, dtype=np.int64))
+            out[valid] = list(bits.astype(np.int64) @ weights)
+        return out
 
     return _sig(vec_col)
 
@@ -304,12 +315,21 @@ def ann_lsh_buckets(
     def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
         import numpy as np
 
-        A = np.asarray(va.tolist(), dtype=np.float64)
-        B = np.asarray(vb.tolist(), dtype=np.float64)
-        dots = np.einsum("ij,ij->i", A, B)
-        na = np.sqrt(np.einsum("ij,ij->i", A, A))
-        nb = np.sqrt(np.einsum("ij,ij->i", B, B))
-        return pd.Series(dots / (na * nb))
+        dim = len(LSH_HYPERPLANES[0])
+        # null-safe + empty-batch-safe (round-7 ADVICE #3): candidate pairs
+        # only exist for rows that produced a signature, but a defensive
+        # mask keeps a null vector from collapsing the batch to a ragged
+        # object array mid-GEMM; reshape raises on wrong-width vectors.
+        out = pd.Series(np.full(len(va), np.nan))
+        valid = va.notna() & vb.notna()
+        if valid.any():
+            A = np.asarray(va[valid].tolist(), dtype=np.float64).reshape(-1, dim)
+            B = np.asarray(vb[valid].tolist(), dtype=np.float64).reshape(-1, dim)
+            dots = np.einsum("ij,ij->i", A, B)
+            na = np.sqrt(np.einsum("ij,ij->i", A, A))
+            nb = np.sqrt(np.einsum("ij,ij->i", B, B))
+            out[valid.to_numpy()] = dots / (na * nb)
+        return out
 
     v = vectors.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vec"))
     paired = (

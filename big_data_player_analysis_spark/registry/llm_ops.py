@@ -907,7 +907,11 @@ def _sql_ann_lsh_pairs() -> str:
     embedded as double literals (repr round-trips IEEE exactly), the
     signature bit is sign(list_dot_product(e, h_i)) — the float->double
     widening and double multiply/sum match Spark's fold bit-for-bit
-    (verified: 0/500 signature mismatches at sf0.01) — and the hamming +
+    (verified: 0/500 signature mismatches at sf0.01; sign determinism vs
+    the Spark side's BLAS GEMM is STRUCTURAL, not observed: min |v.h|
+    over every driver SF is >= 3.7e-5, eight orders above the ~1e-13
+    accumulation difference, pinned in tests/test_llm_ops.py::
+    test_ann_lsh_sign_margin_guarantees_oracle_determinism) — and the hamming +
     cosine verification runs over EVERY id pair, so a hash match proves
     the Spark side's 5-band pigeonhole blocking loses no pair."""
     sigterms = " + ".join(

@@ -434,6 +434,62 @@ def test_ann_lsh_matches_reference(emb, emb_np):
     assert got <= exact
 
 
+def test_ann_lsh_null_embedding_tolerated(spark, emb, emb_np):
+    """A NULL embedding row must get a NULL signature and drop out of the
+    band join (equi-join on NULL bits never matches) without crashing the
+    GEMM batch — round-7 ADVICE #3: np.asarray over a batch containing a
+    null collapses to a ragged object array and einsum raises."""
+    from big_data_player_analysis_spark.operators.similarity import (
+        lsh_bucket_signature,
+    )
+
+    ids, E, _ = emb_np
+    with_null = emb.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(999_999, None)], "vec_id long, embedding array<float>"
+        )
+    )
+    sigs = {
+        r.vec_id: r.sig
+        for r in with_null.select(
+            "vec_id", lsh_bucket_signature(F.col("embedding")).alias("sig")
+        ).collect()
+    }
+    assert sigs[999_999] is None
+    assert all(sigs[int(i)] is not None for i in ids)
+    expected, _, _ = _lsh_reference(ids, E)
+    got = {
+        (r.id_a, r.id_b)
+        for r in ann_lsh_buckets(with_null, "vec_id", "embedding", 0.45).collect()
+    }
+    assert got == expected  # identical pairs, null row silently absent
+
+
+def test_ann_lsh_sign_margin_guarantees_oracle_determinism():
+    """The ann_lsh_pairs oracle replays hyperplane signs with DuckDB's
+    left-fold list_dot_product while Spark uses a BLAS GEMM; the two can
+    differ by ~1e-13 in accumulation, so a dot product that close to zero
+    would flip a signature bit and spuriously redden the gate (round-7
+    ADVICE #4). Pin that the margin is structural at every driver SF: the
+    smallest |v.h| over the whole corpus x all 16 planes is >= 1e-6 — eight
+    orders of magnitude above the accumulation difference (measured minima:
+    1.5e-4 / 2.7e-4 / 3.7e-5 at sf0.001/0.01/0.1)."""
+    import duckdb
+
+    from big_data_player_analysis_spark.operators.similarity import (
+        LSH_HYPERPLANES,
+    )
+
+    H = np.array(LSH_HYPERPLANES, dtype=np.float64)
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        E = con.execute(
+            f"SELECT embedding FROM '/root/testdata/{sf}/embeddings.parquet'"
+        ).df()
+        V = np.array(E["embedding"].tolist(), dtype=np.float64)
+        assert np.abs(V @ H.T).min() >= 1e-6, sf
+
+
 def test_ann_lsh_bands_not_degenerate(emb_np):
     """No band may be constant across the corpus (the round-1 bug: band 4
     read bits 16-19 of a 16-bit signature, so every row collided in one
@@ -1623,6 +1679,63 @@ def test_mjpeg_decode_rejects_uncompressed_avi(spark):
     )
     with pytest.raises(Exception, match="not an MJPEG stream"):
         decode_mjpeg_frames(df).collect()
+
+
+def _splice_audio_strl(payload: bytes, before_video: bool) -> bytes:
+    """Insert an audio stream (strh fccType='auds' + 16-byte WAVEFORMATEX
+    strf) into an AVI's hdrl list, before or after the video strl, patching
+    the hdrl LIST and RIFF sizes."""
+    import struct
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return tag + struct.pack("<I", len(data)) + data + (b"\x00" * (len(data) % 2))
+
+    strh_a = b"auds" + b"\x00" * 52
+    strf_a = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)  # WAVEFORMATEX
+    strl_a = chunk(b"strh", strh_a) + chunk(b"strf", strf_a)
+    audio = b"LIST" + struct.pack("<I", len(strl_a) + 4) + b"strl" + strl_a
+
+    buf = bytearray(payload)
+    hdrl_type = buf.find(b"hdrl")
+    assert hdrl_type > 0
+    (hdrl_len,) = struct.unpack_from("<I", buf, hdrl_type - 4)
+    if before_video:
+        at = buf.find(b"LIST", hdrl_type, hdrl_type + hdrl_len)  # video strl
+    else:
+        at = hdrl_type + hdrl_len  # end of hdrl data
+    out = bytearray(buf[:at] + audio + buf[at:])
+    struct.pack_into("<I", out, hdrl_type - 4, hdrl_len + len(audio))
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    return bytes(out)
+
+
+def test_multistream_avi_reads_video_strf_only(spark):
+    """A second (audio) stream in the container must not confuse either
+    decoder: biCompression/geometry come from the 'vids' stream's strf
+    only, wherever the audio strl sits (round-7 ADVICE #2 — the old walk
+    took the LAST strf seen, so a trailing audio WAVEFORMATEX, which has
+    no biCompression at offset 16, made it reject valid video)."""
+    from big_data_player_analysis_spark.multimodal import (
+        decode_mjpeg_frames,
+        decode_video_frames,
+        synth_avi_payload,
+        synth_mjpeg_avi_payload,
+        _avi_params,
+        _mjpeg_params,
+    )
+
+    for before in (False, True):
+        mj = _splice_audio_strl(synth_mjpeg_avi_payload(5), before)
+        df = spark.createDataFrame([(5, mj)], "doc_id long, payload binary")
+        got = decode_mjpeg_frames(df).collect()
+        assert len(got) == _mjpeg_params(5)[2]
+
+        dib = _splice_audio_strl(synth_avi_payload(5), before)
+        df2 = spark.createDataFrame([(5, dib)], "doc_id long, payload binary")
+        got2 = decode_video_frames(df2).collect()
+        w, h, nf, _ = _avi_params(5)
+        assert len(got2) == nf
+        assert (got2[0].width, got2[0].height) == (w, h)
 
 
 def test_jpeg_decode_fails_closed_on_truncated_scan(spark):
