@@ -96,6 +96,10 @@ def main() -> None:
     from big_data_player_analysis_spark.workspace import clean_scratch
 
     clean_scratch()  # reclaim dead-run scratch/spill before the session starts
+    # ambient load BEFORE our own session exists: during the run the 1-min
+    # loadavg is dominated by this bench's own 32 executor threads, so the
+    # pre-session sample is the only clean external-contention signal
+    ambient_load = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     # no console progress bars: their \r spam floods captured output and
@@ -150,10 +154,35 @@ def main() -> None:
     # apart). Interleaving puts the whole suite (~20-60 s) between the two
     # timings of any single query, so a burst lands on different queries
     # in each pass and the min recovers the uncontended cost.
+    # Load robustness (round-7 verdict ask #4): BENCH_r07 recorded 106.8 s
+    # where the same tree measured 88.3 s quiet — a uniform host-load
+    # artifact. The ambient (pre-session) 1-min loadavg is recorded in the
+    # JSON so the next reader can see contention instead of inferring it,
+    # and the suite runs a THIRD interleaved pass (min across 3) when
+    # either signal says the first two were contended: ambient load above
+    # LOAD_AMBIENT_MAX (anything already running before our own session
+    # counts — this bench expects an otherwise-idle host), or the two pass
+    # totals disagreeing by >25% (a burst that started mid-run; under a
+    # uniform-load burst both passes inflate together, which the ambient
+    # check catches, while a burst covering one pass leaves a total gap).
+    LOAD_AMBIENT_MAX = 4.0
+    PASS_GAP_MAX = 1.25
     runs: dict[str, list[float]] = {name: [] for name in names}
     for _pass in range(2):
         for name in names:
             runs[name].append(run_one(spark, specs[name], sf_dir))
+    pass_totals = [
+        round(sum(ts[p] for ts in runs.values()), 3) for p in range(2)
+    ]
+    extra_pass = ambient_load > LOAD_AMBIENT_MAX or (
+        max(pass_totals) > PASS_GAP_MAX * min(pass_totals)
+    )
+    if extra_pass:
+        for name in names:
+            runs[name].append(run_one(spark, specs[name], sf_dir))
+        pass_totals.append(
+            round(sum(ts[2] for ts in runs.values()), 3)
+        )
     timings = {name: min(ts) for name, ts in runs.items()}
 
     total = round(sum(timings.values()), 3)
@@ -172,6 +201,10 @@ def main() -> None:
         "queries": timings,
         "runs": runs,
         "sf": sf,
+        "loadavg_ambient": ambient_load,
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "pass_totals": pass_totals,
+        "extra_pass": extra_pass,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "tools", "bench_last.json"
@@ -189,6 +222,10 @@ def main() -> None:
             # per-query or value/n_queries — never raw totals
             "n_queries": len(timings),
             "sf": sf,
+            # ambient = 1-min loadavg before this bench's own session
+            # started; >4 or a >25% pass-total gap adds a third pass
+            "loadavg_ambient": ambient_load,
+            "pass_totals": pass_totals,
             "slowest": slowest,
             "detail": "tools/bench_last.json",
             # r1-r5 minima were flattered by cross-run CacheManager plan

@@ -28,11 +28,33 @@ from big_data_player_analysis_spark.functions.vectors import cosine_similarity
 
 LSH_DIM = 64
 LSH_PLANES = 16
+LSH_BANDS = 5  # pigeonhole cover for max_hamming <= 4
+LSH_MAX_PLANES = 60  # LSH_BANDS x max 12-bit bands; fits a signed long
 _rng = random.Random(987654321)
-# fixed seeded hyperplanes (deterministic across runs)
-LSH_HYPERPLANES = [
-    [_rng.gauss(0.0, 1.0) for _ in range(LSH_DIM)] for _ in range(LSH_PLANES)
+# fixed seeded hyperplanes (deterministic across runs). Generated as ONE
+# continuous gauss stream so the first 16 rows are bit-identical to the
+# historical 16-plane constant every existing oracle/test replays.
+LSH_ALL_HYPERPLANES = [
+    [_rng.gauss(0.0, 1.0) for _ in range(LSH_DIM)] for _ in range(LSH_MAX_PLANES)
 ]
+LSH_HYPERPLANES = LSH_ALL_HYPERPLANES[:LSH_PLANES]
+
+
+def lsh_band_bits_for(n: int, target_occupancy: int = 4) -> int:
+    """Per-band bucket width (bits) sized to the corpus: the smallest b in
+    [3, 12] with n <= target_occupancy * 2^b, i.e. expected band-bucket
+    occupancy <= target. Per-band candidate volume is ~ n^2 / 2^b, so a
+    FIXED width stops being selective as n grows (the round-7 SHUFFLE row
+    measured a 120x candidate blowup for the fixed 16-bit demo signature
+    on the 10x step); sizing 2^b >= n/occupancy keeps expected candidates
+    ~ occupancy * n / 2 per band — linear by construction, the same
+    Manku-style sizing dedup_simhash_web uses. Pure integer comparisons so
+    the DuckDB oracle replays the choice exactly (no cross-engine
+    float-log2 edge)."""
+    b = 3
+    while b < 12 and n > (target_occupancy << b):
+        b += 1
+    return b
 
 
 def brute_force_topk(
@@ -197,27 +219,29 @@ def ivf_probe_topk(
     )
 
 
-def lsh_bucket_signature(vec_col):
+def lsh_bucket_signature(vec_col, n_planes: int = LSH_PLANES):
     """Random-hyperplane signature: bit i = sign(v . h_i). Returns a long
-    bucket id (0..2^16-1).
+    bucket id (n_planes bits, n_planes <= 60).
 
-    One Arrow pandas_udf evaluating all 16 plane dots as a single BLAS
+    One Arrow pandas_udf evaluating all plane dots as a single BLAS
     GEMM per batch. The first-cut pure-expression form (16 nested
     F.aggregate folds over zip_with arrays, ~1024 expression nodes)
     exceeded what whole-stage codegen will inline and ran INTERPRETED —
     measured 10.5 s for the whole ann_lsh_pairs entry at sf0.1 where this
-    form runs it in ~1 s. Sign determinism across engines holds in
-    practice (|v.h| for gaussian planes is bounded away from the ~1e-13
-    GEMM-vs-fold accumulation difference; the DuckDB oracle's left-fold
-    replay hash-matches), which is the same float-determinism contract
-    every cosine entry already takes."""
+    form runs it in ~1 s. Sign determinism across engines holds
+    structurally (min |v.h| over every driver SF is >= 3.7e-5, eight
+    orders above the ~1e-13 GEMM-vs-fold accumulation difference —
+    pinned in tests/test_llm_ops.py), which is the same float-determinism
+    contract every cosine entry already takes."""
     from pyspark.sql.functions import pandas_udf
+
+    planes = LSH_ALL_HYPERPLANES[:n_planes]
 
     @pandas_udf("long")
     def _sig(vecs: pd.Series) -> pd.Series:
         import numpy as np
 
-        H = np.asarray(LSH_HYPERPLANES, dtype=np.float64)  # (16, 64)
+        H = np.asarray(planes, dtype=np.float64)  # (n_planes, 64)
         # null rows would collapse np.asarray(tolist()) to a ragged object
         # array and break the GEMM (round-7 ADVICE #3): mask them out,
         # signature NULL. reshape(-1, dim) keeps an empty batch (0, dim)
@@ -229,8 +253,8 @@ def lsh_bucket_signature(vec_col):
             V = np.asarray(vecs[valid].tolist(), dtype=np.float64).reshape(
                 -1, H.shape[1]
             )
-            bits = (V @ H.T) > 0  # (n, 16)
-            weights = (1 << np.arange(LSH_PLANES, dtype=np.int64))
+            bits = (V @ H.T) > 0  # (n, n_planes)
+            weights = (1 << np.arange(len(planes), dtype=np.int64))
             out[valid] = list(bits.astype(np.int64) @ weights)
         return out
 
@@ -252,21 +276,31 @@ def ann_lsh_buckets(
     vec_col: str = "embedding",
     threshold: float = 0.45,
     max_hamming: int = 4,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """All-pairs near-neighbor search, LSH-bucketed: candidate pairs share
-    at least one of 5 bands of the 16-bit hyperplane signature (pigeonhole
+    at least one of 5 bands of the hyperplane signature (pigeonhole
     guarantees this covers every pair with signature hamming <=
     max_hamming=4), then are verified with the hamming bound AND exact
     cosine >= threshold. The band join is a plain equi-join — shuffle on
-    (band, bits), never an n^2 cross product — but SELECTIVITY is the
-    signature width's job: per-band candidate volume is ~ n^2 / 2^width,
-    so the demo's 16-bit signature (3-4-bit bands) is for <= ~10^4
-    vectors. A scale deployment raises LSH_PLANES / band widths so
-    2^width >= n / target-bucket-occupancy (the Manku-style sizing
-    dedup_simhash_web demonstrates); where required recall pushes
-    candidates toward brute-force density, dedup_embedding_cosine's
-    blocked GEMM or semantic_dedup's adaptive sign-buckets are the
-    designed alternatives (SHUFFLE.md ann_lsh_pairs note).
+    (band, bits), never an n^2 cross product — and SELECTIVITY is the
+    signature width's job: per-band candidate volume is ~ n^2 / 2^bits.
+
+    n_planes=None (the default) AUTO-SIZES the width from a corpus count
+    (round-7 verdict ask #5, same self-sizing contract as
+    dedup_embedding_cosine's GEMM block count): band bits =
+    lsh_band_bits_for(n), width = 5 x that, so expected candidates stay
+    ~ occupancy * n / 2 per band — linear in the corpus instead of the
+    fixed 16-bit demo signature whose candidates grew 120x on the 10x
+    step (round-7 SHUFFLE row). The count() at plan-build is a
+    parquet-stats-cheap single-column action, the same class as the
+    GEMM auto-sizer's. Passing an explicit n_planes (e.g. 16) pins the
+    historical demo config. NOTE the semantics knob: hamming <= 4 over
+    MORE planes is a stricter angular test, so auto recall tightens as
+    the corpus grows — the published tradeoff of count-sized LSH; where
+    required recall pushes candidates toward brute-force density,
+    dedup_embedding_cosine's blocked GEMM or semantic_dedup's adaptive
+    sign-buckets are the designed alternatives.
 
     Candidate plumbing carries IDS AND SIGS ONLY (two longs per row): the
     first-cut plan attached both 64-double vectors to every band-join row
@@ -278,9 +312,24 @@ def ann_lsh_buckets(
     whose vectors dwarf its ids."""
     from pyspark.sql.functions import pandas_udf
 
+    if n_planes is None:
+        bb = lsh_band_bits_for(vectors.count())
+        n_planes = LSH_BANDS * bb
+        bounds = [(i * bb, bb) for i in range(LSH_BANDS)]
+    elif n_planes == LSH_PLANES:
+        bounds = ANN_LSH_BAND_BOUNDS  # historical 4+3+3+3+3 tiling
+    else:
+        if n_planes % LSH_BANDS or n_planes > LSH_MAX_PLANES:
+            raise ValueError(
+                f"n_planes must be a multiple of {LSH_BANDS} and <= "
+                f"{LSH_MAX_PLANES}, got {n_planes}"
+            )
+        bb = n_planes // LSH_BANDS
+        bounds = [(i * bb, bb) for i in range(LSH_BANDS)]
+
     sigs = vectors.select(
         F.col(id_col).alias("id"),
-        lsh_bucket_signature(F.col(vec_col)).alias("sig"),
+        lsh_bucket_signature(F.col(vec_col), n_planes).alias("sig"),
     )
     bands = sigs.select(
         "id",
@@ -294,7 +343,7 @@ def ann_lsh_buckets(
                         .bitwiseAND(F.lit((1 << width) - 1))
                         .alias("bits"),
                     )
-                    for i, (off, width) in enumerate(ANN_LSH_BAND_BOUNDS)
+                    for i, (off, width) in enumerate(bounds)
                 ]
             )
         ).alias("bb"),

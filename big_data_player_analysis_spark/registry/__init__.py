@@ -454,12 +454,26 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # windows and the r01-r06 green rows + local gate for the distribution
 # family).
 PRIMARY_ORDER: tuple[str, ...] = (
-    # §2.2 reference surface (7 in-window; q02/q03/q07/q09/q11/q12/q13/
-    # q14/q15/q18 rotated out on green union rows, all code-unchanged;
+    # §2.2 reference surface (q02/q03/q07/q09/q11/q12/q13/
+    # q14/q15 rotated out on green union rows, all code-unchanged;
     # q17_top_k rotated out late in r3 — green r01+r02 on unchanged code,
     # TakeOrderedAndProject plan-pinned, overlaps olap_window_topk_per_group
     # — displaced by the new olap_partition_pruned_scan, which has no
-    # driver row yet)
+    # driver row yet).
+    # Round-8 promotions (changed-code rule): the duels derivation was
+    # rewritten bucket-parallel (registry/common.py), so the NEW
+    # q00_duel_edges entry that gates the derivation itself plus the two
+    # out-of-window consumers whose closures changed with it —
+    # q18_rank_vector_init and olap_triangle_count — enter the window
+    # (q16_heroic_iterative, the third consumer, never left). Displaced:
+    # multimodal_image_decode, multimodal_frame_sample,
+    # multimodal_features — all hash-green r07 on round-8-UNCHANGED code,
+    # with family coverage retained in-window (still-image decode via
+    # png/jpeg/mjpeg, frame walks via multimodal_video_decode, feature
+    # extraction via the decode entries' mean columns).
+    "q00_duel_edges",
+    "q18_rank_vector_init",
+    "olap_triangle_count",
     "llm_heavy_ngrams_sketch",
     "olap_quantile_shard_merge",
     "llm_curation_pipeline",
@@ -516,9 +530,6 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_decontaminate",
     "llm_url_canonical_dedup",
     "multimodal_audio_decode",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_image_decode",
     # streaming tier (8; round-6 promotion: stream_curation_ingest is new
     # — the mega-pipeline's stage chain as a foreachBatch ingest)
     "olap_ks_drift",

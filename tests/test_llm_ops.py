@@ -355,21 +355,28 @@ def test_embedding_cosine_vs_numpy(emb, emb_np):
         assert got[p] == pytest.approx(c, abs=2e-6)
 
 
-def _lsh_reference(ids, E, threshold=0.45, max_hamming=4):
+def _lsh_reference(ids, E, threshold=0.45, max_hamming=4, n_planes=16):
     """Numpy twin of ann_lsh_buckets: deterministic signatures from the
     fixed hyperplanes -> band buckets -> candidates -> hamming + cosine
-    verify. Returns (expected pair set, band bucket maps, signature ints)."""
+    verify. Returns (expected pair set, band bucket maps, signature ints).
+    n_planes=16 replays the pinned demo config (4+3+3+3+3 bands); other
+    widths use the 5-equal-band tiling of the auto-sizing path."""
     from big_data_player_analysis_spark.operators.similarity import (
         ANN_LSH_BAND_BOUNDS,
-        LSH_HYPERPLANES,
+        LSH_ALL_HYPERPLANES,
     )
 
-    H = np.array(LSH_HYPERPLANES, dtype=np.float64)
-    bits = (E @ H.T) > 0  # n x 16
-    sigs = (bits.astype(np.int64) << np.arange(16)).sum(axis=1)
+    H = np.array(LSH_ALL_HYPERPLANES[:n_planes], dtype=np.float64)
+    bits = (E @ H.T) > 0  # n x n_planes
+    sigs = (bits.astype(np.int64) << np.arange(n_planes)).sum(axis=1)
+    if n_planes == 16:
+        bounds = ANN_LSH_BAND_BOUNDS
+    else:
+        bb = n_planes // 5
+        bounds = [(i * bb, bb) for i in range(5)]
     buckets = []
     cand = set()
-    for off, width in ANN_LSH_BAND_BOUNDS:
+    for off, width in bounds:
         vals = (sigs >> off) & ((1 << width) - 1)
         bucket: dict[int, list[int]] = {}
         for i, v in enumerate(vals):
@@ -422,7 +429,12 @@ def test_ann_lsh_matches_reference(emb, emb_np):
     check; round-1 ADVICE findings #1/#4)."""
     ids, E, _ = emb_np
     expected, buckets, sigs = _lsh_reference(ids, E)
-    got = {(r.id_a, r.id_b) for r in ann_lsh_buckets(emb, "vec_id", "embedding", 0.45).collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in ann_lsh_buckets(
+            emb, "vec_id", "embedding", 0.45, n_planes=16
+        ).collect()
+    }
     assert got == expected
     # precision direction is implied but keep the cheap explicit guard too
     S = _cosine_matrix(E)
@@ -460,9 +472,69 @@ def test_ann_lsh_null_embedding_tolerated(spark, emb, emb_np):
     expected, _, _ = _lsh_reference(ids, E)
     got = {
         (r.id_a, r.id_b)
-        for r in ann_lsh_buckets(with_null, "vec_id", "embedding", 0.45).collect()
+        for r in ann_lsh_buckets(
+            with_null, "vec_id", "embedding", 0.45, n_planes=16
+        ).collect()
     }
     assert got == expected  # identical pairs, null row silently absent
+
+
+def test_ann_lsh_auto_width_matches_reference(emb, emb_np):
+    """With no explicit n_planes the operator sizes the signature from a
+    corpus count (round-7 ask #5); its output must equal the numpy twin
+    run at that exact width, and the width must be what lsh_band_bits_for
+    says (500 vectors -> 7-bit bands -> 35 planes)."""
+    from big_data_player_analysis_spark.operators.similarity import (
+        LSH_BANDS,
+        lsh_band_bits_for,
+    )
+
+    ids, E, _ = emb_np
+    width = LSH_BANDS * lsh_band_bits_for(len(ids))
+    assert width == 35  # 500 vectors / occupancy 4 -> 7-bit bands
+    expected, _, _ = _lsh_reference(ids, E, n_planes=width)
+    got = {
+        (r.id_a, r.id_b)
+        for r in ann_lsh_buckets(emb, "vec_id", "embedding", 0.45).collect()
+    }
+    assert got == expected
+
+
+def test_lsh_band_bits_thresholds():
+    """Pure-integer sizing: smallest b in [3,12] with n <= 4*2^b — the
+    SAME thresholds the DuckDB oracle's CASE ladder replays, so Spark and
+    the oracle can never disagree on the width."""
+    from big_data_player_analysis_spark.operators.similarity import (
+        lsh_band_bits_for,
+    )
+
+    assert lsh_band_bits_for(1) == 3
+    assert lsh_band_bits_for(32) == 3
+    assert lsh_band_bits_for(33) == 4
+    assert lsh_band_bits_for(500) == 7
+    assert lsh_band_bits_for(512) == 7
+    assert lsh_band_bits_for(513) == 8
+    assert lsh_band_bits_for(2000) == 9
+    assert lsh_band_bits_for(20000) == 12
+    assert lsh_band_bits_for(10**9) == 12  # clamp
+
+
+def test_lsh_plane_prefix_stable():
+    """The 60-plane table is one continuous seeded gauss stream whose
+    first 16 rows ARE the historical 16-plane constant — every committed
+    oracle/signature replay stays valid."""
+    import random
+
+    from big_data_player_analysis_spark.operators.similarity import (
+        LSH_ALL_HYPERPLANES,
+        LSH_DIM,
+        LSH_HYPERPLANES,
+    )
+
+    assert LSH_HYPERPLANES == LSH_ALL_HYPERPLANES[:16]
+    rng = random.Random(987654321)
+    first = [[rng.gauss(0.0, 1.0) for _ in range(LSH_DIM)] for _ in range(16)]
+    assert LSH_ALL_HYPERPLANES[:16] == first
 
 
 def test_ann_lsh_sign_margin_guarantees_oracle_determinism():
@@ -471,16 +543,16 @@ def test_ann_lsh_sign_margin_guarantees_oracle_determinism():
     differ by ~1e-13 in accumulation, so a dot product that close to zero
     would flip a signature bit and spuriously redden the gate (round-7
     ADVICE #4). Pin that the margin is structural at every driver SF: the
-    smallest |v.h| over the whole corpus x all 16 planes is >= 1e-6 — eight
-    orders of magnitude above the accumulation difference (measured minima:
-    1.5e-4 / 2.7e-4 / 3.7e-5 at sf0.001/0.01/0.1)."""
+    smallest |v.h| over the whole corpus x ALL 60 planes of the
+    auto-width pool is >= 1e-6 — orders of magnitude above the
+    accumulation difference."""
     import duckdb
 
     from big_data_player_analysis_spark.operators.similarity import (
-        LSH_HYPERPLANES,
+        LSH_ALL_HYPERPLANES,
     )
 
-    H = np.array(LSH_HYPERPLANES, dtype=np.float64)
+    H = np.array(LSH_ALL_HYPERPLANES, dtype=np.float64)
     con = duckdb.connect()
     for sf in ("sf0.001", "sf0.01", "sf0.1"):
         E = con.execute(
@@ -519,7 +591,12 @@ def test_ann_lsh_pigeonhole_complete(emb, emb_np):
         and bin(int(sigs[i]) ^ int(sigs[j])).count("1") <= 4
     }
     assert must_find, "fixture lost its low-hamming qualifying pairs"
-    got = {(r.id_a, r.id_b) for r in ann_lsh_buckets(emb, "vec_id", "embedding", 0.45).collect()}
+    got = {
+        (r.id_a, r.id_b)
+        for r in ann_lsh_buckets(
+            emb, "vec_id", "embedding", 0.45, n_planes=16
+        ).collect()
+    }
     assert must_find <= got
 
 

@@ -102,6 +102,13 @@ def test_primary_window():
     # llm_weighted_sample, llm_title_hamming_dedup out (hash-match green
     # r06 rows on round-7-unchanged code, families still represented —
     # see PRIMARY_ORDER's rotation notes)
+    # round-8 rotations: the bucketed duels derivation changed the
+    # closures of its consumers, so q00_duel_edges (new, gates the
+    # derivation itself), q18_rank_vector_init and olap_triangle_count
+    # in; multimodal_image_decode, multimodal_frame_sample,
+    # multimodal_features out (hash-green r07 rows on round-8-unchanged
+    # code — decode family stays via png/jpeg/mjpeg, frame walks via
+    # multimodal_video_decode, features via the decode entries' means)
     assert {
         "dedup_simhash", "dedup_simhash_web", "llm_curation_pipeline",
         "dedup_minhash_lsh", "multimodal_phash_dedup", "stream_curation_ingest",
@@ -123,8 +130,8 @@ def test_primary_window():
         "olap_scd2_history", "olap_partition_pruned_scan", "olap_hll_shard_merge",
         "ann_lsh_pairs", "multimodal_jpeg_decode", "llm_decontaminate",
         "llm_url_canonical_dedup", "multimodal_audio_decode",
-        "multimodal_features", "multimodal_frame_sample",
-        "multimodal_image_decode", "q16_heroic_iterative",
+        "q00_duel_edges", "q18_rank_vector_init", "olap_triangle_count",
+        "q16_heroic_iterative",
     } <= window
 
 

@@ -83,6 +83,17 @@ CROSS_ROUND_EXEMPT = {
     #    Verified green at sf0.01, sf0.1 AND sf1.
     "text_quality_score",
     "llm_quality_filters",
+    # Round-8 displacements: these three changed vs the r03 snapshot
+    # because round 7 rebuilt them (real BMP decode pipeline + the
+    # mapInPandas feature/frame plumbing) — and they were IN the round-7
+    # window for exactly that reason, earning hash-green r07 rows ON the
+    # changed code (CORRECTNESS_r07.json). The driver evidence therefore
+    # post-dates every code change; rotating them out in round 8 (code
+    # untouched this round — not in tools/entry_hashes.json's diff)
+    # leaves no stale-evidence gap.
+    "multimodal_image_decode",
+    "multimodal_features",
+    "multimodal_frame_sample",
 }
 
 

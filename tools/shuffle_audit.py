@@ -38,6 +38,7 @@ UI_PORT = 4077
 # entries are excluded (micro-batch stage attribution is noisy); so are
 # sub-second scalar maps with nothing to exchange.
 AUDITED = [
+    "q00_duel_edges",
     "q01_count_per_key",
     "q06_distinct_pairs",
     "q08_having_count_distinct",
