@@ -471,9 +471,15 @@ PRIMARY_ORDER: tuple[str, ...] = (
     # with family coverage retained in-window (still-image decode via
     # png/jpeg/mjpeg, frame walks via multimodal_video_decode, feature
     # extraction via the decode entries' mean columns).
+    # A second round-8 promotion: multimodal_ipframe_decode (NEW — real
+    # inter-frame video: I-frame + sequentially reconstructed JPEG-coded
+    # prediction residuals) displaces olap_variant_metrics (hash-green
+    # r07 on round-8-unchanged code; the two-sample experiment-stats
+    # family stays in-window via olap_ks_drift).
     "q00_duel_edges",
     "q18_rank_vector_init",
     "olap_triangle_count",
+    "multimodal_ipframe_decode",
     "llm_heavy_ngrams_sketch",
     "olap_quantile_shard_merge",
     "llm_curation_pipeline",
@@ -491,7 +497,6 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "olap_funnel_conversion",
     "llm_corpus_curation",
     "olap_key_skew_profile",
-    "olap_variant_metrics",
     "olap_scd2_history",
     # LLM-data-pipeline tier (23; text_quality_score rotated out late in
     # r3 — green r01+r02 on unchanged code, overlaps llm_quality_filters'

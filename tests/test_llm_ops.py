@@ -1815,6 +1815,91 @@ def test_multistream_avi_reads_video_strf_only(spark):
         assert (got2[0].width, got2[0].height) == (w, h)
 
 
+def test_ipframe_decode_roundtrip(spark):
+    """Real inter-frame decode: frame f's means equal the closed-form
+    levels of frame f PLUS the frame-0 pattern carried forward by
+    prediction — reachable only by sequentially reconstructing every
+    residual (a per-frame intra decode of a P-frame chunk yields the
+    residual's means, nowhere near these values)."""
+    from big_data_player_analysis_spark.multimodal import (
+        _ipframe_block_level,
+        _ipframe_params,
+        _jpeg_has_pattern,
+        attach_ipframe_payload,
+        decode_ipframe_frames,
+        jpeg_pattern_constants,
+    )
+
+    k_mean, k_col0 = jpeg_pattern_constants()
+    ids = (0, 1, 2, 5, 17, 300)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {}
+    for r in decode_ipframe_frames(attach_ipframe_payload(df, "doc_id")).collect():
+        out[(r.doc_id, r.frame_no)] = r
+    for i in ids:
+        w, h, nf, seed = _ipframe_params(i)
+        assert nf >= 2  # every payload really has P-frames
+        for f in range(nf):
+            r = out[(i, f)]
+            assert (r.width, r.height) == (w, h)
+            levels, pats = [], []
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    levels.append(_ipframe_block_level(seed, bx, by, f))
+                    pats.append(1.0 if _jpeg_has_pattern(bx, by) else 0.0)
+            assert r.mean_gray == pytest.approx(
+                np.mean(levels) + k_mean * np.mean(pats), abs=1e-6
+            )
+            assert r.mean_col0 == pytest.approx(
+                np.mean(levels) + k_col0 * np.mean(pats), abs=1e-6
+            )
+    assert len(out) == sum(_ipframe_params(i)[2] for i in ids)
+
+
+def test_ipframe_decode_rejects_mjpeg_and_fails_closed_on_drift(spark):
+    from big_data_player_analysis_spark.multimodal import (
+        _encode_dc_frame,
+        decode_ipframe_frames,
+        synth_ipframe_avi_payload,
+        synth_mjpeg_avi_payload,
+    )
+
+    # an MJPG stream must route to decode_mjpeg_frames, never mis-decode
+    df = spark.createDataFrame(
+        [(1, synth_mjpeg_avi_payload(3))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="not an I/P-coded stream"):
+        decode_ipframe_frames(df).collect()
+
+    # replace the first P-frame's residual with a max-bias frame: the
+    # reconstruction leaves [0, 255] and must raise, not clip into
+    # silently wrong pixels
+    import struct
+
+    from big_data_player_analysis_spark.multimodal import _ipframe_params
+
+    w, h, nf, _seed = _ipframe_params(2)  # 32x16, 4 frames
+    good = bytearray(synth_ipframe_avi_payload(2))
+    drift = _encode_dc_frame(w, h, lambda bx, by: 254, with_pattern=False)
+    pos = good.find(b"00dc")  # I-frame chunk
+    (ilen,) = struct.unpack_from("<I", good, pos + 4)
+    p1 = pos + 8 + ilen + (ilen % 2)  # first P-frame chunk header
+    assert good[p1 : p1 + 4] == b"00dc"
+    (plen,) = struct.unpack_from("<I", good, p1 + 4)
+    cut = 8 + plen + (plen % 2)
+    pad = b"\x00" if len(drift) % 2 else b""
+    repl = b"00dc" + struct.pack("<I", len(drift)) + drift + pad
+    bad = bytearray(good[:p1] + repl + good[p1 + cut :])
+    delta = len(repl) - cut
+    struct.pack_into("<I", bad, 4, len(bad) - 8)  # RIFF size
+    movi = bad.find(b"movi") - 8
+    (mlen,) = struct.unpack_from("<I", bad, movi + 4)
+    struct.pack_into("<I", bad, movi + 4, mlen + delta)
+    df2 = spark.createDataFrame([(2, bytes(bad))], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="prediction drift"):
+        decode_ipframe_frames(df2).collect()
+
+
 def test_jpeg_decode_fails_closed_on_truncated_scan(spark):
     """A payload cut mid-scan must raise (bit reader runs off the stream),
     never return partially-decoded pixels."""

@@ -109,6 +109,10 @@ def test_primary_window():
     # multimodal_features out (hash-green r07 rows on round-8-unchanged
     # code — decode family stays via png/jpeg/mjpeg, frame walks via
     # multimodal_video_decode, features via the decode entries' means)
+    # second round-8 rotation: multimodal_ipframe_decode (new — real
+    # inter-frame video, I-frame + sequential residual reconstruction)
+    # in; olap_variant_metrics out (hash-green r07 on round-8-unchanged
+    # code; two-sample experiment stats stay via olap_ks_drift)
     assert {
         "dedup_simhash", "dedup_simhash_web", "llm_curation_pipeline",
         "dedup_minhash_lsh", "multimodal_phash_dedup", "stream_curation_ingest",
@@ -117,7 +121,7 @@ def test_primary_window():
         "llm_heavy_ngrams_sketch", "stream_outer_interval_join",
         "olap_quantile_shard_merge", "olap_ks_drift", "olap_cogroup_order_lag",
         "olap_top_paths",
-        "olap_variant_metrics",
+        "multimodal_ipframe_decode",
         "olap_funnel_conversion",
         "llm_bigram_surprisal", "olap_anomaly_zscore",
         "dedup_embedding_cosine", "dedup_components",

@@ -322,6 +322,15 @@ def _mjpeg_probe(docs):
     return decode_mjpeg_frames(attach_mjpeg_payload(docs.select("doc_id"), "doc_id"))
 
 
+def _ipframe_probe(docs):
+    from big_data_player_analysis_spark.multimodal import (
+        attach_ipframe_payload,
+        decode_ipframe_frames,
+    )
+
+    return decode_ipframe_frames(attach_ipframe_payload(docs.select("doc_id"), "doc_id"))
+
+
 def _bpe_probe(docs):
     from big_data_player_analysis_spark.plans.bpe import bpe_merges_df
 
@@ -700,12 +709,14 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
         # MJPEG-AVI: container walk + per-frame JPEG decode — same
         # narrow-map shape as the still-image row, ~2.5 frames/doc
         "multimodal_mjpeg_decode": lambda: _mjpeg_probe(docs),
-        # banded hyperplane-LSH at the DEMO signature width: candidates
-        # carry (id, sig) longs only, but per-band volume is n^2/2^width
-        # and 16-bit signatures stop being selective past ~10^4 vectors —
-        # the row is EXPECTED super-linear (SHUFFLE.md measured 120x on
-        # 10x); the documented knob is signature/band width, sized like
-        # dedup_simhash_web's 16-bit bands at scale
+        # I/P inter-frame codec: same narrow-map shape, plus the
+        # per-document SEQUENTIAL residual reconstruction — parallelism
+        # is the document axis, so the row should still read linear
+        "multimodal_ipframe_decode": lambda: _ipframe_probe(docs),
+        # banded hyperplane-LSH, signature width AUTO-SIZED from a corpus
+        # count (round-8): per-band candidates ~ occupancy * n / 2 by
+        # construction, so this row should now read ~linear where the
+        # fixed 16-bit demo width measured 120x on the 10x step
         "ann_lsh_pairs": lambda: ann_lsh_buckets(emb, "vec_id", "embedding", 0.45),
         **extra,
         "dedup_exact": lambda: dedup_exact(docs, "doc_id", "text"),

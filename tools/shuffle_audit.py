@@ -84,6 +84,7 @@ AUDITED = [
     "olap_ks_drift",
     "olap_cogroup_order_lag",
     "multimodal_phash_dedup",
+    "multimodal_ipframe_decode",
     "llm_bpe_encode",
     "stream_curation_ingest",
     "ann_lsh_pairs",
