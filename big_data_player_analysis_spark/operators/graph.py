@@ -50,10 +50,18 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
 
     ``edges`` may be directed/multi; it is canonicalized first.
     """
-    e = canonical_edges(edges, src, dst)
+    from big_data_player_analysis_spark.caching import tracked_persist
+
+    # The canonical edge list feeds FOUR consumers (degree build, the
+    # orientation join, the closing-edge probe via oriented, and the
+    # edge-count scalar); unpersisted, each re-executed the whole
+    # upstream derivation — measured 19.8 MB shuffled at sf0.1 over the
+    # round-8 bucketed duels input vs 7.5 MB with the edge list and the
+    # (V-sized, thrice-read) degree table materialized.
+    e = tracked_persist(canonical_edges(edges, src, dst))
 
     # degree table: O(V) rows, partial-agged
-    deg = (
+    deg = tracked_persist(
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node")

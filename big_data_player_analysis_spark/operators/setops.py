@@ -24,12 +24,15 @@ def distinct_pairs(df: DataFrame, cols: list[str], reverse: bool = False) -> Dat
 def key_universe(df: DataFrame, cols: list[str], alias: str = "id") -> DataFrame:
     """Distinct union of several key columns — the entity universe
     (reference Q18 first half: every player id seen on either side,
-    exercise_4.py:36-47)."""
-    parts = [df.select(F.col(c).alias(alias)) for c in cols]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+    exercise_4.py:36-47). ONE pass: a narrow explode of the column array
+    instead of a UNION of per-column projections — the union form
+    executed the input subtree once PER COLUMN, which doubles the whole
+    events->duels derivation when the input is duel_edges (round-8 plan
+    audit); explode keeps nulls as elements, so the output is identical
+    to the union (both keep a null key if any column holds one)."""
+    return df.select(
+        F.explode(F.array(*[F.col(c) for c in cols])).alias(alias)
+    ).distinct()
 
 
 def rank_vector_init(

@@ -97,22 +97,25 @@ def test_duel_edges_matches_direct_window(spark):
             F.col("value").alias("score"),
         ).filter(F.col("challenged_id").isNotNull())
     )
-    for nb in (1, 7, 64):
+    for nb in (None, 1, 7, 64):  # None = load-adaptive sizing
         new = duel_edges(spark, SF, n_buckets=nb)
         assert new.exceptAll(direct).count() == 0
         assert direct.exceptAll(new).count() == 0
 
 
 def test_duel_edges_window_is_bucket_parallel(spark):
-    """The corpus-scale lead() window must partition on (event_type, _bkt) —
-    n_types x n_buckets window partitions — never on the 5-value event_type
-    alone; the boundary-stitch join must be broadcast (the firsts table is
-    tiny by construction)."""
+    """With buckets in play the corpus-scale lead() window must partition
+    on (event_type, _bkt) — n_types x n_buckets window partitions — never
+    on the 5-value event_type alone; the boundary-stitch join must be
+    broadcast (the firsts table is tiny by construction). Pinned at an
+    explicit bucket count: the AUTO count is load-adaptive and correctly
+    degenerates to one bucket at this fixture's 1k rows (covered by
+    test_duel_edges_bucket_autosizing)."""
     from big_data_player_analysis_spark.registry.common import duel_edges
 
     import re
 
-    p = plan_str(duel_edges(spark, SF))
+    p = plan_str(duel_edges(spark, SF, n_buckets=64))
     # the corpus-scale lead() window partitions on BOTH keys
     lead_spec = re.search(r"lead\(user_id[^\n]*windowspecdefinition\([^)]*\)", p)
     assert lead_spec and "_bkt" in lead_spec.group(0), lead_spec
@@ -122,6 +125,28 @@ def test_duel_edges_window_is_bucket_parallel(spark):
     # partial rows reach its exchange, never the corpus
     assert "partial_min_by" in p
     assert "BroadcastHashJoin" in p  # boundary stitch is broadcast
+
+
+def test_duel_edges_bucket_autosizing():
+    """The adaptive bucket count: ceil(rows / 256k) clamped to [1, 65536]
+    — single bucket at driver SFs (a 100k-row table does not need a wider
+    sort than the 5 type streams), 25 buckets at the 64x probe's 6.4M
+    rows, the broadcast-safety cap at petabyte row counts."""
+    from big_data_player_analysis_spark.registry.common import (
+        TS_BUCKET_MAX,
+        TS_BUCKET_TARGET_ROWS,
+    )
+
+    def nb(n):
+        return max(1, min(TS_BUCKET_MAX, -(-n // TS_BUCKET_TARGET_ROWS))) if n else 1
+
+    assert nb(0) == 1
+    assert nb(1_000) == 1
+    assert nb(100_000) == 1  # sf0.1
+    assert nb(262_144) == 1
+    assert nb(262_145) == 2
+    assert nb(6_400_000) == 25  # the 64x probe
+    assert nb(10**12) == TS_BUCKET_MAX  # capped: stitch table stays broadcastable
 
 
 def test_heroic_flagship_broadcasts_score_vector(spark, specs):

@@ -152,24 +152,26 @@ def scaled_events(spark, base, factor: int):
     return out
 
 
+def duels_probe(events):
+    """The events->duels derivation itself (q00_duel_edges): the round-8
+    bucketed rewrite — the corpus moves through one (event_type, bucket)
+    exchange instead of a 5-task sort, and the probe's suffixed
+    event_type copies additionally multiply the type axis."""
+    from big_data_player_analysis_spark.registry.common import duel_edges_from
+
+    return duel_edges_from(events)
+
+
 def heroic_probe(events):
     """The iterative flagship over scaled disjoint duel graphs: converge
     the damped rank, take the top-10. The build() call runs the eager
-    iteration loop, so timed() captures the full convergence cost."""
-    from pyspark.sql import Window
-
+    iteration loop, so timed() captures the full convergence cost. Uses
+    the same bucketed duels derivation as the registry entries
+    (registry/common.py:duel_edges_from, round-8 rewrite)."""
     from big_data_player_analysis_spark.plans.heroic import heroic_top_k
+    from big_data_player_analysis_spark.registry.common import duel_edges_from
 
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
-    duels = (
-        events.select(
-            F.col("user_id").alias("challenger_id"),
-            F.lead("user_id").over(w).alias("challenged_id"),
-            F.col("value").alias("score"),
-        )
-        .filter(F.col("challenged_id").isNotNull())
-    )
-    return heroic_top_k(duels, k=10, alpha=0.1, tol=0.1, max_iter=10)
+    return heroic_top_k(duel_edges_from(events), k=10, alpha=0.1, tol=0.1, max_iter=10)
 
 
 def timed(build) -> float:
@@ -465,6 +467,7 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
 
     extra = {}
     if events is not None:
+        extra["q00_duel_edges"] = lambda: duels_probe(events)
         extra["q16_heroic_iterative"] = lambda: heroic_probe(events)
 
         def scd2_probe():
@@ -801,6 +804,7 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
 def main():
     scales = [1, 4, 16]
     only: set[str] | None = None
+    reset_only = False
     argv = sys.argv[1:]
     while argv:
         if argv[0] == "--scales" and len(argv) > 1:
@@ -808,9 +812,19 @@ def main():
             argv = argv[2:]
         elif argv[0] == "--only" and len(argv) > 1:
             # fill/refresh a subset of probe rows without re-running the
-            # whole battery (the sidecar merge keeps every other cell)
+            # whole battery (the sidecar merge keeps every other cell).
+            # CAUTION: the merge takes min(new, prior) per cell — right
+            # for re-measuring UNCHANGED code under load noise, wrong for
+            # a changed implementation (a faster prior run of the OLD
+            # code silently survives — round-8 found q16's whole row
+            # stale this way). For changed entries pass --reset too.
             only = set(argv[1].split(","))
             argv = argv[2:]
+        elif argv[0] == "--reset":
+            # drop the named entries' prior sidecar cells before merging,
+            # so every reported cell is measured on the CURRENT code
+            reset_only = True
+            argv = argv[1:]
         elif argv[0] == "--render-only":
             # re-render SCALE.md from the committed sidecar (template or
             # note edits) without burning a measurement run
@@ -919,6 +933,9 @@ def main():
         with open(sidecar) as f:
             prior = json.load(f)
         n_invocations = prior.get("n_invocations", 1) + 1
+        if reset_only and only:
+            for name in only:
+                prior.get("results", {}).pop(name, None)
         for name, per in prior.get("results", {}).items():
             for s, v in per.items():
                 s = int(s)
@@ -1013,23 +1030,30 @@ def render_scale_md(results, rows, n_invocations) -> None:
         "touched only the image pHash, not simhash; nothing to re-tune —",
         "the cold cost IS the signature pandas_udf pass, linear and",
         "scan-proportional.",
-        "ann_lsh_pairs is EXPECTED super-linear in this table: the demo",
-        "16-bit signature's 3-4-bit bands give per-band candidate volume",
-        "~ n^2/2^width, which stops being selective past ~10^4 vectors",
-        "(SHUFFLE.md's 120x sw growth row). The documented scale knob is",
-        "signature/band width (the dedup_simhash_web sizing); at",
-        "candidate densities near brute force, dedup_embedding_cosine's",
-        "blocked GEMM / llm_semantic_dedup's adaptive sign-buckets are",
+        "ann_lsh_pairs: round 8 closed the old super-linear row — the",
+        "signature width now AUTO-SIZES from a corpus count",
+        "(lsh_band_bits_for: 2^bits >= n/4 per band, 5 equal bands), so",
+        "per-band candidate volume is ~2n by construction and the row",
+        "should read ~linear where the fixed 16-bit demo width measured",
+        "3.9 -> 243 s across 64x (the r7 cells). Recall tightens as",
+        "width grows (hamming<=4 over more planes is a stricter angular",
+        "test) — the published tradeoff of count-sized LSH; at required",
+        "recall near brute-force density, dedup_embedding_cosine's",
+        "blocked GEMM / llm_semantic_dedup's adaptive sign-buckets stay",
         "the designed alternatives.",
-        "olap_triangle_count: the operator run standalone against the",
-        "same 64x data read from parquet measures 75.8 s quiet (matching",
-        "round 5's 74.8 s re-measure); the probe-harness cell reads the",
-        "in-session composed-union cache and lands ~113 s — the delta is",
-        "harness input path, not operator growth. Across the whole row",
-        "the growth geomean is ~3.4x per 4x step (at/below linear, as the",
-        "disjoint-copy composition predicts: oriented wedge volume is",
-        "per-copy-constant x factor and the composed graph cannot develop",
-        "hubs), consistent with SHUFFLE.md's linear exchange bytes.",
+        "q00_duel_edges is the events->duels derivation itself (round-7",
+        "wrong #1): ts-range-bucketed lead() windows — the corpus moves",
+        "through ONE (event_type, bucket) exchange with n_types x 64",
+        "window partitions instead of the old 5-task corpus sort; its",
+        "row should read linear with small constants.",
+        "olap_triangle_count (re-measured r8 on the round-8 code: the",
+        "canonical edge list and degree table are now tracked-persisted —",
+        "unpersisted, the FOUR consumers re-executed the whole upstream",
+        "derivation, measured 19.8 vs 7.5 MB shuffled at sf0.1): growth",
+        "stays at/below linear across the row, as the disjoint-copy",
+        "composition predicts (oriented wedge volume is per-copy-constant",
+        "x factor and the composed graph cannot develop hubs), consistent",
+        "with SHUFFLE.md's exchange bytes (28.1 MB at sf1, 3.7x on 10x).",
         "llm_curation_pipeline is the end-to-end composition (quality gate",
         "-> line dedup -> near-dedup survivors -> decontaminate -> pack);",
         "its row should track the max of its stages' rows — a super-linear",

@@ -230,21 +230,6 @@ NOTES = {
         "localCheckpoint. Measured post-fix at composed sf1: sw 95.8 -> "
         "36.3 MB, sr:sw 1.0."
     ),
-    "ann_lsh_pairs": (
-        "the exchanges carry 16-bit signatures + id pairs ONLY (two longs "
-        "per candidate row; round 7 removed the 64-double vectors that "
-        "previously rode through the band join and dedup exchange) plus "
-        "the keyed join-back of vectors for surviving pairs. The 120x "
-        "sw growth on the 10x step is the DEMO CONFIGURATION's candidate "
-        "volume, not plumbing: per-band candidates ~ n^2 / 2^width, and "
-        "the 16-bit signature's 3-4-bit bands stop being selective past "
-        "~10^4 vectors. The knob is signature width / band width (scale "
-        "deployments size 2^width >= n / target-bucket-occupancy — the "
-        "same Manku-style sizing dedup_simhash_web demonstrates with its "
-        "16-bit bands); with candidates exceeding brute-force density, "
-        "dedup_embedding_cosine's blocked GEMM or llm_semantic_dedup's "
-        "adaptive sign-buckets are the better paths at this corpus shape."
-    ),
     "llm_substring_dedup": (
         "the rewrite half of EXACTSUBSTR: same exchanges as the profile "
         "row (window-hash partial agg, size-gated dup-set, islands merge "
@@ -317,7 +302,52 @@ NOTES = {
         "against llm_line_dedup + dedup_minhash_lsh + "
         "llm_near_dedup_survivors + llm_pack_sequences above; a larger "
         "number would mean a stage recomputes an upstream stage (the "
-        "plan is linear, every stage consumed exactly once)."
+        "plan is linear, every stage consumed exactly once). CLOSING "
+        "round-7 ask #3 (share the shingle/band exchange between the "
+        "survivor and decontamination stages): the two stages shingle "
+        "in DIFFERENT spaces by design — near-dedup MinHash-bands k=8 "
+        "WORD shingles of the cleaned text (SHINGLE_K, the published "
+        "fuzzy-dedup operating point), decontamination exact-joins "
+        "k=32 CHARACTER shingles (PIPE_DECONTAM_K, the published "
+        "long-n-gram contamination contract so only genuine eval "
+        "near-copies match) — so there is no common (shingle, doc) "
+        "exchange to reuse: the keys, normalization, and even "
+        "tokenization units differ. The round-8 cost work instead "
+        "removed the one genuine recomputation: `gated` (scatter + "
+        "25-replace-pass quality/language gate) is now the fourth lazy "
+        "stage boundary — it was re-executed under both the line-dedup "
+        "frequency gate and the cleaned materialization (same-session "
+        "A/B: 13.7 -> 12.0 s on a contended host)."
+    ),
+    "q00_duel_edges": (
+        "the events->duels derivation itself (round-7 wrong #1, fixed "
+        "r8): the old form's lead() window partitioned on the 5-value "
+        "event_type — a 5-task corpus sort at any scale. Now ts-range "
+        "bucketed: the corpus moves through ONE exchange hashed on "
+        "(event_type, bucket) = n_types x 64 window partitions, the "
+        "bucket-firsts branch is map-side-combined min_by (KB-scale "
+        "exchange), and the boundary stitch is a broadcast join of the "
+        "tiny firsts table. Output pinned row-identical to the direct "
+        "window (oracle + tests/test_plans.py)."
+    ),
+    "multimodal_ipframe_decode": (
+        "inter-frame I/P decode: payload bytes never shuffle (narrow "
+        "Arrow map); the frame fold is sequential per document, so "
+        "parallelism rides the document axis and the exchanged bytes "
+        "are the per-frame feature rows only — O(frames), linear."
+    ),
+    "ann_lsh_pairs": (
+        "the exchanges carry signatures + id pairs only; round 8 "
+        "AUTO-SIZES the signature width from a corpus count "
+        "(lsh_band_bits_for: 45 bits at sf0.1's 2k vectors, 60 at "
+        "composed sf1's 20k), so per-band candidate volume is "
+        "~occupancy*n/2 BY CONSTRUCTION. The growth column is a "
+        "small-base artifact here: absolute volumes are ~0.06 MB at "
+        "sf0.1 and ~0.6 MB at sf1 — linear in n and FOUR ORDERS OF "
+        "MAGNITUDE below the fixed 16-bit demo width's 94.9 MB sf1 "
+        "exchange that this row measured in round 7 (the 120x-growth "
+        "finding this sizing closes). The all-pairs DuckDB oracle "
+        "recomputes the same width and hash-matches at both scales."
     ),
 }
 
