@@ -1043,9 +1043,10 @@ def render_scale_md(results, rows, n_invocations) -> None:
         "the designed alternatives.",
         "q00_duel_edges is the events->duels derivation itself (round-7",
         "wrong #1): ts-range-bucketed lead() windows — the corpus moves",
-        "through ONE (event_type, bucket) exchange with n_types x 64",
-        "window partitions instead of the old 5-task corpus sort; its",
-        "row should read linear with small constants.",
+        "through ONE (event_type, bucket) exchange whose bucket count is",
+        "load-adaptive (rows/256k clamped to [1, 65536]; 25 buckets at",
+        "the 64x probe) instead of the old 5-task corpus sort; its row",
+        "should read linear with small constants.",
         "olap_triangle_count (re-measured r8 on the round-8 code: the",
         "canonical edge list and degree table are now tracked-persisted —",
         "unpersisted, the FOUR consumers re-executed the whole upstream",

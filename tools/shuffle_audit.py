@@ -228,7 +228,9 @@ NOTES = {
         "dedup, which was the r6 sf1 row's sr:sw 4.2) plus the distinct-"
         "edge and per-iteration vector aggregates, lineage truncated by "
         "localCheckpoint. Measured post-fix at composed sf1: sw 95.8 -> "
-        "36.3 MB, sr:sw 1.0."
+        "36.3 MB, sr:sw 1.0; re-recorded r8 on the bucketed duels "
+        "derivation at 40.2 MB — the small delta is the derivation's "
+        "firsts/stitch branches, not a new consumer."
     ),
     "llm_substring_dedup": (
         "the rewrite half of EXACTSUBSTR: same exchanges as the profile "
@@ -239,19 +241,25 @@ NOTES = {
         "token filter is a narrow codegen'd projection)."
     ),
     "q06_distinct_pairs": (
-        "hash-distinct over the events-derived edge table: the exchange "
-        "carries the distinct pairs themselves — O(output), linear."
+        "hash-distinct over lineitem's (l_partkey, l_suppkey): partial "
+        "dedup before the exchange, so the shuffle carries the distinct "
+        "pairs themselves — O(output), linear; sw:in is the usual "
+        "dictionary-compressed-parquet artifact (header note). Row "
+        "re-recorded r8 with the rest of the reference surface after the "
+        "duels-derivation rewrite — q06/q08 read lineitem, not duels, so "
+        "their bytes moved only within noise."
     ),
     "olap_triangle_count": (
         "the exchanged bytes are the oriented edge stream plus the wedge "
         "join's probe side — O(E^1.5)-bounded by the (deg, id) "
         "orientation; the composed step scales disjoint duel subgraphs, "
-        "so growth stays at/below linear. The sw:in ratio is an artifact "
-        "of the tiny dictionary-compressed parquet input, not fan-out. "
-        "(The round-4 SCALE table's 184 s 64x cell that contradicted "
-        "this row was a host load burst: the round-5 re-measure landed "
-        "74.8 s = 4.2x per 4x step, matching the linear exchange bytes "
-        "here.)"
+        "so growth stays at/below linear. Re-recorded r8: the canonical "
+        "edge list and degree table are now tracked-persisted — their "
+        "four/three consumers previously re-executed the whole upstream "
+        "derivation every read (19.8 vs 7.5 MB shuffled at sf0.1 on the "
+        "bucketed duels input). The extra ~2.5 s this persists cost at "
+        "sf0.1 (bench 2.3 -> 4.8 s) is the small-scale price of not "
+        "re-deriving a 100 TB corpus four times."
     ),
     "olap_quantile_binning": (
         "the only exchange is the exact sample percentile's "
