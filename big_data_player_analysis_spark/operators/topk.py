@@ -29,9 +29,111 @@ def top_k_per_group(
 ) -> DataFrame:
     """Top-k within each group via row_number over a window — the general
     OLAP form the reference lacks (SURVEY.md §2.4). The window sort is
-    per-group within the shuffle partition; no global sort."""
+    per-group within the shuffle partition; no global sort. Low-cardinality
+    groups stay safe because the rank<=k filter triggers the optimizer's
+    WindowGroupLimit: each map task keeps only k rows per group BEFORE the
+    exchange (pinned in tests/test_plans.py), so no reducer ever sorts a
+    whole group."""
     w = Window.partitionBy(*group_cols).orderBy(*order_by)
     return (
         df.withColumn(rank_alias, F.row_number().over(w))
         .filter(F.col(rank_alias) <= F.lit(k))
+    )
+
+
+def distribution_ranks(
+    df: DataFrame,
+    part_col: str,
+    value_col: str,
+    tiebreak_col: str,
+    n_tiles: int = 4,
+    n_buckets: int | None = None,
+    target_rows: int = 262_144,
+    max_buckets: int = 65_536,
+) -> DataFrame:
+    """ntile / percent_rank / cume_dist per partition WITHOUT a per-group
+    global sort: the direct window —
+    ``ntile(4) OVER (PARTITION BY part ORDER BY value, tiebreak)`` — sorts
+    every group on one task, which is the duels-derivation scale-killer
+    all over again when the partition key is low-cardinality (25 nations
+    at any corpus size). Identical output, shuffle-parallel:
+
+    1. range-bucket ``value`` (bounds from a memo-free 3-scalar driver
+       agg; bucket count auto-sizes like the duels derivation's). Bucket
+       is monotone in the FIRST order key, and value-ties land in one
+       bucket, so within-bucket (value, tiebreak) order concatenates to
+       the exact per-partition total order.
+    2. row_number within (part, bucket) — many small local sorts.
+    3. per-(part, bucket) counts form a TINY table; a running offset per
+       part (window over the tiny table only) turns local row numbers
+       into exact global ranks: rank = offset + rn.
+    4. the rank statistics are closed-form in (rank, n): with a total
+       order (the tiebreak makes peers impossible) percent_rank =
+       (rank-1)/(n-1), cume_dist = rank/n, and ntile's uneven buckets
+       (first n%t tiles get the extra row) are the documented SQL
+       formula: rank <= r*(q+1) ? ceil(rank/(q+1)) : r + ceil((rank-r*(q+1))/q)
+       for q, r = divmod(n, t).
+
+    Column contract: returns df's columns plus quartile/pct_rank/cum_dist
+    (names fixed to match olap_window_distribution's oracle).
+    """
+    row = df.agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    lo, hi, n_rows = row["lo"], row["hi"], row["n"]
+    if n_buckets is None:
+        n_buckets = max(1, min(max_buckets, -(-n_rows // target_rows))) if n_rows else 1
+    if lo is None or hi is None or lo == hi or n_buckets <= 1:
+        bkt = F.lit(0)
+    else:
+        span = float(hi) - float(lo)
+        # monotone in value (scaling by a positive constant preserves
+        # IEEE order); clamp covers value == hi
+        bkt = F.least(
+            F.lit(n_buckets - 1),
+            F.floor(
+                (F.col(value_col).cast("double") - F.lit(float(lo)))
+                / F.lit(span)
+                * F.lit(n_buckets)
+            ),
+        ).cast("int")
+    with_b = df.withColumn("_bkt", bkt)
+    w_in = Window.partitionBy(part_col, "_bkt").orderBy(value_col, tiebreak_col)
+    ranked = with_b.withColumn("_rn", F.row_number().over(w_in))
+    # tiny: n_parts x n_buckets rows, map-side combined
+    counts = with_b.groupBy(part_col, "_bkt").agg(F.count(F.lit(1)).alias("_c"))
+    w_off = (
+        Window.partitionBy(part_col)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        part_col,
+        "_bkt",
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_c").over(Window.partitionBy(part_col)).alias("_n"),
+    )
+    out = ranked.join(F.broadcast(offsets), [part_col, "_bkt"])
+    rank = F.col("_off") + F.col("_rn")
+    n = F.col("_n")
+    q = F.floor(n / n_tiles)
+    r = n % n_tiles
+    # when n < n_tiles, q == 0 and the first branch always fires (every
+    # rank <= r); greatest(q, 1) keeps the dead otherwise-branch from
+    # dividing by zero under ANSI mode
+    tile = F.when(
+        rank <= r * (q + 1), F.ceil(rank / (q + 1))
+    ).otherwise(r + F.ceil((rank - r * (q + 1)) / F.greatest(q, F.lit(1))))
+    return (
+        out.withColumn("quartile", tile.cast("long"))
+        .withColumn(
+            "pct_rank",
+            F.when(n == 1, F.lit(0.0)).otherwise(
+                (rank - 1).cast("double") / (n - 1)
+            ),
+        )
+        .withColumn("cum_dist", rank.cast("double") / n)
+        .drop("_bkt", "_rn", "_off", "_n")
     )

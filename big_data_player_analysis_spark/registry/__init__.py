@@ -476,10 +476,21 @@ PRIMARY_ORDER: tuple[str, ...] = (
     # prediction residuals) displaces olap_variant_metrics (hash-green
     # r07 on round-8-unchanged code; the two-sample experiment-stats
     # family stays in-window via olap_ks_drift).
+    # Third round-8 promotion (changed-code rule): the window-function
+    # sweep rewrote olap_window_distribution bucket-parallel (25-value
+    # nation key was a 25-task corpus sort) and annotated
+    # olap_window_topk_per_group's WindowGroupLimit contract — both enter;
+    # displaced: olap_anomaly_zscore (hash-green r07 on round-8-unchanged
+    # code; rolling-window evidence stays via the two incoming window
+    # entries + olap_cogroup_order_lag) and llm_decontaminate (hash-green
+    # r07 unchanged; the decontamination stage runs verbatim inside the
+    # in-window llm_curation_pipeline).
     "q00_duel_edges",
     "q18_rank_vector_init",
     "olap_triangle_count",
     "multimodal_ipframe_decode",
+    "olap_window_distribution",
+    "olap_window_topk_per_group",
     "llm_heavy_ngrams_sketch",
     "olap_quantile_shard_merge",
     "llm_curation_pipeline",
@@ -521,7 +532,6 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "multimodal_phash_dedup",
     "llm_dedup_incremental",
-    "olap_anomaly_zscore",
     "multimodal_video_decode",
     "llm_bpe_train",
     "multimodal_image_resize",
@@ -532,7 +542,6 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "multimodal_jpeg_decode",
     "multimodal_mjpeg_decode",
     "llm_substring_dedup",
-    "llm_decontaminate",
     "llm_url_canonical_dedup",
     "multimodal_audio_decode",
     # streaming tier (8; round-6 promotion: stream_curation_ingest is new

@@ -1434,17 +1434,25 @@ def gap_fill(spark: SparkSession, sf: str) -> DataFrame:
 def window_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """Distribution window functions — ntile quartiles, percent_rank,
     cume_dist per nation over customer balance (tiebreak c_custkey makes
-    every rank deterministic). One window pass: all three functions share
-    the same partitioning and ordering, so Catalyst evaluates them in a
-    single Window operator over a single exchange+sort."""
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
-    return t(spark, sf, "customer").select(
+    every rank deterministic). NOT the direct one-window form: c_nationkey
+    has 25 values, so `ntile OVER (PARTITION BY c_nationkey ORDER BY ...)`
+    is a 25-task corpus sort at any scale — the same class as the duels
+    derivation (round-7 wrong #1). operators/topk.py:distribution_ranks
+    computes the identical statistics from bucket-parallel exact ranks
+    (range-bucket the balance, row_number within (nation, bucket), global
+    rank = tiny-table running offset + local row number, then the
+    closed-form rank->statistic formulas); equality with the direct
+    window is pinned in tests/test_operators.py, and the oracle below IS
+    the direct window."""
+    from big_data_player_analysis_spark.operators.topk import distribution_ranks
+
+    return distribution_ranks(
+        t(spark, sf, "customer").select("c_nationkey", "c_custkey", "c_acctbal"),
         "c_nationkey",
+        "c_acctbal",
         "c_custkey",
-        F.ntile(4).over(w).cast("long").alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cum_dist"),
-    )
+        n_tiles=4,
+    ).select("c_nationkey", "c_custkey", "quartile", "pct_rank", "cum_dist")
 
 
 # ------------------------------------------------------- graph analytics

@@ -224,6 +224,53 @@ def test_hll_shard_merge_properties(spark, sf_small):
     assert rel_err < 0.05
 
 
+def test_distribution_ranks_matches_direct_window(spark):
+    """The bucket-parallel ntile/percent_rank/cume_dist must equal the
+    direct per-partition window bit-for-bit at every bucket count — on the
+    real customer table AND on a synthetic frame whose groups are smaller
+    than the tile count (the uneven-ntile edge: q=0, first-r-buckets)."""
+    from pyspark.sql import Window
+
+    from big_data_player_analysis_spark.catalog import load_table
+    from big_data_player_analysis_spark.operators.topk import distribution_ranks
+
+    def direct(df, part, val, tie):
+        w = Window.partitionBy(part).orderBy(val, tie)
+        return df.select(
+            part,
+            tie,
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cum_dist"),
+        )
+
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    want = direct(cust, "c_nationkey", "c_acctbal", "c_custkey")
+    for nb in (None, 1, 7):
+        got = distribution_ranks(
+            cust, "c_nationkey", "c_acctbal", "c_custkey", n_buckets=nb
+        ).select("c_nationkey", "c_custkey", "quartile", "pct_rank", "cum_dist")
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+
+    tiny = spark.createDataFrame(
+        [("a", 1, 1.0), ("a", 2, 2.0), ("a", 3, 2.0),  # value tie -> tiebreak
+         ("b", 1, 5.0),                                 # n=1 group
+         ("c", 1, 1.0), ("c", 2, 1.0), ("c", 3, 1.0), ("c", 4, 1.0),
+         ("c", 5, 2.0), ("c", 6, 0.5)],                 # n=6: uneven ntile
+        "g string, k long, v double",
+    )
+    want2 = direct(tiny, "g", "v", "k")
+    for nb in (None, 1, 3):
+        got2 = distribution_ranks(tiny, "g", "v", "k", n_buckets=nb).select(
+            "g", "k", "quartile", "pct_rank", "cum_dist"
+        )
+        assert got2.exceptAll(want2).count() == 0
+        assert want2.exceptAll(got2).count() == 0
+
+
 def test_key_skew_profile_planted(spark):
     """Histogram-interpolated exact percentiles on a planted distribution
     where the answers are known in closed form: 9 keys with 1 row each +

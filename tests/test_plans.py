@@ -496,6 +496,37 @@ def test_key_skew_profile_never_sorts_per_key_counts(spark, specs):
     assert "BroadcastNestedLoopJoin" in p  # tiny-histogram <= join + totals
 
 
+def test_topk_per_group_has_window_group_limit(spark, specs):
+    """The rank<=k filter must trigger WindowGroupLimit so each map task
+    keeps only k rows per group BEFORE the exchange — what makes
+    low-cardinality group keys safe for the per-group top-k."""
+    p = plan_str(specs["olap_window_topk_per_group"].fn(spark, SF))
+    assert "WindowGroupLimit" in p
+
+
+def test_window_distribution_is_bucket_parallel(spark, specs):
+    """olap_window_distribution must never sort whole nations on single
+    tasks (25-value partition key — the duels-derivation scale-killer
+    class): the corpus window partitions on (c_nationkey, _bkt) at an
+    explicit bucket count, and the offsets table joins back broadcast."""
+    import re
+
+    from big_data_player_analysis_spark.catalog import load_table
+    from big_data_player_analysis_spark.operators.topk import distribution_ranks
+
+    cust = load_table(spark, SF, "customer").select(
+        "c_nationkey", "c_custkey", "c_acctbal"
+    )
+    p = plan_str(
+        distribution_ranks(cust, "c_nationkey", "c_acctbal", "c_custkey", n_buckets=64)
+    )
+    spec = re.search(r"row_number\(\)[^\n]*windowspecdefinition\([^)]*\)", p)
+    assert spec and "_bkt" in spec.group(0), spec
+    assert re.search(r"hashpartitioning\(c_nationkey#\d+, _bkt", p)
+    assert "partial_count" in p  # offsets table is map-side combined
+    assert "BroadcastHashJoin" in p
+
+
 def test_hll_shard_merge_partial_sketches(spark, specs):
     """Sketch building must partial-aggregate map-side (the whole point of
     a mergeable sketch: shards exchange ~1.5KB sketches, not values), and

@@ -113,6 +113,12 @@ def test_primary_window():
     # inter-frame video, I-frame + sequential residual reconstruction)
     # in; olap_variant_metrics out (hash-green r07 on round-8-unchanged
     # code; two-sample experiment stats stay via olap_ks_drift)
+    # third round-8 rotation: olap_window_distribution (rewritten
+    # bucket-parallel) and olap_window_topk_per_group (WindowGroupLimit
+    # contract annotated) in; olap_anomaly_zscore and llm_decontaminate
+    # out (hash-green r07 on round-8-unchanged code — window evidence
+    # stays via the two incoming entries, decontamination runs inside
+    # the in-window llm_curation_pipeline)
     assert {
         "dedup_simhash", "dedup_simhash_web", "llm_curation_pipeline",
         "dedup_minhash_lsh", "multimodal_phash_dedup", "stream_curation_ingest",
@@ -123,7 +129,7 @@ def test_primary_window():
         "olap_top_paths",
         "multimodal_ipframe_decode",
         "olap_funnel_conversion",
-        "llm_bigram_surprisal", "olap_anomaly_zscore",
+        "llm_bigram_surprisal",
         "dedup_embedding_cosine", "dedup_components",
         "llm_dedup_incremental", "multimodal_mjpeg_decode",
         "multimodal_video_decode", "llm_bpe_train", "multimodal_image_resize",
@@ -132,7 +138,8 @@ def test_primary_window():
         "llm_pack_sequences", "llm_bpe_encode", "llm_corpus_curation",
         "multimodal_png_decode",
         "olap_scd2_history", "olap_partition_pruned_scan", "olap_hll_shard_merge",
-        "ann_lsh_pairs", "multimodal_jpeg_decode", "llm_decontaminate",
+        "ann_lsh_pairs", "multimodal_jpeg_decode",
+        "olap_window_distribution", "olap_window_topk_per_group",
         "llm_url_canonical_dedup", "multimodal_audio_decode",
         "q00_duel_edges", "q18_rank_vector_init", "olap_triangle_count",
         "q16_heroic_iterative",

@@ -94,6 +94,11 @@ CROSS_ROUND_EXEMPT = {
     "multimodal_image_decode",
     "multimodal_features",
     "multimodal_frame_sample",
+    # Same shape, displaced later in round 8: changed vs the r03 snapshot
+    # by earlier-round rebuilds, hash-green r07 ON the changed code
+    # (CORRECTNESS_r07.json), untouched in round 8 — the driver evidence
+    # post-dates every code change.
+    "llm_decontaminate",
 }
 
 
