@@ -77,9 +77,13 @@ def distribution_ranks(
     Column contract: returns df's columns plus quartile/pct_rank/cum_dist
     (names fixed to match olap_window_distribution's oracle).
     """
+    _v = F.col(value_col).cast("double")
+    # bounds over FINITE values only: Spark's max() ranks NaN above every
+    # double, so one NaN row would otherwise make hi (and the bucket
+    # arithmetic) NaN; NaN/null rows get explicit edge buckets below
     row = df.agg(
-        F.min(value_col).alias("lo"),
-        F.max(value_col).alias("hi"),
+        F.min(F.when(~F.isnan(_v), _v)).alias("lo"),
+        F.max(F.when(~F.isnan(_v), _v)).alias("hi"),
         F.count(F.lit(1)).alias("n"),
     ).first()
     lo, hi, n_rows = row["lo"], row["hi"], row["n"]
@@ -89,16 +93,24 @@ def distribution_ranks(
         bkt = F.lit(0)
     else:
         span = float(hi) - float(lo)
+        v = F.col(value_col).cast("double")
         # monotone in value (scaling by a positive constant preserves
-        # IEEE order); clamp covers value == hi
-        bkt = F.least(
-            F.lit(n_buckets - 1),
-            F.floor(
-                (F.col(value_col).cast("double") - F.lit(float(lo)))
-                / F.lit(span)
-                * F.lit(n_buckets)
-            ),
-        ).cast("int")
+        # IEEE order); clamp covers value == hi. NULL and NaN need
+        # explicit buckets or the offsets join silently DROPS their rows:
+        # ASC window order puts nulls FIRST (bucket 0) and NaN LAST
+        # (bucket n-1, above every finite value — Spark sort semantics);
+        # min/max aggregates ignore both, so lo/hi stay finite.
+        bkt = (
+            F.when(v.isNull(), F.lit(0))
+            .when(F.isnan(v), F.lit(n_buckets - 1))
+            .otherwise(
+                F.least(
+                    F.lit(n_buckets - 1),
+                    F.floor((v - F.lit(float(lo))) / F.lit(span) * F.lit(n_buckets)),
+                )
+            )
+            .cast("int")
+        )
     with_b = df.withColumn("_bkt", bkt)
     w_in = Window.partitionBy(part_col, "_bkt").orderBy(value_col, tiebreak_col)
     ranked = with_b.withColumn("_rn", F.row_number().over(w_in))
