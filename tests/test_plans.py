@@ -103,6 +103,64 @@ def test_duel_edges_matches_direct_window(spark):
         assert direct.exceptAll(new).count() == 0
 
 
+def test_duel_edges_null_ts_null_user_and_wide_span(spark):
+    """Adversarial corpus for the round-8 hazards: null ts must occupy the
+    FIRST position of its stream (the direct window sorts nulls first; the
+    old least() bucket parked it LAST), a null user_id mid-bucket must NOT
+    trigger the boundary stitch (lead(user_id) is null for both 'no next
+    row' and 'next row's user is null' — the struct-lead disambiguates),
+    and a >4.5-year ts span at the 65536-bucket cap must not overflow
+    int64 under ANSI mode (the bucket arithmetic runs in double)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from big_data_player_analysis_spark.registry.common import duel_edges_from
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+
+    def d(days):
+        return dt.datetime(2000, 1, 1) + dt.timedelta(days=days)
+
+    rows = [
+        # stream A: null ts first (event_id breaks the tie), 6-year span
+        (1, "a", 10, None, 1.0),
+        (2, "a", 11, d(0), 1.0),
+        (3, "a", None, d(400), 1.0),  # null user mid-stream
+        (4, "a", 13, d(800), 1.0),
+        (5, "a", 14, d(2200), 1.0),  # ~6 years after d(0)
+        # stream B: null user as the FIRST row of the stream
+        (6, "b", None, d(0), 2.0),
+        (7, "b", 20, d(1000), 2.0),
+        (8, "b", 21, d(2100), 2.0),
+    ]
+    events = spark.createDataFrame(rows, schema)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    direct = events.select(
+        F.col("user_id").alias("challenger_id"),
+        F.lead("user_id").over(w).alias("challenged_id"),
+        F.col("value").alias("score"),
+    ).filter(F.col("challenged_id").isNotNull())
+    from collections import Counter
+
+    expected = Counter(map(tuple, direct.collect()))
+    for nb in (1, 2, 3, 5, 65536):  # 65536 = the overflow regime
+        got = Counter(
+            map(tuple, duel_edges_from(events, n_buckets=nb).collect())
+        )
+        assert got == expected, (nb, got, expected)
+
+
 def test_duel_edges_window_is_bucket_parallel(spark):
     """With buckets in play the corpus-scale lead() window must partition
     on (event_type, _bkt) — n_types x n_buckets window partitions — never
@@ -117,8 +175,12 @@ def test_duel_edges_window_is_bucket_parallel(spark):
 
     p = plan_str(duel_edges(spark, SF, n_buckets=64))
     # the corpus-scale lead() window partitions on BOTH keys
-    lead_spec = re.search(r"lead\(user_id[^\n]*windowspecdefinition\([^)]*\)", p)
-    assert lead_spec and "_bkt" in lead_spec.group(0), lead_spec
+    # the struct-lead is projected to _w0 pre-window; identify the corpus
+    # window by its spec: partitioned on (event_type, _bkt), ordered by ts
+    lead_spec = re.search(
+        r"lead\([^\n]*windowspecdefinition\(event_type#\d+, _bkt#\d+, ts#", p
+    )
+    assert lead_spec, p
     # its exchange hashes on both keys
     assert re.search(r"hashpartitioning\(event_type#\d+, _bkt", p)
     # the firsts branch is map-side combined: only the tiny per-bucket
