@@ -40,6 +40,28 @@ LSH_ALL_HYPERPLANES = [
 LSH_HYPERPLANES = LSH_ALL_HYPERPLANES[:LSH_PLANES]
 
 
+# Plan-build corpus counts (GEMM block sizing, LSH signature width, the
+# exact-vs-banded auto-dispatch) memoized per caller-supplied key — the
+# same immutable-input contract as registry/common.py's _TS_STATS_MEMO
+# (round-8 advice: ann_lsh_buckets re-counted its input at every
+# plan-build). Callers that mutate their input between calls must not
+# pass a key.
+_COUNT_MEMO: dict[str, int] = {}
+
+
+def corpus_count(df: DataFrame, memo_key: str | None = None) -> int:
+    """df.count() with an optional per-key memo for the plan-sizing
+    scalars. The count is parquet-stats-cheap on raw tables; the memo
+    exists for composed callers that size several operators off the same
+    immutable corpus in one session."""
+    if memo_key is not None and memo_key in _COUNT_MEMO:
+        return _COUNT_MEMO[memo_key]
+    n = df.count()
+    if memo_key is not None:
+        _COUNT_MEMO[memo_key] = n
+    return n
+
+
 def lsh_band_bits_for(n: int, target_occupancy: int = 4) -> int:
     """Per-band bucket width (bits) sized to the corpus: the smallest b in
     [3, 12] with n <= target_occupancy * 2^b, i.e. expected band-bucket
@@ -277,6 +299,7 @@ def ann_lsh_buckets(
     threshold: float = 0.45,
     max_hamming: int = 4,
     n_planes: int | None = None,
+    count_memo_key: str | None = None,
 ) -> DataFrame:
     """All-pairs near-neighbor search, LSH-bucketed: candidate pairs share
     at least one of 5 bands of the hyperplane signature (pigeonhole
@@ -313,7 +336,7 @@ def ann_lsh_buckets(
     from pyspark.sql.functions import pandas_udf
 
     if n_planes is None:
-        bb = lsh_band_bits_for(vectors.count())
+        bb = lsh_band_bits_for(corpus_count(vectors, count_memo_key))
         n_planes = LSH_BANDS * bb
         bounds = [(i * bb, bb) for i in range(LSH_BANDS)]
     elif n_planes == LSH_PLANES:

@@ -45,9 +45,11 @@ from big_data_player_analysis_spark.functions.text import (
 from big_data_player_analysis_spark.operators.dedup import (
     decontaminate,
     dedup_embedding_cosine,
+    dedup_embedding_cosine_auto,
     dedup_exact,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
+    dedup_ngram_jaccard_auto,
     near_dedup_survivors,
     title_hamming_pairs,
     dedup_simhash,
@@ -386,11 +388,18 @@ def dedup_exact_q(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("dedup_ngram_jaccard", sql=SQL_JACCARD, tags=("llm", "dedup"))
 def dedup_jaccard_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Near-dup pairs by exact 8-gram Jaccard >= 0.6 (inverted-index
-    candidates on rare shingles, exact verification)."""
-    return dedup_ngram_jaccard(
+    """Near-dup pairs by exact 8-gram Jaccard >= 0.6, AUTO-DISPATCHED
+    (round-8 verdict ask #1): below EXACT_PAIRS_MAX_ROWS (50k — covers
+    every driver gate SF) this is the exact rare-shingle inverted-index
+    path the SQL oracle mirrors; above it the count-derived dispatch
+    routes to dedup_minhash_lsh (same verified output contract, recall
+    1-(1-t^4)^16) so the exact verify constant never runs at corpus
+    scale. The oracle contract holds in the exact regime, which is where
+    the driver gates it."""
+    return dedup_ngram_jaccard_auto(
         t(spark, sf, "documents"), "doc_id", "text",
         k=SHINGLE_K, threshold=JACCARD_THRESHOLD, max_df=JACCARD_MAX_DF,
+        count_memo_key=f"{sf}:documents",
     )
 
 
@@ -832,12 +841,19 @@ def corpus_curation_q(spark: SparkSession, sf: str) -> DataFrame:
     tags=("llm", "dedup", "bench"),
 )
 def dedup_cosine_q(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding near-dup pairs, cosine >= 0.45, EXACT via blocked GEMM
-    (block-replicated applyInPandas matmul + JVM-expression verify — no
-    nested-loop join; plan pinned in tests/test_plans.py). The oracle is
-    the brute-force SQL; outputs are bit-identical."""
-    return dedup_embedding_cosine(
-        t(spark, sf, "embeddings"), "vec_id", "embedding", COSINE_DUP_THRESHOLD
+    """Embedding near-dup pairs, cosine >= 0.45, AUTO-DISPATCHED (round-8
+    verdict ask #1): below EXACT_PAIRS_MAX_ROWS (50k — covers every
+    driver gate SF) this is the EXACT blocked GEMM (block-replicated
+    applyInPandas matmul + JVM-expression verify — no nested-loop join;
+    plan pinned in tests/test_plans.py) whose output is bit-identical to
+    the brute-force SQL oracle; above it the count-derived dispatch
+    routes to ann_lsh_buckets (hamming <= 4 banded recall, exact-cosine
+    precision) so the O(n^2) flops never run at corpus scale. The oracle
+    contract holds in the exact regime, which is where the driver gates
+    it."""
+    return dedup_embedding_cosine_auto(
+        t(spark, sf, "embeddings"), "vec_id", "embedding",
+        COSINE_DUP_THRESHOLD, count_memo_key=f"{sf}:embeddings",
     )
 
 
@@ -968,7 +984,8 @@ def ann_lsh_q(spark: SparkSession, sf: str) -> DataFrame:
     both the pinned 16-bit config and the auto width, band
     non-degeneracy, and pigeonhole completeness for hamming <= 4."""
     return ann_lsh_buckets(
-        t(spark, sf, "embeddings"), "vec_id", "embedding", COSINE_DUP_THRESHOLD
+        t(spark, sf, "embeddings"), "vec_id", "embedding", COSINE_DUP_THRESHOLD,
+        count_memo_key=f"{sf}:embeddings",
     )
 
 

@@ -44,6 +44,7 @@ from big_data_player_analysis_spark.operators.dedup import (
     dedup_exact,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
+    dedup_ngram_jaccard_auto,
     dedup_simhash,
 )
 from big_data_player_analysis_spark.operators.similarity import knn_join_vectorized
@@ -456,6 +457,7 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
 
     from big_data_player_analysis_spark.operators.dedup import (
         dedup_embedding_cosine,
+        dedup_embedding_cosine_auto,
         near_dedup_survivors,
         semantic_dedup,
     )
@@ -698,6 +700,13 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
         "dedup_embedding_cosine": lambda: dedup_embedding_cosine(
             emb, "vec_id", "embedding", 0.45
         ),
+        # the REGISTERED entry's path (round-9): count-derived dispatch —
+        # exact blocked GEMM <= 50k rows (the 1x/4x cells), ann_lsh_buckets
+        # above (16x/64x); the row should read at/below linear past the
+        # dispatch point because the quadratic never runs there
+        "dedup_embedding_cosine_auto": lambda: dedup_embedding_cosine_auto(
+            emb, "vec_id", "embedding", 0.45
+        ),
         "llm_near_dedup_survivors": lambda: near_dedup_survivors(
             docs, "doc_id", "text"
         ),
@@ -730,6 +739,12 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
         "llm_title_hamming_dedup": lambda: _title_hamming_probe(docs),
         "llm_curation_pipeline": lambda: _curation_pipeline_probe(docs),
         "dedup_ngram_jaccard": lambda: dedup_ngram_jaccard(
+            docs, "doc_id", "text", 8, 0.6, 20
+        ),
+        # the REGISTERED entry's path (round-9): exact rare-shingle
+        # candidates <= 50k rows, minhash bands above — past the dispatch
+        # point this row should track dedup_minhash_lsh's
+        "dedup_ngram_jaccard_auto": lambda: dedup_ngram_jaccard_auto(
             docs, "doc_id", "text", 8, 0.6, 20
         ),
         "dedup_minhash_lsh": lambda: dedup_minhash_lsh(docs, "doc_id", "text", 8, 0.6),
@@ -1041,6 +1056,17 @@ def render_scale_md(results, rows, n_invocations) -> None:
         "recall near brute-force density, dedup_embedding_cosine's",
         "blocked GEMM / llm_semantic_dedup's adaptive sign-buckets stay",
         "the designed alternatives.",
+        "dedup_ngram_jaccard_auto / dedup_embedding_cosine_auto (round 9)",
+        "are the REGISTERED entries' paths: a count-derived dispatch",
+        "keeps the exact documented-quadratic path below 50k rows (the",
+        "1x/4x cells and every driver gate SF) and routes to",
+        "dedup_minhash_lsh resp. ann_lsh_buckets above it (16x/64x",
+        "cells), so those rows should read at/below linear past the",
+        "dispatch point — the quadratic constant never runs there. The",
+        "raw exact rows stay recorded above for the flops story; the",
+        "recall contracts of the routed paths are in the operator",
+        "docstrings (minhash band collision >= 1-(1-t^4)^16; LSH",
+        "hamming <= 4 pigeonhole).",
         "q00_duel_edges is the events->duels derivation itself (round-7",
         "wrong #1): ts-range-bucketed lead() windows — the corpus moves",
         "through ONE (event_type, bucket) exchange whose bucket count is",
