@@ -127,7 +127,16 @@ def distribution_ranks(
         F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_off"),
         F.sum("_c").over(Window.partitionBy(part_col)).alias("_n"),
     )
-    out = ranked.join(F.broadcast(offsets), [part_col, "_bkt"])
+    # null-SAFE on the partition key (round-8 advice): groupBy and the
+    # direct window both treat a NULL partition as its own group, but a
+    # plain equi-join would silently drop its rows (NULL != NULL)
+    off_r = offsets.select(
+        F.col(part_col).alias("_pc"), F.col("_bkt").alias("_ob"), "_off", "_n"
+    )
+    out = ranked.join(
+        F.broadcast(off_r),
+        F.col(part_col).eqNullSafe(F.col("_pc")) & (F.col("_bkt") == F.col("_ob")),
+    ).drop("_pc", "_ob")
     rank = F.col("_off") + F.col("_rn")
     n = F.col("_n")
     q = F.floor(n / n_tiles)

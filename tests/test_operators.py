@@ -260,7 +260,8 @@ def test_distribution_ranks_matches_direct_window(spark):
          ("b", 1, 5.0),                                 # n=1 group
          ("c", 1, 1.0), ("c", 2, 1.0), ("c", 3, 1.0), ("c", 4, 1.0),
          ("c", 5, 2.0), ("c", 6, 0.5),                  # n=6: uneven ntile
-         ("a", 0, None), ("a", 4, float("nan"))],       # null first, NaN last
+         ("a", 0, None), ("a", 4, float("nan")),        # null first, NaN last
+         (None, 1, 3.0), (None, 2, 1.0), (None, 3, 2.0)],  # NULL partition
         "g string, k long, v double",
     )
     want2 = direct(tiny, "g", "v", "k")
