@@ -647,16 +647,72 @@ def dedup_simhash(
     )
 
 
+# Single-task union-find ceiling for dedup_components: below this many
+# verified pairs the whole closure runs as ONE task (the "filtering"
+# pattern — Lattanzi et al., SPAA'11: the verified near-dup pair set is
+# orders of magnitude smaller than the corpus, so once candidate
+# generation has distributed, the closure's input fits one worker).
+# 4M pairs = two 32 MB int64 columns + an O(nodes) parent array — far
+# inside a task's memory; above it the label-propagation sweeps run.
+UNIONFIND_MAX_PAIRS = 4_194_304
+
+
+def _components_unionfind(und: DataFrame) -> DataFrame:
+    """Exact connected components over a (a, b) long pair table as ONE
+    task: ids are compressed to dense indices (np.unique), then
+    array-based union-find with path halving + union by root index,
+    and each node's component is the MIN id of its component — the same
+    labeling contract the distributed sweeps produce."""
+
+    def _uf(batches):
+        import numpy as np
+
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            yield pd.DataFrame({"node": pd.Series(dtype="int64"),
+                                "component": pd.Series(dtype="int64")})
+            return
+        a = np.concatenate([c["a"].to_numpy(np.int64) for c in chunks])
+        b = np.concatenate([c["b"].to_numpy(np.int64) for c in chunks])
+        ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+        ia, ib = inv[: len(a)], inv[len(a):]
+        parent = np.arange(len(ids), dtype=np.int64)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]  # path halving
+                x = parent[x]
+            return x
+
+        for x, y in zip(ia, ib):
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[ry] = rx
+        roots = np.array([find(i) for i in range(len(ids))])
+        comp_min = np.full(len(ids), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(comp_min, roots, ids)
+        yield pd.DataFrame({"node": ids, "component": comp_min[roots]})
+
+    return und.repartition(1).mapInPandas(_uf, "node long, component long")
+
+
 def dedup_components(
     pairs: DataFrame,
     col_a: str = "doc_a",
     col_b: str = "doc_b",
     max_iter: int = 20,
     strict: bool = True,
+    unionfind_max_pairs: int = UNIONFIND_MAX_PAIRS,
 ) -> DataFrame:
     """(node, component): connected components over near-duplicate pairs —
     the step that turns pairwise dedup output into canonical groups (keep
     min-id per component, drop the rest).
+
+    TWO PHYSICAL PATHS, one output contract (parity pinned in
+    tests/test_llm_ops.py::test_dedup_components_unionfind_matches_sweeps):
+    below ``unionfind_max_pairs`` the closure runs as one exact
+    union-find task (see UNIONFIND_MAX_PAIRS); above it, the
+    distributed min-label sweeps below.
 
     Iterative min-label propagation: every node starts labeled with itself;
     each sweep takes the min label over direct neighbors AND itself (the
@@ -693,6 +749,17 @@ def dedup_components(
     und = pairs.select(F.col(col_a).alias("a"), F.col(col_b).alias("b")).transform(
         _materialize
     )
+    # SIZE-GATED SINGLE-TASK CLOSURE (round-9, the curation-pipeline
+    # shave): the verified pair set is tiny relative to the corpus —
+    # ~2.5k pairs per 5k docs here, and even a 1%-dup 10^10-doc corpus
+    # yields pairs that fit one worker. Below the gate, run exact
+    # union-find in ONE mapInPandas task over the materialized pair
+    # blocks: same (node, min-reachable-id) output, zero sweep jobs,
+    # no symmetrized edge table. Above the gate the distributed
+    # min-label sweeps below take over unchanged. The count is one
+    # cheap action over already-checkpointed blocks.
+    if und.count() <= unionfind_max_pairs:
+        return _components_unionfind(und)
     nodes = (
         und.select(F.col("a").alias("node"))
         .union(und.select(F.col("b").alias("node")))

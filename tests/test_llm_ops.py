@@ -997,15 +997,48 @@ def test_dedup_components_nonconvergence_raises(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
     )
+    # unionfind_max_pairs=0 forces the distributed sweep path (a pair set
+    # this small otherwise routes to the single-task union-find, which
+    # has no sweep budget to exceed)
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup_components(chain, max_iter=2)
+        dedup_components(chain, max_iter=2, unionfind_max_pairs=0)
     partial = {
         r.node: r.component
-        for r in dedup_components(chain, max_iter=2, strict=False).collect()
+        for r in dedup_components(
+            chain, max_iter=2, strict=False, unionfind_max_pairs=0
+        ).collect()
     }
     assert len(set(partial.values())) > 1  # genuinely un-converged
-    full = {r.node: r.component for r in dedup_components(chain, max_iter=8).collect()}
+    full = {
+        r.node: r.component
+        for r in dedup_components(chain, max_iter=8, unionfind_max_pairs=0).collect()
+    }
     assert set(full.values()) == {1}
+
+
+def test_dedup_components_unionfind_matches_sweeps(spark):
+    """The size-gated single-task union-find (round-9) must produce the
+    identical (node, min-reachable-id) labeling as the distributed
+    min-label sweeps on chains, cliques, merged components, and a random
+    graph."""
+    import random as _random
+
+    from big_data_player_analysis_spark.operators.dedup import dedup_components
+
+    rng = _random.Random(9)
+    edges = [(i, i + 1) for i in range(100, 108)]            # chain
+    edges += [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]  # clique
+    edges += [(300, 301), (302, 303), (301, 302)]            # merge
+    edges += [(rng.randrange(400, 460), rng.randrange(400, 460)) for _ in range(80)]
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "doc_a long, doc_b long"
+    )
+    uf = {r.node: r.component for r in dedup_components(pairs).collect()}
+    sweeps = {
+        r.node: r.component
+        for r in dedup_components(pairs, unionfind_max_pairs=0).collect()
+    }
+    assert uf == sweeps and len(uf) > 0
 
 
 def test_dedup_components_on_jaccard_pairs(spark, docs, py_jaccard_pairs):
