@@ -541,7 +541,14 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "ann_lsh_pairs",
     "multimodal_jpeg_decode",
     "multimodal_mjpeg_decode",
-    "llm_substring_dedup",
+    # Round-9 promotion (changed-code rule): llm_shard_assign's pos is
+    # now bucket-parallel (operators/sampling.py bucket-offset rewrite),
+    # so it enters the window; displaced: llm_substring_dedup — hash-green
+    # r08 on round-9-unchanged code, and its EXACTSUBSTR cut machinery
+    # runs verbatim inside the in-window llm_substring_dup_spans (same
+    # operator module, same span derivation; removal is the final
+    # index-lambda projection).
+    "llm_shard_assign",
     "llm_url_canonical_dedup",
     "multimodal_audio_decode",
     # streaming tier (8; round-6 promotion: stream_curation_ingest is new

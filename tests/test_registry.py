@@ -119,10 +119,14 @@ def test_primary_window():
     # out (hash-green r07 on round-8-unchanged code — window evidence
     # stays via the two incoming entries, decontamination runs inside
     # the in-window llm_curation_pipeline)
+    # round-9 rotation: llm_shard_assign (pos rewritten bucket-parallel)
+    # in; llm_substring_dedup out (hash-green r08 on round-9-unchanged
+    # code; the EXACTSUBSTR machinery runs verbatim inside the in-window
+    # llm_substring_dup_spans)
     assert {
         "dedup_simhash", "dedup_simhash_web", "llm_curation_pipeline",
         "dedup_minhash_lsh", "multimodal_phash_dedup", "stream_curation_ingest",
-        "llm_substring_dedup",
+        "llm_shard_assign",
         "llm_near_dedup_survivors", "llm_substring_dup_spans",
         "llm_heavy_ngrams_sketch", "stream_outer_interval_join",
         "olap_quantile_shard_merge", "olap_ks_drift", "olap_cogroup_order_lag",
