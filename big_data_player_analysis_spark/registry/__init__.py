@@ -532,7 +532,14 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "dedup_minhash_lsh",
     "multimodal_phash_dedup",
     "llm_dedup_incremental",
-    "multimodal_video_decode",
+    # Round-9 promotion: multimodal_mcframe_decode is NEW (MPEG-1-style
+    # motion-compensated P-frames: per-block MV01 vector tables +
+    # JFIF-coded residuals, pixel-window prediction, fail-closed), so it
+    # enters with no driver row; displaced: multimodal_video_decode —
+    # hash-green r08 on round-9-unchanged code, and its RIFF-AVI
+    # container walk runs verbatim inside the three in-window compressed
+    # paths (mjpeg/ipframe/mcframe all share the same chunk scanner).
+    "multimodal_mcframe_decode",
     "llm_bpe_train",
     "multimodal_image_resize",
     "multimodal_png_decode",

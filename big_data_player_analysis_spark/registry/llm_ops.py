@@ -1748,6 +1748,88 @@ def multimodal_ipframe_q(spark: SparkSession, sf: str) -> DataFrame:
     return decode_ipframe_frames(media)
 
 
+# Relational replay of the MCDC codec: reconstruction's fixed point is
+# the planted closed-form level field (motion-displaced prediction and
+# residual cancel exactly — see synth_mcframe_avi_payload), and the
+# motion field itself is a modular closed form with a joint in-bounds
+# clamp, so DuckDB recomputes BOTH the per-frame means and the mean
+# motion vector the decoder parses out of the MV01 table. A decoder that
+# mis-parses the table, predicts from the wrong window, or mis-biases a
+# residual either trips the fail-closed guards or hash-mismatches here.
+SQL_MCFRAME_DECODE = """
+WITH d AS (
+  SELECT doc_id,
+         16 + 8 * (doc_id % 3) AS w,
+         16 + 8 * (doc_id % 2) AS h,
+         2 + doc_id % 3 AS nf,
+         doc_id % 99991 AS seed
+  FROM documents
+),
+b AS (
+  SELECT doc_id, w, h, f,
+         2 * ((seed + 17 * bx + 29 * by + 37 * f) % 40) + 88 AS level,
+         (seed + 5 * bx + 7 * by + 11 * f) % 3 - 1 AS mxr,
+         (seed + 3 * bx + 13 * by + 17 * f) % 3 - 1 AS myr,
+         bx, by, w // 8 AS nbx, h // 8 AS nby
+  FROM d,
+  LATERAL (SELECT unnest(range(nf)) AS f) tf,
+  LATERAL (SELECT unnest(range(w // 8)) AS bx) tx,
+  LATERAL (SELECT unnest(range(h // 8)) AS by) ty
+),
+m AS (
+  SELECT doc_id, w, h, f, level,
+         CASE WHEN f = 0 OR bx + mxr < 0 OR bx + mxr >= nbx
+                   OR by + myr < 0 OR by + myr >= nby
+              THEN 0 ELSE 8 * mxr END AS dx,
+         CASE WHEN f = 0 OR bx + mxr < 0 OR bx + mxr >= nbx
+                   OR by + myr < 0 OR by + myr >= nby
+              THEN 0 ELSE 8 * myr END AS dy
+  FROM b
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_no,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       round(avg(level), 6) AS mean_gray,
+       round(avg(dx), 6) AS mv_dx_mean,
+       round(avg(dy), 6) AS mv_dy_mean
+FROM m GROUP BY doc_id, f, w, h
+"""
+
+
+@query(
+    "multimodal_mcframe_decode",
+    sql=SQL_MCFRAME_DECODE,
+    tags=("llm", "multimodal", "bench"),
+)
+def multimodal_mcframe_q(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL MOTION-COMPENSATED video decode (round-8 stretch #6, one
+    honest step past the IPDC codec's zero-motion prediction): every
+    P-frame chunk carries a per-8x8-block motion-vector table ('MV01' +
+    signed-byte pixel displacements) plus a JFIF-coded residual, and
+    each block is reconstructed from the previous RECONSTRUCTED frame's
+    pixel window at (x+dx, y+dy) plus (residual - 128) — prediction +
+    motion + residual, the three halves of MPEG-1-class inter coding.
+    The decoder handles arbitrary pixel displacements (non-aligned
+    vectors are pinned by a hand-built payload in tests); the synthetic
+    corpus plants block-aligned motion so the reconstruction fixed point
+    stays closed-form for the oracle. Fail-closed on out-of-frame
+    prediction windows, table-size mismatches and drift. Emits per-frame
+    means plus the mean motion vector parsed from the bitstream, both
+    replayed relationally (SQL_MCFRAME_DECODE). Spec-faithful MPEG-1
+    macroblock bitstreams remain multimodal.py:decode_video's documented
+    hook (multimodal.py:synth_mcframe_avi_payload/decode_mcframe_frames).
+
+    Scale shape: narrow Arrow-batched map, payload bytes never shuffle;
+    parallelism is per-DOCUMENT (the motion-compensated fold is
+    inherently sequential across frames)."""
+    from big_data_player_analysis_spark.multimodal import (
+        attach_mcframe_payload,
+        decode_mcframe_frames,
+    )
+
+    media = attach_mcframe_payload(t(spark, sf, "documents"), "doc_id")
+    return decode_mcframe_frames(media)
+
+
 # Video frames share the BMP/PNG closed-form raster (B = x, G = y) with a
 # per-frame red channel (red0 + frame index) and a closed-form frame count,
 # so the per-frame explode output is fully relationally derivable.

@@ -1948,3 +1948,156 @@ def test_jpeg_decode_fails_closed_on_truncated_scan(spark):
     )
     with pytest.raises(Exception):
         decode_jpeg_features(df).collect()
+
+
+def test_mcframe_decode_roundtrip(spark):
+    """Motion-compensated decode: the reconstruction fixed point is the
+    planted level field (motion-displaced prediction and residual cancel
+    exactly), and the emitted mean motion vector must equal the planted
+    clamped field parsed back out of the MV01 table."""
+    from big_data_player_analysis_spark.multimodal import (
+        _ipframe_block_level,
+        _mc_motion,
+        _mcframe_params,
+        attach_mcframe_payload,
+        decode_mcframe_frames,
+    )
+
+    ids = (0, 1, 2, 5, 17, 300)
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = {}
+    for r in decode_mcframe_frames(attach_mcframe_payload(df, "doc_id")).collect():
+        out[(r.doc_id, r.frame_no)] = r
+    for i in ids:
+        w, h, nf, seed = _mcframe_params(i)
+        nbx, nby = w // 8, h // 8
+        assert nf >= 2
+        for f in range(nf):
+            r = out[(i, f)]
+            assert (r.width, r.height) == (w, h)
+            levels, dxs, dys = [], [], []
+            for by in range(nby):
+                for bx in range(nbx):
+                    levels.append(_ipframe_block_level(seed, bx, by, f))
+                    mx, my = (0, 0) if f == 0 else _mc_motion(seed, bx, by, f, nbx, nby)
+                    dxs.append(8 * mx)
+                    dys.append(8 * my)
+            assert r.mean_gray == pytest.approx(np.mean(levels), abs=1e-6)
+            assert r.mv_dx_mean == pytest.approx(np.mean(dxs), abs=1e-6)
+            assert r.mv_dy_mean == pytest.approx(np.mean(dys), abs=1e-6)
+    assert len(out) == sum(_mcframe_params(i)[2] for i in ids)
+    # the planted fields really exercise motion: at least one nonzero MV
+    assert any(
+        out[(i, f)].mv_dx_mean != 0.0 or out[(i, f)].mv_dy_mean != 0.0
+        for i in ids for f in range(1, _mcframe_params(i)[2])
+    )
+
+
+def _replace_second_00dc(payload: bytes, new_data: bytes) -> bytes:
+    """Swap the SECOND '00dc' chunk (the first P-frame) of an AVI payload
+    for new_data, fixing the RIFF and movi list sizes."""
+    import struct
+
+    buf = bytearray(payload)
+    pos = buf.find(b"00dc")
+    (ilen,) = struct.unpack_from("<I", buf, pos + 4)
+    p1 = pos + 8 + ilen + (ilen % 2)
+    assert buf[p1 : p1 + 4] == b"00dc"
+    (plen,) = struct.unpack_from("<I", buf, p1 + 4)
+    cut = 8 + plen + (plen % 2)
+    pad = b"\x00" if len(new_data) % 2 else b""
+    repl = b"00dc" + struct.pack("<I", len(new_data)) + new_data + pad
+    out = bytearray(buf[:p1] + repl + buf[p1 + cut :])
+    delta = len(repl) - cut
+    struct.pack_into("<I", out, 4, len(out) - 8)
+    movi = out.find(b"movi") - 8
+    (mlen,) = struct.unpack_from("<I", out, movi + 4)
+    struct.pack_into("<I", out, movi + 4, mlen + delta)
+    return bytes(out)
+
+
+def test_mcframe_decode_nonaligned_motion(spark):
+    """The decoder must handle motion vectors that are NOT block-aligned:
+    a dx=4 vector makes the prediction window straddle two I-frame blocks
+    of different levels, and the reconstructed block is the pixel-exact
+    half-and-half mix (the synthetic corpus only plants aligned vectors,
+    so this pins the general pixel-window path)."""
+    import struct
+
+    from big_data_player_analysis_spark.multimodal import (
+        _encode_dc_frame,
+        _ipframe_block_level,
+        _mcframe_params,
+        decode_mcframe_frames,
+        synth_mcframe_avi_payload,
+    )
+
+    did = 3  # w=16, h=24, nf=2: exactly one P-frame to replace
+    w, h, nf, seed = _mcframe_params(did)
+    assert (w, h, nf) == (16, 24, 2)
+    nbx, nby = w // 8, h // 8
+    mv = bytearray(b"MV01")
+    for by in range(nby):
+        for bx in range(nbx):
+            dx = 4 if (bx, by) == (0, 0) else 0
+            mv += struct.pack("bb", dx, 0)
+    residual = _encode_dc_frame(w, h, lambda bx, by: 128, with_pattern=False)
+    payload = _replace_second_00dc(
+        synth_mcframe_avi_payload(did), bytes(mv) + residual
+    )
+    df = spark.createDataFrame([(did, payload)], "doc_id long, payload binary")
+    rows = {r.frame_no: r for r in decode_mcframe_frames(df).collect()}
+    # expected frame-1 raster: every block keeps its I-frame level except
+    # block (0,0), which mixes cols 4..11 of the I-frame's top row
+    frame0 = np.zeros((h, w))
+    for by in range(nby):
+        for bx in range(nbx):
+            frame0[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = _ipframe_block_level(
+                seed, bx, by, 0
+            )
+    expect = frame0.copy()
+    expect[0:8, 0:8] = frame0[0:8, 4:12]
+    assert rows[1].mean_gray == pytest.approx(round(float(expect.mean()), 6), abs=1e-6)
+    assert rows[1].mv_dx_mean == pytest.approx(4 / (nbx * nby), abs=1e-6)
+    # the mix is genuinely non-flat: the two straddled levels differ
+    assert _ipframe_block_level(seed, 0, 0, 0) != _ipframe_block_level(seed, 1, 0, 0)
+
+
+def test_mcframe_decode_rejects_ipdc_and_fails_closed(spark):
+    import struct
+
+    from big_data_player_analysis_spark.multimodal import (
+        _encode_dc_frame,
+        _mcframe_params,
+        decode_mcframe_frames,
+        synth_ipframe_avi_payload,
+        synth_mcframe_avi_payload,
+    )
+
+    # an IPDC stream must route to decode_ipframe_frames, never mis-decode
+    df = spark.createDataFrame(
+        [(1, synth_ipframe_avi_payload(3))], "doc_id long, payload binary"
+    )
+    with pytest.raises(Exception, match="not a motion-compensated stream"):
+        decode_mcframe_frames(df).collect()
+
+    # a motion vector whose source window leaves the reference frame must
+    # raise, not read garbage
+    did = 3
+    w, h, nf, _seed = _mcframe_params(did)
+    nbx, nby = w // 8, h // 8
+    mv = bytearray(b"MV01")
+    for by in range(nby):
+        for bx in range(nbx):
+            mv += struct.pack("bb", -4 if (bx, by) == (0, 0) else 0, 0)
+    residual = _encode_dc_frame(w, h, lambda bx, by: 128, with_pattern=False)
+    bad = _replace_second_00dc(synth_mcframe_avi_payload(did), bytes(mv) + residual)
+    df2 = spark.createDataFrame([(did, bad)], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="reads outside the reference frame"):
+        decode_mcframe_frames(df2).collect()
+
+    # a missing MV01 table must raise
+    naked = _replace_second_00dc(synth_mcframe_avi_payload(did), residual)
+    df3 = spark.createDataFrame([(did, naked)], "doc_id long, payload binary")
+    with pytest.raises(Exception, match="missing MV01"):
+        decode_mcframe_frames(df3).collect()

@@ -123,6 +123,10 @@ def test_primary_window():
     # in; llm_substring_dedup out (hash-green r08 on round-9-unchanged
     # code; the EXACTSUBSTR machinery runs verbatim inside the in-window
     # llm_substring_dup_spans)
+    # second round-9 rotation: multimodal_mcframe_decode (new — motion-
+    # compensated P-frames) in; multimodal_video_decode out (hash-green
+    # r08 on round-9-unchanged code; the AVI container walk runs verbatim
+    # inside the in-window mjpeg/ipframe/mcframe paths)
     assert {
         "dedup_simhash", "dedup_simhash_web", "llm_curation_pipeline",
         "dedup_minhash_lsh", "multimodal_phash_dedup", "stream_curation_ingest",
@@ -136,7 +140,7 @@ def test_primary_window():
         "llm_bigram_surprisal",
         "dedup_embedding_cosine", "dedup_components",
         "llm_dedup_incremental", "multimodal_mjpeg_decode",
-        "multimodal_video_decode", "llm_bpe_train", "multimodal_image_resize",
+        "multimodal_mcframe_decode", "llm_bpe_train", "multimodal_image_resize",
         "llm_semantic_dedup",
         "llm_line_dedup", "olap_key_skew_profile", "llm_near_dedup_best_quality",
         "llm_pack_sequences", "llm_bpe_encode", "llm_corpus_curation",

@@ -334,6 +334,15 @@ def _ipframe_probe(docs):
     return decode_ipframe_frames(attach_ipframe_payload(docs.select("doc_id"), "doc_id"))
 
 
+def _mcframe_probe(docs):
+    from big_data_player_analysis_spark.multimodal import (
+        attach_mcframe_payload,
+        decode_mcframe_frames,
+    )
+
+    return decode_mcframe_frames(attach_mcframe_payload(docs.select("doc_id"), "doc_id"))
+
+
 def _bpe_probe(docs):
     from big_data_player_analysis_spark.plans.bpe import bpe_merges_df
 
@@ -725,6 +734,10 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
         # per-document SEQUENTIAL residual reconstruction — parallelism
         # is the document axis, so the row should still read linear
         "multimodal_ipframe_decode": lambda: _ipframe_probe(docs),
+        # motion-compensated codec (round-9): per-block MV parse +
+        # pixel-window prediction on top of the ipframe fold; same
+        # document-axis parallelism, row should read linear
+        "multimodal_mcframe_decode": lambda: _mcframe_probe(docs),
         # banded hyperplane-LSH, signature width AUTO-SIZED from a corpus
         # count (round-8): per-band candidates ~ occupancy * n / 2 by
         # construction, so this row should now read ~linear where the
