@@ -308,15 +308,18 @@ def dedup_ngram_jaccard(
 
 # Exact-path row ceiling for the auto-dispatched pair operators. Below it
 # the documented-quadratic exact paths run (their verify constants are
-# affordable — at 50k docs the rare-shingle verify moves ~3M candidate
+# affordable — at 32k docs the rare-shingle verify moves ~2M candidate
 # pairs x 2 shingle arrays, tens of seconds on one 32-core host; the
-# blocked GEMM's 50k x 50k cosine matrix is ~150 BLAS-bound
-# block-pair tasks). Above it nobody calls an all-pairs-exact path on
-# purpose (round-8 verdict: "at 100 TB nobody calls the exact path on
-# purpose; today the engine lets you") — the dispatch routes to the
-# banded scale path with a DOCUMENTED recall contract instead of letting
-# the quadratic constant grow without bound. Deploy-tunable per call.
-EXACT_PAIRS_MAX_ROWS = 50_000
+# blocked GEMM's 32k x 32k cosine matrix is ~60 BLAS-bound block-pair
+# tasks). Above it nobody calls an all-pairs-exact path on purpose
+# (round-8 verdict: "at 100 TB nobody calls the exact path on purpose;
+# today the engine lets you") — the dispatch routes to the banded scale
+# path with a DOCUMENTED recall contract instead of letting the
+# quadratic constant grow without bound (measured at the composed-sf1
+# 50k-doc corpus: the exact jaccard verify moves 2.4 GB of shuffle in
+# ~60 s where the minhash route moves ~2% of that). Deploy-tunable per
+# call; every driver gate SF (500/5k docs) stays in the exact regime.
+EXACT_PAIRS_MAX_ROWS = 32_768
 
 
 def dedup_ngram_jaccard_auto(

@@ -710,7 +710,7 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
             emb, "vec_id", "embedding", 0.45
         ),
         # the REGISTERED entry's path (round-9): count-derived dispatch —
-        # exact blocked GEMM <= 50k rows (the 1x/4x cells), ann_lsh_buckets
+        # exact blocked GEMM <= 32k rows (the 1x/4x cells), ann_lsh_buckets
         # above (16x/64x); the row should read at/below linear past the
         # dispatch point because the quadratic never runs there
         "dedup_embedding_cosine_auto": lambda: dedup_embedding_cosine_auto(
@@ -755,7 +755,7 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
             docs, "doc_id", "text", 8, 0.6, 20
         ),
         # the REGISTERED entry's path (round-9): exact rare-shingle
-        # candidates <= 50k rows, minhash bands above — past the dispatch
+        # candidates <= 32k rows, minhash bands above — past the dispatch
         # point this row should track dedup_minhash_lsh's
         "dedup_ngram_jaccard_auto": lambda: dedup_ngram_jaccard_auto(
             docs, "doc_id", "text", 8, 0.6, 20
@@ -1071,7 +1071,7 @@ def render_scale_md(results, rows, n_invocations) -> None:
         "the designed alternatives.",
         "dedup_ngram_jaccard_auto / dedup_embedding_cosine_auto (round 9)",
         "are the REGISTERED entries' paths: a count-derived dispatch",
-        "keeps the exact documented-quadratic path below 50k rows (the",
+        "keeps the exact documented-quadratic path below 32k rows (the",
         "1x/4x cells and every driver gate SF) and routes to",
         "dedup_minhash_lsh resp. ann_lsh_buckets above it (16x/64x",
         "cells), so those rows should read at/below linear past the",

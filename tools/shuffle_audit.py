@@ -89,6 +89,8 @@ AUDITED = [
     "stream_curation_ingest",
     "ann_lsh_pairs",
     "llm_substring_dedup",
+    "llm_shard_assign",
+    "multimodal_mcframe_decode",
 ]
 
 
