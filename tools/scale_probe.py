@@ -1086,14 +1086,21 @@ def render_scale_md(results, rows, n_invocations) -> None:
         "load-adaptive (rows/256k clamped to [1, 65536]; 25 buckets at",
         "the 64x probe) instead of the old 5-task corpus sort; its row",
         "should read linear with small constants.",
-        "olap_triangle_count (re-measured r8 on the round-8 code: the",
-        "canonical edge list and degree table are now tracked-persisted —",
-        "unpersisted, the FOUR consumers re-executed the whole upstream",
-        "derivation, measured 19.8 vs 7.5 MB shuffled at sf0.1): growth",
-        "stays at/below linear across the row, as the disjoint-copy",
+        "olap_triangle_count (persist points re-tightened r9: the",
+        "ORIENTED edge list — what the two wedge sides and the closing",
+        "probe actually read — is now persisted alongside the canonical",
+        "list, and the n_nodes/n_edges scalars fold into one pass over",
+        "the degree table; sf0.1 4.7 -> 3.0 s, the round-8 flagged",
+        "regression recovered). The trade surfaces at the 64x cell",
+        "(~55 s vs the r8 code's ~46): caching 6M oriented structs",
+        "costs ~20% there where recomputing the orientation joins over",
+        "the cached inputs was cheaper — growth stays right at linear",
+        "(13 -> 55 on the last 4x step), as the disjoint-copy",
         "composition predicts (oriented wedge volume is per-copy-constant",
         "x factor and the composed graph cannot develop hubs), consistent",
-        "with SHUFFLE.md's exchange bytes (28.1 MB at sf1, 3.7x on 10x).",
+        "with SHUFFLE.md's exchange bytes; a deploy at petabyte edge",
+        "counts would gate the oriented persist on available executor",
+        "storage, the same knob every persist in this repo documents.",
         "llm_curation_pipeline is the end-to-end composition (quality gate",
         "-> line dedup -> near-dedup survivors -> decontaminate -> pack);",
         "its row should track the max of its stages' rows — a super-linear",
