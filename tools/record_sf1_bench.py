@@ -48,15 +48,41 @@ def main():
             base = json.load(f)
         # the driver wraps bench.py's JSON line under "parsed"
         base = base.get("parsed", base)
+        base_queries = base.get("queries", {})
+        base_src = os.path.basename(base_path)
+        if not base_queries:
+            # driver records (BENCH_r*.json) carry bench.py's compact stdout
+            # line — no per-query map.  Fall back to the committed sf0.1
+            # detail snapshot so the SCALE sidecar keeps per-query ratios.
+            detail = os.path.join(os.path.dirname(__file__), "bench_sf01_detail.json")
+            if os.path.exists(detail):
+                with open(detail) as f:
+                    det = json.load(f)
+                if det.get("sf") == 0.1:
+                    base_queries = det.get("queries", {})
+                    base_src += "+bench_sf01_detail.json"
         d["baseline_sf01"] = {
             "value": base.get("value"),
-            "queries": base.get("queries", {}),
-            "source": os.path.basename(base_path),
+            "queries": base_queries,
+            "source": base_src,
         }
     side = os.path.join(os.path.dirname(__file__), "bench_sf1.json")
     with open(side, "w") as f:
         json.dump(d, f, indent=1)
     print(f"wrote {side}")
+
+    # Per-round repo-root artifact: BENCH_SF1_r{N}.json, so scale-factor
+    # regressions (invisible to the driver's sf0.1 headline) get
+    # round-over-round tracking next to BENCH_r{N}.json.  N = the round
+    # in flight = latest driver-recorded BENCH_r* + 1 (the driver writes
+    # its record at round END, after this script runs).
+    cands = sorted(glob.glob("/root/repo/BENCH_r*.json"))
+    if cands:
+        last_n = int(os.path.basename(cands[-1])[len("BENCH_r"):-len(".json")])
+        rr = os.path.join("/root/repo", f"BENCH_SF1_r{last_n + 1:02d}.json")
+        with open(rr, "w") as f:
+            json.dump(d, f, indent=1)
+        print(f"wrote {rr}")
 
 
 if __name__ == "__main__":
