@@ -124,9 +124,25 @@ def _scatter(df: DataFrame) -> DataFrame:
         n_files = len(df.inputFiles())
     except Exception:
         n_files = 0
-    if n_files < par:
-        return df.repartition(par)
-    return df
+    if n_files >= par:
+        return df
+    if n_files == 0:
+        # Non-file input (a checkpointed stage boundary, an in-memory test
+        # frame): the file heuristic is blind here, so read the ACTUAL
+        # partition count off the physical RDD — driver-side metadata, no
+        # job; for a checkpointed frame the RDD already exists. A 100 TB
+        # upstream stage arrives thousands of partitions wide and skips
+        # the exchange entirely; a small AQE-coalesced frame (measured: a
+        # whole sf0.1 survivor stage collapses to ONE partition after its
+        # anti-join) reports its real width and still scatters, keeping
+        # the CPU-bound shingle passes off a single core.
+        try:
+            n_parts = df._jdf.rdd().getNumPartitions()
+        except Exception:
+            n_parts = 0
+        if n_parts >= par:
+            return df
+    return df.repartition(par)
 
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -917,6 +933,7 @@ def decontaminate(
     text_col: str,
     k: int = 8,
     min_shared: int = 1,
+    scatter: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: training documents that share at least
     ``min_shared`` distinct character k-shingles with ANY eval-set
@@ -932,11 +949,29 @@ def decontaminate(
     tier.
 
     Returns (train_id, n_shared) for contaminated docs only.
+
+    ``scatter=False`` is the explicit override for callers that KNOW the
+    train side's layout beats a round-robin spread (e.g. already salted
+    against skew). Composed callers normally leave it on: ``_scatter``
+    self-tunes — file-backed wide scans and partition-rich checkpointed
+    stages pass through exchange-free, while an AQE-coalesced narrow
+    frame is spread so the CPU-bound shingle pass isn't pinned to a
+    few cores (same contract as remove_repeated_windows' flag).
     """
-    tr = shingle_table(_scatter(train), id_col, text_col, k)
-    ev = shingle_table(eval_df, id_col, text_col, k).select("shingle").distinct()
+    # Shingles are reduced to int64 xxhash64 values BEFORE the exchange /
+    # broadcast: a k=32 char shingle is a ~36-byte UTF8String, its hash 8
+    # bytes — the broadcast table shrinks ~4x and the corpus-side stream,
+    # per-doc hash-aggregate and join keys all move fixed-width longs
+    # (same measured technique as _verify_jaccard step 1). Distinct
+    # shingles collide with P ~ n^2/2^65 (module equivalence argument);
+    # the SQL oracle joins the shingle text itself, which is exactly the
+    # cross-check that would surface a collision.
+    tr = shingle_table(_scatter(train) if scatter else train, id_col, text_col, k
+                       ).select("doc", F.xxhash64("shingle").alias("sh"))
+    ev = (shingle_table(eval_df, id_col, text_col, k)
+          .select(F.xxhash64("shingle").alias("sh")).distinct())
     return (
-        tr.join(F.broadcast(ev), "shingle")
+        tr.join(F.broadcast(ev), "sh")
         .groupBy("doc")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= F.lit(min_shared))

@@ -485,7 +485,34 @@ PRIMARY_ORDER: tuple[str, ...] = (
     # entries + olap_cogroup_order_lag) and llm_decontaminate (hash-green
     # r07 unchanged; the decontamination stage runs verbatim inside the
     # in-window llm_curation_pipeline).
+    # Fourth round-9 rotation (changed-code rule): the _scatter heuristic
+    # became partition-aware for non-file inputs (operators/dedup.py —
+    # a checkpointed 100 TB stage no longer gets a pointless full-text
+    # re-exchange) and decontaminate's eval join moved to int64 shingle
+    # hashes; the four out-of-window entries whose closures changed with
+    # them enter the window: llm_decontaminate (the semantic change),
+    # llm_substring_dedup, multimodal_image_decode,
+    # multimodal_video_decode (scatter-closure ripple; output-neutral
+    # partitioning, promoted per the no-stale-evidence rule regardless).
+    # Displaced — the ONLY entries whose hash equals the round-8-final
+    # baseline (code unchanged since their green r8 row; everything else
+    # in-window carries round-9 changes and must collect a fresh row) and
+    # whose family stays covered in-window:
+    #   * olap_funnel_conversion — event-sequence mining stays via
+    #     olap_top_paths (in-window; its round-9 ripple keeps it there);
+    #   * llm_semantic_dedup — the embedding-dedup family stays via
+    #     dedup_embedding_cosine and the sign-bucket machinery via
+    #     ann_lsh_pairs (both in-window);
+    #   * olap_scd2_history — ordered per-key change-interval windowing
+    #     stays via olap_cogroup_order_lag (in-window);
+    #   * llm_bigram_surprisal — corpus n-gram statistics stay via
+    #     llm_heavy_ngrams_sketch (in-window; surprisal adds only a
+    #     log-ratio projection over the same count tables).
     "q00_duel_edges",
+    "llm_decontaminate",
+    "llm_substring_dedup",
+    "multimodal_image_decode",
+    "multimodal_video_decode",
     "q18_rank_vector_init",
     "olap_triangle_count",
     "multimodal_ipframe_decode",
@@ -505,10 +532,8 @@ PRIMARY_ORDER: tuple[str, ...] = (
     # for the three round-6 promotions listed in the LLM/streaming tiers)
     "olap_partition_pruned_scan",
     "dedup_ngram_jaccard",
-    "olap_funnel_conversion",
     "llm_corpus_curation",
     "olap_key_skew_profile",
-    "olap_scd2_history",
     # LLM-data-pipeline tier (23; text_quality_score rotated out late in
     # r3 — green r01+r02 on unchanged code, overlaps llm_quality_filters'
     # text-quality built-ins — displaced by the new llm_top_ngrams, which
@@ -522,7 +547,6 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_near_dedup_survivors",
     "llm_near_dedup_best_quality",
     "llm_substring_dup_spans",
-    "llm_bigram_surprisal",
     "dedup_embedding_cosine",
     "dedup_components",
     # round-6 promotions: dedup_minhash_lsh re-enters (its persisted
@@ -543,7 +567,6 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_bpe_train",
     "multimodal_image_resize",
     "multimodal_png_decode",
-    "llm_semantic_dedup",
     # round-7 promotions (changed-code rule + the new JPEG decode)
     "ann_lsh_pairs",
     "multimodal_jpeg_decode",
@@ -562,8 +585,8 @@ PRIMARY_ORDER: tuple[str, ...] = (
     # — the mega-pipeline's stage chain as a foreachBatch ingest)
     "olap_ks_drift",
     "stream_incremental_mv",
-    "stream_curation_ingest",
     "olap_top_paths",
+    "stream_curation_ingest",
     "stream_near_dedup_ingest",
     "stream_stream_interval_join",
     "stream_outer_interval_join",
@@ -575,6 +598,12 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
+    # round-9 displacements (hash-green r08 rows on round-9-unchanged
+    # code; see the fourth round-9 rotation note above PRIMARY_ORDER)
+    "olap_funnel_conversion",
+    "llm_semantic_dedup",
+    "olap_scd2_history",
+    "llm_bigram_surprisal",
     # round-6 displacements (green r05 rows on round-6-unchanged code)
     "olap_rolling_average",
     "olap_retention_cohorts",
@@ -615,7 +644,6 @@ EXTENDED_ORDER: tuple[str, ...] = (
     "llm_mix_weights",
     "multimodal_audio_decode",
     "olap_semi_join",
-    "multimodal_image_decode",
     "llm_chunk_fixed",
     "llm_chunk_tokens",
     "llm_embed_quantize_int8",
@@ -628,7 +656,6 @@ EXTENDED_ORDER: tuple[str, ...] = (
     "q03_global_argmax",
     "q13_sum_affine",
     "q15_global_mean",
-    "q18_rank_vector_init",
     "olap_descriptive_stats",
     "text_language_id",
     "q02_count_per_derived_key",
@@ -641,7 +668,6 @@ EXTENDED_ORDER: tuple[str, ...] = (
     "sim_ivf_topk",
     "text_fingerprint",
     "stream_sliding_avg",
-    "llm_decontaminate",
     "olap_range_join",
     "olap_tpch_q1_pricing_summary",
     "llm_stratified_sample",

@@ -127,6 +127,15 @@ def test_primary_window():
     # compensated P-frames) in; multimodal_video_decode out (hash-green
     # r08 on round-9-unchanged code; the AVI container walk runs verbatim
     # inside the in-window mjpeg/ipframe/mcframe paths)
+    # fourth round-9 rotation (the _scatter partition-awareness +
+    # decontaminate hash-join ripple): llm_decontaminate,
+    # llm_substring_dedup, multimodal_image_decode and
+    # multimodal_video_decode back in (changed closures need fresh rows);
+    # olap_funnel_conversion, llm_semantic_dedup, olap_scd2_history and
+    # llm_bigram_surprisal out — the only in-window entries hash-equal to
+    # the round-8-final baseline (green r8 rows on unchanged code), with
+    # family coverage retained via olap_top_paths, dedup_embedding_cosine
+    # + ann_lsh_pairs, olap_cogroup_order_lag and llm_heavy_ngrams_sketch
     assert {
         "dedup_simhash", "dedup_simhash_web", "llm_curation_pipeline",
         "dedup_minhash_lsh", "multimodal_phash_dedup", "stream_curation_ingest",
@@ -136,20 +145,19 @@ def test_primary_window():
         "olap_quantile_shard_merge", "olap_ks_drift", "olap_cogroup_order_lag",
         "olap_top_paths",
         "multimodal_ipframe_decode",
-        "olap_funnel_conversion",
-        "llm_bigram_surprisal",
         "dedup_embedding_cosine", "dedup_components",
         "llm_dedup_incremental", "multimodal_mjpeg_decode",
         "multimodal_mcframe_decode", "llm_bpe_train", "multimodal_image_resize",
-        "llm_semantic_dedup",
         "llm_line_dedup", "olap_key_skew_profile", "llm_near_dedup_best_quality",
         "llm_pack_sequences", "llm_bpe_encode", "llm_corpus_curation",
         "multimodal_png_decode",
-        "olap_scd2_history", "olap_partition_pruned_scan", "olap_hll_shard_merge",
+        "olap_partition_pruned_scan", "olap_hll_shard_merge",
         "ann_lsh_pairs", "multimodal_jpeg_decode",
         "olap_window_distribution", "olap_window_topk_per_group",
         "llm_url_canonical_dedup", "multimodal_audio_decode",
         "q00_duel_edges", "q18_rank_vector_init", "olap_triangle_count",
+        "llm_decontaminate", "llm_substring_dedup",
+        "multimodal_image_decode", "multimodal_video_decode",
         "q16_heroic_iterative",
     } <= window
 

@@ -91,6 +91,7 @@ AUDITED = [
     "llm_substring_dedup",
     "llm_shard_assign",
     "multimodal_mcframe_decode",
+    "llm_decontaminate",
 ]
 
 
@@ -158,6 +159,13 @@ def _fmt_mb(b: int) -> str:
 # Design explanation per outlier — rendered under the table so the
 # numbers never stand uninterpreted.
 NOTES = {
+    "llm_decontaminate": (
+        "the eval shingle set broadcasts as int64 xxhash64 values (round "
+        "9: ~4x smaller than the k=32 char strings it replaced), so the "
+        "corpus-side shingle stream never exchanges on the shingle key; "
+        "the only wide exchange is the per-doc shared-count aggregate — "
+        "fixed-width (doc, long) rows, partial-aggregated map-side."
+    ),
     "multimodal_phash_dedup": (
         "payload bytes never shuffle: the decode scan emits one "
         "(doc_id, 7-int segment array) row per image, so both sw columns "
