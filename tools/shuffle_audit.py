@@ -335,7 +335,20 @@ NOTES = {
         "25-replace-pass quality/language gate) is now the fourth lazy "
         "stage boundary — it was re-executed under both the line-dedup "
         "frequency gate and the cleaned materialization (same-session "
-        "A/B: 13.7 -> 12.0 s on a contended host)."
+        "A/B: 13.7 -> 12.0 s on a contended host). CLOSING round-8 ask "
+        "#3 (shave below ~8 s sf0.1): the round-9 per-stage floor "
+        "measurement (see curation_pipeline_q's docstring) shows the "
+        "wall IS the sum of the five stage minima — gate ~2.0 s, line "
+        "dedup ~2.2 s, survivors ~3.1 s, decontaminate ~1.5 s, pack "
+        "~0.7 s — with no cross-stage re-execution left; at sf0.1 the "
+        "binding constraint is the ~0.3-0.5 s per-job scheduler "
+        "constant across ~15 sequential jobs (the corpus is 0.6 MB in "
+        "one row group), which amortizes away at real scale. Round-9 "
+        "cuts that DO survive at scale: the components closure is one "
+        "union-find task below 4M verified pairs (zero sweep jobs), "
+        "the decontamination broadcast halves to int64 hashes, and "
+        "partition-aware _scatter never re-exchanges an already-wide "
+        "checkpointed stage."
     ),
     "q00_duel_edges": (
         "the events->duels derivation itself (round-7 wrong #1, fixed "
