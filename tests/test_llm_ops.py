@@ -2101,3 +2101,31 @@ def test_mcframe_decode_rejects_ipdc_and_fails_closed(spark):
     df3 = spark.createDataFrame([(did, naked)], "doc_id long, payload binary")
     with pytest.raises(Exception, match="missing MV01"):
         decode_mcframe_frames(df3).collect()
+
+
+def test_scatter_partition_aware_for_nonfile_inputs(spark):
+    """_scatter's round-9 contract for NON-FILE inputs (checkpointed
+    stage boundaries, in-memory frames), where the file-list heuristic is
+    blind: a frame already at-or-above the session parallelism passes
+    through WITHOUT a new exchange (at corpus scale a checkpointed stage
+    arrives thousands of partitions wide — re-exchanging it would move
+    the full text for nothing), while a narrow frame (AQE-coalesced
+    stages collapse to one partition at small SF) is still spread so
+    CPU-bound shingle passes are not pinned to one core."""
+    from big_data_player_analysis_spark.operators.dedup import _scatter
+
+    par = spark.sparkContext.defaultParallelism
+    rows = [(i, f"doc {i}") for i in range(64)]
+    base = spark.createDataFrame(rows, "doc_id long, text string")
+
+    wide = base.repartition(par).localCheckpoint()
+    assert wide.rdd.getNumPartitions() >= par
+    assert _scatter(wide) is wide  # pass-through: no new exchange
+
+    narrow = base.coalesce(1).localCheckpoint()
+    assert narrow.rdd.getNumPartitions() == 1
+    scattered = _scatter(narrow)
+    assert scattered is not narrow
+    assert scattered.rdd.getNumPartitions() == par
+    # output rows are the same frame either way
+    assert sorted(r.doc_id for r in scattered.collect()) == list(range(64))
