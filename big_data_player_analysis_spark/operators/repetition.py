@@ -388,3 +388,138 @@ def remove_duplicate_spans(
         .otherwise(F.col("n_tokens") - F.size(kept).cast("long"))
         .alias("n_removed_tokens"),
     )
+
+
+# ------------------------------------------------------- within-doc profile
+
+# The Gopher within-document repetition signals (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", arXiv:2112.11446 §A1.1): a
+# document dominated by one repeated 3/4-gram, or whose higher-order
+# n-grams are mostly duplicates, is boilerplate/template spam that the
+# shape bounds and unigram/bigram shares (functions/text.py
+# QUALITY_FILTER_RULES) cannot see. Defaults follow the paper's table:
+# top-n-gram share for the low orders, duplicated-n-gram fraction for a
+# higher order. Fractions are over GRAM POSITIONS (count/positions, the
+# same denominator as _top_share) rather than Gopher's character
+# fraction — position fraction is tokenizer-stable and oracle-exact,
+# and orders documents identically for run-dominated repetition.
+REPETITION_TOP_NS = (3, 4)
+REPETITION_DUP_N = 6
+
+
+def repetition_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ns: tuple[int, ...] = REPETITION_TOP_NS,
+    dup_n: int = REPETITION_DUP_N,
+) -> DataFrame:
+    """(doc_id, n_tokens, top{n}_share ..., dup{dup_n}_frac): within-doc
+    repetition profile over normalized word n-grams. top{n}_share is the
+    share of n-gram positions taken by the document's most frequent
+    n-gram; dup{dup_n}_frac the share of dup_n-gram positions whose gram
+    occurs more than once in the document. 0.0 when the document has
+    fewer than n tokens.
+
+    This is the DISTRIBUTED form _top_share's docstring points to for
+    book-length documents: one scan explodes every order's grams as
+    (doc, n, xxhash64(gram)) triples — fixed-width rows, the gram TEXT
+    never leaves its scan split — and ONE (doc, n, gh) hash exchange
+    (partial-aggregated map-side: a document's occurrences sit on one
+    split, so the shuffle moves per-doc DISTINCT gram counts, ~O(tokens)
+    8-byte keys) feeds both the max-count and the duplicated-count
+    aggregates. Distinct grams collide with P ~ n^2/2^65 (the module
+    equivalence argument); the SQL oracle groups gram text itself.
+    Fractions are ratios of small integers (IEEE-exact in any engine),
+    portable-rounded like quality_score."""
+    from big_data_player_analysis_spark.functions.text import ws_tokens_norm
+
+    ns = sorted({*top_ns, dup_n})
+
+    def _gram_at(toks: F.Column, n: int):
+        # a factory, NOT a default-arg bind: Spark infers the lambda's
+        # arity from its signature, so a second parameter would be
+        # treated as the element index
+        def at(i: F.Column) -> F.Column:
+            return F.struct(
+                F.lit(n).alias("n"),
+                F.xxhash64(
+                    F.concat_ws(
+                        " ", *[F.element_at(toks, i + j) for j in range(n)]
+                    )
+                ).alias("gh"),
+            )
+
+        return at
+
+    def _grams(toks: F.Column) -> F.Column:
+        parts = []
+        for n in ns:
+            m = F.size(toks)
+            grams = F.transform(
+                F.sequence(F.lit(1), m - n + 1), _gram_at(toks, n)
+            )
+            parts.append(
+                F.when(m >= n, grams).otherwise(
+                    F.array().cast("array<struct<n:int,gh:bigint>>")
+                )
+            )
+        return F.concat(*parts)
+
+    # let-bind the token array (char_shingles' trick): inlining would
+    # re-normalize + re-split the text once per gram order
+    occ = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.transform(F.array(ws_tokens_norm(F.col(text_col))), _grams)[0]
+        ).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gh").alias("gh"))
+    stats = (
+        occ.groupBy("doc_id", "n", "gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.max("c").alias("mx"),
+            F.sum("c").alias("tot"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0)
+            ).alias("dup"),
+        )
+    )
+
+    def _p6(x: F.Column) -> F.Column:  # portable round (quality_score)
+        return F.floor(x * 1e6 + F.lit(0.5)) / 1e6
+
+    agg_cols = [
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("n") == n,
+                    _p6(F.col("mx") / F.col("tot").cast("double")),
+                )
+            ),
+            F.lit(0.0),
+        ).alias(f"top{n}_share")
+        for n in top_ns
+    ] + [
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("n") == dup_n,
+                    _p6(F.col("dup") / F.col("tot").cast("double")),
+                )
+            ),
+            F.lit(0.0),
+        ).alias(f"dup{dup_n}_frac")
+    ]
+    prof = stats.groupBy("doc_id").agg(*agg_cols)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(ws_tokens_norm(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    out_cols = [f"top{n}_share" for n in top_ns] + [f"dup{dup_n}_frac"]
+    return base.join(prof, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in out_cols],
+    )

@@ -518,7 +518,18 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "multimodal_ipframe_decode",
     "olap_window_distribution",
     "olap_window_topk_per_group",
-    "llm_heavy_ngrams_sketch",
+    # Fifth round-9 rotation: llm_repetition_profile is NEW (the Gopher
+    # within-doc repetition signals — top 3/4-gram position shares +
+    # duplicated 6-gram fraction — in the distributed explode/aggregate
+    # form, hash-keyed exchange, oracle-exact), so it enters with no
+    # driver row; displaced: llm_heavy_ngrams_sketch — hash-green r08
+    # on round-9-unchanged code, and the corpus n-gram counting family
+    # it represents stays in-window via the incoming per-doc profile
+    # (same explode + partial-agg machinery) while its Misra-Gries
+    # merge semantics remain pinned by dedicated property tests and the
+    # local gate (the precedent: llm_top_ngrams displaced
+    # text_quality_score the same way in round 3).
+    "llm_repetition_profile",
     "olap_quantile_shard_merge",
     "llm_curation_pipeline",
     "q16_heroic_iterative",
@@ -604,6 +615,7 @@ EXTENDED_ORDER: tuple[str, ...] = (
     "llm_semantic_dedup",
     "olap_scd2_history",
     "llm_bigram_surprisal",
+    "llm_heavy_ngrams_sketch",
     # round-6 displacements (green r05 rows on round-6-unchanged code)
     "olap_rolling_average",
     "olap_retention_cohorts",

@@ -2625,6 +2625,63 @@ def top_ngrams_q(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Within-doc repetition (Gopher, Rae et al. 2021 §A1.1): the oracle
+# replays the explode -> per-(doc, n, gram) count -> per-(doc, n)
+# max/dup aggregate on the gram TEXT (the Spark side moves xxhash64
+# values — the module's collision-equivalence argument; this string
+# grouping is exactly the cross-check that would surface a collision).
+# Portable floor-rounding, the quality_score convention.
+SQL_REPETITION_PROFILE = f"""
+WITH tk AS (SELECT doc_id, string_split({SQL_NORM}, ' ') AS toks FROM documents),
+occ AS (
+  SELECT doc_id, ns.n,
+         unnest(list_transform(range(1, len(toks) - ns.n + 2),
+                               i -> array_to_string(toks[i:i+ns.n-1], ' '))) AS gram
+  FROM tk, (SELECT unnest([3, 4, 6]) AS n) ns
+  WHERE len(toks) >= ns.n),
+c AS (SELECT doc_id, n, gram, count(*) AS c FROM occ GROUP BY doc_id, n, gram),
+s AS (SELECT doc_id, n, max(c) AS mx, sum(c) AS tot,
+             coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS dup
+      FROM c GROUP BY doc_id, n),
+p AS (SELECT doc_id,
+             max(CASE WHEN n = 3 THEN floor(mx / CAST(tot AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS t3,
+             max(CASE WHEN n = 4 THEN floor(mx / CAST(tot AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS t4,
+             max(CASE WHEN n = 6 THEN floor(dup / CAST(tot AS DOUBLE) * 1e6 + 0.5) / 1e6 END) AS d6
+      FROM s GROUP BY doc_id)
+SELECT tk.doc_id,
+       CAST(len(tk.toks) AS BIGINT) AS n_tokens,
+       coalesce(p.t3, 0.0) AS top3_share,
+       coalesce(p.t4, 0.0) AS top4_share,
+       coalesce(p.d6, 0.0) AS dup6_frac
+FROM tk LEFT JOIN p USING (doc_id)
+"""
+
+
+@query(
+    "llm_repetition_profile",
+    sql=SQL_REPETITION_PROFILE,
+    tags=("llm", "text", "quality"),
+)
+def repetition_profile_q(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition profile (Gopher, Rae et al. 2021
+    §A1.1): per document the share of 3-gram / 4-gram positions taken by
+    its most frequent n-gram and the share of 6-gram positions whose
+    gram repeats — the higher-order repetition gates the per-row
+    unigram/bigram shares in QUALITY_FILTER_RULES cannot see (a document
+    looping one sentence passes both low-order shares). Distributed
+    shape: one scan explodes all three orders as fixed-width
+    (doc, n, xxhash64) triples, one hash exchange partial-aggregated
+    map-side; gram text never leaves its scan split — the form that
+    holds for book-length documents where the per-row higher-order-
+    function scan (functions/text.py:_top_share) would not."""
+    from big_data_player_analysis_spark.operators.repetition import (
+        repetition_profile,
+    )
+
+    docs = t(spark, sf, "documents")
+    return repetition_profile(docs, "doc_id", "text")
+
+
 # ------------------------------------------------------------ BPE training
 
 

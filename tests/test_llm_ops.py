@@ -2129,3 +2129,75 @@ def test_scatter_partition_aware_for_nonfile_inputs(spark):
     assert scattered.rdd.getNumPartitions() == par
     # output rows are the same frame either way
     assert sorted(r.doc_id for r in scattered.collect()) == list(range(64))
+
+
+def test_repetition_profile_matches_python(spark):
+    """Exact parity of the distributed repetition profile against a
+    direct per-document Python computation of the Gopher signals
+    (top-n-gram position share, duplicated-n-gram position fraction)."""
+    import math
+    import re
+    from collections import Counter
+
+    from big_data_player_analysis_spark.operators.repetition import (
+        repetition_profile,
+    )
+
+    texts = {
+        1: "Spam spam SPAM spam spam spam spam spam spam!",
+        2: "the quick brown fox jumps over the lazy dog tonight",
+        3: "ab cd ab cd ab cd ab cd ab cd ab cd",
+        4: "one two three four five six one two three four five six extra",
+        5: "xy",
+        6: "",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_profile(df, "doc_id", "text").collect()}
+
+    def norm_tokens(t):
+        t = re.sub(" +", " ", re.sub(r"[^a-z0-9 ]", "", t.lower())).strip()
+        return t.split(" ")
+
+    def p6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    for doc_id, text in texts.items():
+        toks = norm_tokens(text)
+        row = got[doc_id]
+        assert row.n_tokens == len(toks)
+        for n, col in ((3, "top3_share"), (4, "top4_share")):
+            grams = [tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            want = p6(max(Counter(grams).values()) / len(grams)) if grams else 0.0
+            assert getattr(row, col) == want, (doc_id, col)
+        grams = [tuple(toks[i : i + 6]) for i in range(len(toks) - 5)]
+        c = Counter(grams)
+        want = p6(sum(v for v in c.values() if v >= 2) / len(grams)) if grams else 0.0
+        assert row.dup6_frac == want, doc_id
+
+
+def test_repetition_profile_single_exchange(spark):
+    """The profile's gram stream moves ONE hash exchange of fixed-width
+    (doc, n, xxhash64) rows with a map-side partial aggregate — gram text
+    never shuffles (no second non-join exchange over the occurrence
+    stream; the join-back exchanges are keyed on doc_id only)."""
+    from big_data_player_analysis_spark.operators.repetition import (
+        repetition_profile,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "w%d a b c d e f g" % i) for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = (
+        repetition_profile(df, "doc_id", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "partial_count" in plan or "partial count" in plan.lower()
+    # the only hashpartitioning keys ever used: the gram aggregate's
+    # (doc_id, n, gh) and the final doc_id join
+    import re as _re
+
+    keys = set(_re.findall(r"hashpartitioning\(([^)]*?)#", plan))
+    assert not any("gram" in k for k in keys)

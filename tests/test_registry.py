@@ -141,7 +141,12 @@ def test_primary_window():
         "dedup_minhash_lsh", "multimodal_phash_dedup", "stream_curation_ingest",
         "llm_shard_assign",
         "llm_near_dedup_survivors", "llm_substring_dup_spans",
-        "llm_heavy_ngrams_sketch", "stream_outer_interval_join",
+        # fifth round-9 rotation: llm_repetition_profile (new — Gopher
+        # within-doc repetition signals, distributed form) in;
+        # llm_heavy_ngrams_sketch out (hash-green r08 on round-9-unchanged
+        # code; n-gram counting stays via the incoming profile, MG-sketch
+        # semantics via property tests + the local gate)
+        "llm_repetition_profile", "stream_outer_interval_join",
         "olap_quantile_shard_merge", "olap_ks_drift", "olap_cogroup_order_lag",
         "olap_top_paths",
         "multimodal_ipframe_decode",

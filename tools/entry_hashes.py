@@ -44,11 +44,19 @@ PKG = "big_data_player_analysis_spark"
 # entry, not per-entry implementation; excluding it keeps hashes
 # deterministic and scoped to semantics.
 EXCLUDE_MODULE = f"{PKG}.registry"
-# _COUNT_MEMO is a RUNTIME cache (plan-build corpus counts): its repr
-# varies with what a session has already counted, which is execution
-# state, not implementation — hashing it made the closure hash depend on
-# test order (round-9 finding).
-EXCLUDE_NAMES = {"_REGISTRY", "PRIMARY_ORDER", "EXTENDED_ORDER", "_COUNT_MEMO"}
+# _COUNT_MEMO and _TRACKED are RUNTIME state (plan-build corpus counts;
+# the tracked persist/checkpoint release list): their reprs vary with
+# what a session has already executed, which is execution state, not
+# implementation — hashing them made closure hashes depend on test order
+# (round-9 findings: _COUNT_MEMO via the dispatch counts, _TRACKED via
+# any entry referencing tracked_persist once a query had actually run).
+EXCLUDE_NAMES = {
+    "_REGISTRY",
+    "PRIMARY_ORDER",
+    "EXTENDED_ORDER",
+    "_COUNT_MEMO",
+    "_TRACKED",
+}
 BASELINE = os.path.join(os.path.dirname(__file__), "entry_hashes.json")
 
 _CONST_TYPES = (int, float, str, bool, bytes, tuple, list, dict)

@@ -217,6 +217,16 @@ def timed(build) -> float:
     return round(min(times), 2)
 
 
+def _repetition_profile_probe(docs):
+    """Within-doc Gopher repetition signals over the scaled corpus: one
+    fixed-width hash exchange of O(tokens) rows — linear by design."""
+    from big_data_player_analysis_spark.operators.repetition import (
+        repetition_profile,
+    )
+
+    return repetition_profile(docs, "doc_id", "text")
+
+
 def _curation_pipeline_probe(docs):
     """The end-to-end mega-pipeline over the scaled corpus. Growth should
     be the max of its stages' rows (all individually near-linear); a
@@ -751,6 +761,10 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
         # constant and the row should read near-linear
         "llm_title_hamming_dedup": lambda: _title_hamming_probe(docs),
         "llm_curation_pipeline": lambda: _curation_pipeline_probe(docs),
+        # within-doc Gopher repetition (round-9): one (doc, n, gh) hash
+        # exchange of O(tokens) fixed-width rows — the row should read
+        # linear at every step
+        "llm_repetition_profile": lambda: _repetition_profile_probe(docs),
         "dedup_ngram_jaccard": lambda: dedup_ngram_jaccard(
             docs, "doc_id", "text", 8, 0.6, 20
         ),

@@ -92,6 +92,7 @@ AUDITED = [
     "llm_shard_assign",
     "multimodal_mcframe_decode",
     "llm_decontaminate",
+    "llm_repetition_profile",
 ]
 
 
@@ -159,6 +160,14 @@ def _fmt_mb(b: int) -> str:
 # Design explanation per outlier — rendered under the table so the
 # numbers never stand uninterpreted.
 NOTES = {
+    "llm_repetition_profile": (
+        "within-doc Gopher repetition signals: all three gram orders "
+        "explode as fixed-width (doc, n, xxhash64) triples in one scan "
+        "and move through ONE hash exchange, partial-aggregated "
+        "map-side to per-doc distinct-gram counts — gram TEXT never "
+        "leaves its scan split, so shuffle is O(tokens) 8-byte keys "
+        "regardless of document length."
+    ),
     "llm_decontaminate": (
         "the eval shingle set broadcasts as int64 xxhash64 values (round "
         "9: ~4x smaller than the k=32 char strings it replaced), so the "
