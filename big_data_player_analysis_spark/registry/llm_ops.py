@@ -2660,7 +2660,7 @@ FROM tk LEFT JOIN p USING (doc_id)
 @query(
     "llm_repetition_profile",
     sql=SQL_REPETITION_PROFILE,
-    tags=("llm", "text", "quality"),
+    tags=("llm", "text", "quality", "bench"),
 )
 def repetition_profile_q(spark: SparkSession, sf: str) -> DataFrame:
     """Within-document repetition profile (Gopher, Rae et al. 2021
