@@ -421,14 +421,24 @@ def repetition_profile(
     occurs more than once in the document. 0.0 when the document has
     fewer than n tokens.
 
-    This is the DISTRIBUTED form _top_share's docstring points to for
-    book-length documents: one scan explodes every order's grams as
-    (doc, n, xxhash64(gram)) triples — fixed-width rows, the gram TEXT
-    never leaves its scan split — and ONE (doc, n, gh) hash exchange
-    (partial-aggregated map-side: a document's occurrences sit on one
-    split, so the shuffle moves per-doc DISTINCT gram counts, ~O(tokens)
-    8-byte keys) feeds both the max-count and the duplicated-count
-    aggregates. Distinct grams collide with P ~ n^2/2^65 (the module
+    Scale shape (round-9 optimization): the profile is a pure PER-DOCUMENT
+    function, so it is computed with ZERO exchanges — one narrow scan
+    projection per row, no explode-to-rows, no groupBy, no join-back. Per
+    order n the gram xxhash64 array is sorted (array_sort, O(m log m)
+    JVM) and run-lengths over the sorted array give every count the old
+    grouped form aggregated: mx = longest run, dup positions = total minus
+    singleton runs. The first form (explode (doc, n, gh) triples -> two
+    hash aggregates -> join back onto the corpus) moved O(tokens) rows
+    through THREE exchanges plus a join exchange to compute a quantity
+    that never leaves its document — at 100 TB that is the whole corpus'
+    token stream shuffled three times for nothing (guide §2.4); measured
+    at sf0.1 it was also 6x slower (3.7 s -> 0.6 s, plans/r09). Per-task
+    memory is bounded by the document's own gram count — the same bound
+    the explode form's scan already carried.
+
+    Gram identity is multi-argument xxhash64 over the n tokens (tokens are
+    whitespace-split, so the tuple identity equals the space-joined text
+    identity): distinct grams collide with P ~ n^2/2^65 (the module
     equivalence argument); the SQL oracle groups gram text itself.
     Fractions are ratios of small integers (IEEE-exact in any engine),
     portable-rounded like quality_score."""
@@ -436,90 +446,99 @@ def repetition_profile(
 
     ns = sorted({*top_ns, dup_n})
 
-    def _gram_at(toks: F.Column, n: int):
-        # a factory, NOT a default-arg bind: Spark infers the lambda's
-        # arity from its signature, so a second parameter would be
-        # treated as the element index
+    def _bind(col: F.Column, f) -> F.Column:
+        # let-bind (char_shingles' trick): evaluate `col` once and pass it
+        # as a lambda variable — ProjectCollapsing would otherwise inline
+        # an alias into every use site and re-evaluate it
+        return F.transform(F.array(col), f)[0]
+
+    def _gram_hashes(toks: F.Column, n: int) -> F.Column:
+        # multi-argument xxhash64 over the n tokens directly: no per-gram
+        # concat_ws string allocation (measured ~30% of the gram+sort cost
+        # at sf0.1); tokens are whitespace-split so the n-tuple identity
+        # equals the joined-text identity the SQL oracle groups on
         def at(i: F.Column) -> F.Column:
-            return F.struct(
-                F.lit(n).alias("n"),
-                F.xxhash64(
-                    F.concat_ws(
-                        " ", *[F.element_at(toks, i + j) for j in range(n)]
-                    )
-                ).alias("gh"),
+            return F.xxhash64(*[F.element_at(toks, i + j) for j in range(n)])
+
+        return F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1), at)
+
+    def _run_stats(ghs: F.Column) -> F.Column:
+        """struct(mx, dup, tot) from one sorted run-length scan: sort the
+        gram hashes, mark run starts (first position or value change),
+        run length = gap to the next start."""
+
+        def with_sorted(srt: F.Column) -> F.Column:
+            tot = F.size(srt)
+            starts = F.filter(
+                F.sequence(F.lit(1), tot),
+                # try_element_at: NULL at i=1 (index 0), which the OR's
+                # left arm absorbs — never an ANSI index error
+                lambda i: (i == F.lit(1))
+                | (F.element_at(srt, i) != F.try_element_at(srt, i - 1)),
             )
 
-        return at
-
-    def _grams(toks: F.Column) -> F.Column:
-        parts = []
-        for n in ns:
-            m = F.size(toks)
-            grams = F.transform(
-                F.sequence(F.lit(1), m - n + 1), _gram_at(toks, n)
-            )
-            parts.append(
-                F.when(m >= n, grams).otherwise(
-                    F.array().cast("array<struct<n:int,gh:bigint>>")
+            def with_starts(st: F.Column) -> F.Column:
+                lens = F.zip_with(
+                    st,
+                    F.concat(
+                        F.slice(st, 2, F.size(st) - 1), F.array(tot + 1)
+                    ),
+                    lambda s, e: e - s,
                 )
-            )
-        return F.concat(*parts)
 
-    # let-bind the token array (char_shingles' trick): inlining would
-    # re-normalize + re-split the text once per gram order
-    occ = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.transform(F.array(ws_tokens_norm(F.col(text_col))), _grams)[0]
-        ).alias("g"),
-    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gh").alias("gh"))
-    stats = (
-        occ.groupBy("doc_id", "n", "gh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id", "n")
-        .agg(
-            F.max("c").alias("mx"),
-            F.sum("c").alias("tot"),
-            F.coalesce(
-                F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0)
-            ).alias("dup"),
-        )
-    )
+                def with_lens(ln: F.Column) -> F.Column:
+                    return F.struct(
+                        F.array_max(ln).alias("mx"),
+                        (
+                            tot
+                            - F.size(F.filter(ln, lambda l: l == F.lit(1)))
+                        ).alias("dup"),
+                        tot.alias("tot"),
+                    )
+
+                return _bind(lens, with_lens)
+
+            return _bind(starts, with_starts)
+
+        return _bind(F.array_sort(ghs), with_sorted)
+
+    def _profile(toks: F.Column) -> F.Column:
+        fields = [F.size(toks).cast("long").alias("n_tokens")]
+        for n in ns:
+            fields.append(
+                F.when(
+                    F.size(toks) >= n, _run_stats(_gram_hashes(toks, n))
+                ).alias(f"s{n}")
+            )
+        return F.struct(*fields)
 
     def _p6(x: F.Column) -> F.Column:  # portable round (quality_score)
         return F.floor(x * 1e6 + F.lit(0.5)) / 1e6
 
-    agg_cols = [
+    # explode(array(struct)): the Generate node is a projection barrier, so
+    # the profile struct is computed ONCE per row — extracting fields from
+    # a plain struct column would re-inline the whole expression per field
+    prof = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.array(_bind(ws_tokens_norm(F.col(text_col)), _profile))
+        ).alias("_p"),
+    )
+    sel = [F.col("doc_id"), F.col("_p.n_tokens").alias("n_tokens")]
+    for n in top_ns:
+        sel.append(
+            F.coalesce(
+                _p6(F.col(f"_p.s{n}.mx") / F.col(f"_p.s{n}.tot").cast("double")),
+                F.lit(0.0),
+            ).alias(f"top{n}_share")
+        )
+    sel.append(
         F.coalesce(
-            F.max(
-                F.when(
-                    F.col("n") == n,
-                    _p6(F.col("mx") / F.col("tot").cast("double")),
-                )
-            ),
-            F.lit(0.0),
-        ).alias(f"top{n}_share")
-        for n in top_ns
-    ] + [
-        F.coalesce(
-            F.max(
-                F.when(
-                    F.col("n") == dup_n,
-                    _p6(F.col("dup") / F.col("tot").cast("double")),
-                )
+            _p6(
+                F.col(f"_p.s{dup_n}.dup")
+                / F.col(f"_p.s{dup_n}.tot").cast("double")
             ),
             F.lit(0.0),
         ).alias(f"dup{dup_n}_frac")
-    ]
-    prof = stats.groupBy("doc_id").agg(*agg_cols)
-    base = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(ws_tokens_norm(F.col(text_col))).cast("long").alias("n_tokens"),
     )
-    out_cols = [f"top{n}_share" for n in top_ns] + [f"dup{dup_n}_frac"]
-    return base.join(prof, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        *[F.coalesce(F.col(c), F.lit(0.0)).alias(c) for c in out_cols],
-    )
+    return prof.select(*sel)

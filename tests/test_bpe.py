@@ -61,10 +61,30 @@ def test_bpe_matches_reference_algorithm(spark):
     """Twelve merges over a corpus engineered for shared subwords (low/
     lower/lowest, new/newer/newest, wide/wider/widest) must reproduce the
     Python reference EXACTLY — order, pairs, and counts — including
-    EOW-involving merges and count ties broken lexicographically."""
+    EOW-involving merges and count ties broken lexicographically.
+    (Default gate: the driver-local incremental-pair-count path.)"""
     docs = spark.createDataFrame(CORPUS, "text string")
     got = bpe_train(docs, "text", n_merges=12).merges
     assert got == python_bpe(CORPUS, 12)
+
+
+def test_bpe_distributed_path_matches_local_and_reference(spark):
+    """local_max_words=0 forces the distributed vocab loop; its merge
+    table (order, pairs, counts) and final vocab rows must be identical
+    to the driver-local gate path and the pure-Python reference — the
+    round-9 size-gated dispatch must be invisible in the output."""
+    docs = spark.createDataFrame(CORPUS, "text string")
+    dist = bpe_train(docs, "text", n_merges=12, local_max_words=0)
+    local = bpe_train(docs, "text", n_merges=12)
+    assert dist.merges == local.merges == python_bpe(CORPUS, 12)
+    assert dist.iterations == local.iterations
+    dist_vocab = sorted(
+        [(r["word"], r["freq"], r["symbols"]) for r in dist.vocab.collect()]
+    )
+    local_vocab = sorted(
+        [(r["word"], r["freq"], r["symbols"]) for r in local.vocab.collect()]
+    )
+    assert dist_vocab == local_vocab
 
 
 def test_bpe_merge_fold_is_greedy_non_overlapping(spark):
@@ -94,7 +114,9 @@ def test_bpe_plan_does_not_grow(spark):
     plans as a bounded tree over a materialized RDD scan, not a
     12-iteration expression pyramid."""
     docs = spark.createDataFrame(CORPUS, "text string")
-    res = bpe_train(docs, "text", n_merges=12, checkpoint_every=4)
+    # local_max_words=0: the no-growth contract is a property of the
+    # DISTRIBUTED loop (the driver-local gate path has no Spark lineage)
+    res = bpe_train(docs, "text", n_merges=12, checkpoint_every=4, local_max_words=0)
     plan = res.vocab._jdf.queryExecution().optimizedPlan().toString()
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
     # at most checkpoint_every merge folds above the checkpoint scan

@@ -2175,11 +2175,11 @@ def test_repetition_profile_matches_python(spark):
         assert row.dup6_frac == want, doc_id
 
 
-def test_repetition_profile_single_exchange(spark):
-    """The profile's gram stream moves ONE hash exchange of fixed-width
-    (doc, n, xxhash64) rows with a map-side partial aggregate — gram text
-    never shuffles (no second non-join exchange over the occurrence
-    stream; the join-back exchanges are keyed on doc_id only)."""
+def test_repetition_profile_zero_exchange(spark):
+    """Round-9 optimization: the profile is pure per-document math, so the
+    physical plan must contain NO Exchange (the pre-r9 grouped form moved
+    the corpus' gram stream through three exchanges plus a join) and no
+    Python boundary — one narrow JVM projection over the scan."""
     from big_data_player_analysis_spark.operators.repetition import (
         repetition_profile,
     )
@@ -2194,10 +2194,5 @@ def test_repetition_profile_single_exchange(spark):
         .executedPlan()
         .toString()
     )
-    assert "partial_count" in plan or "partial count" in plan.lower()
-    # the only hashpartitioning keys ever used: the gram aggregate's
-    # (doc_id, n, gh) and the final doc_id join
-    import re as _re
-
-    keys = set(_re.findall(r"hashpartitioning\(([^)]*?)#", plan))
-    assert not any("gram" in k for k in keys)
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
