@@ -264,14 +264,31 @@ def _duplicate_spans(
             out.append((b_pow[b - 1] * (s_hi - s_lo)).astype(np.int64))
         return pd.Series(out)
 
+    # asNondeterministic (guide §4.4): InferFiltersFromGenerate derives a
+    # `size(_wh) > 0 AND isnotnull(_wh)` predicate from the posexplode and
+    # pushes it below the scatter exchange — duplicating the WHOLE rolling-
+    # hash UDF (one ArrowEvalPython below the exchange feeding only the
+    # filter, a second above it recomputing the arrays; verified in
+    # plans/r09/llm_substring_dup_spans_before.txt nodes 6/11). The hash is
+    # genuinely deterministic; the mark only forbids the optimizer from
+    # cloning it.
+    _hashes = _window_hashes.asNondeterministic()
+
+    # Persisted: the position stream is consumed by TWO subtrees (the
+    # dup-set aggregate and the semi-join probe), and without the persist
+    # each re-ran the CPU-bound Arrow hash pass over the whole corpus —
+    # the same double-scan remove_repeated_windows' persist already
+    # prevents for its window table. Rows are narrow (doc_id, p, whash)
+    # int64 triples, O(token positions).
     wins = (
         base.filter(F.col("n_tokens") >= k)
-        .select("doc_id", _window_hashes("_text").alias("_wh"))
+        .select("doc_id", _hashes("_text").alias("_wh"))
         .select(
             "doc_id",
             F.posexplode("_wh").alias("p", "whash"),
         )
         .select("doc_id", F.col("p").cast("long").alias("p"), "whash")
+        .transform(tracked_persist)
     )
     dup = (
         wins.groupBy("whash")
