@@ -165,23 +165,36 @@ def main() -> None:
     # totals disagreeing by >25% (a burst that started mid-run; under a
     # uniform-load burst both passes inflate together, which the ambient
     # check catches, while a burst covering one pass leaves a total gap).
+    # MEASUREMENT FIX (round 9, documented in OPTIMIZATION_r09.md): the
+    # suite now ALWAYS runs three interleaved passes. The conditional
+    # third pass made the reported min depend on whether passes 1-2
+    # happened to disagree by >25%: JVM JIT warmup alone drops the pass
+    # total monotonically (measured same tree, same quiet host:
+    # 248.9 -> 140.9 -> 106.2 s), so a run that stopped at two passes
+    # recorded systematically slower per-query minima than a run that
+    # tripped the third — a 1.4-2x phantom regression on every entry
+    # when comparing a 2-pass record against a 3-pass one. Min-across-
+    # passes semantics and all fields are unchanged; a FOURTH pass still
+    # runs under the old contention triggers (high ambient load, or the
+    # last two passes still disagreeing >25%).
     LOAD_AMBIENT_MAX = 4.0
     PASS_GAP_MAX = 1.25
+    N_PASSES = 3
     runs: dict[str, list[float]] = {name: [] for name in names}
-    for _pass in range(2):
+    for _pass in range(N_PASSES):
         for name in names:
             runs[name].append(run_one(spark, specs[name], sf_dir))
     pass_totals = [
-        round(sum(ts[p] for ts in runs.values()), 3) for p in range(2)
+        round(sum(ts[p] for ts in runs.values()), 3) for p in range(N_PASSES)
     ]
     extra_pass = ambient_load > LOAD_AMBIENT_MAX or (
-        max(pass_totals) > PASS_GAP_MAX * min(pass_totals)
+        max(pass_totals[-2:]) > PASS_GAP_MAX * min(pass_totals[-2:])
     )
     if extra_pass:
         for name in names:
             runs[name].append(run_one(spark, specs[name], sf_dir))
         pass_totals.append(
-            round(sum(ts[2] for ts in runs.values()), 3)
+            round(sum(ts[N_PASSES] for ts in runs.values()), 3)
         )
     timings = {name: min(ts) for name, ts in runs.items()}
 

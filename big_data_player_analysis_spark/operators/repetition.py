@@ -25,9 +25,14 @@ Scale design (100 TB):
     above the gate it runs as a plain shuffle anti-join — AQE still
     converts it to a broadcast at runtime if the set turns out small,
     but an unbounded set can no longer OOM the driver via a forced hint;
-  * the rebuild groups windows by doc_id — a shuffle of surviving window
-    text that is unavoidable for reassembly but proportional to output
-    size, with collect_list partially aggregated.
+  * the rebuild (round-9) never shuffles window text at all: only the
+    BOILERPLATE occurrences (doc_id, widx — bounded by duplicated
+    windows, tiny under the min_docs contract) group per document, and
+    the per-doc bad-index array joins back onto the corpus row (AQE
+    broadcast when small) where a hash-based array_except cuts the
+    windows in place. The pre-r9 shape re-assembled documents with a
+    groupBy over surviving window TEXT — a corpus-sized exchange for
+    rows that already sat together on one partition.
 
 Identity of a window is its xxhash64 on the Spark side (the SQL oracle
 groups on the window text itself): distinct windows collide with
@@ -102,24 +107,26 @@ def remove_repeated_windows(
     shuffle anti-join unconditionally."""
     if window_tokens <= 0 or min_docs < 2:
         raise ValueError("need window_tokens > 0 and min_docs >= 2")
-    # Persisted: the window table is read THREE times (frequent-set
-    # aggregate, the anti-join's probe side, per-doc window counts), and
-    # without the persist each read re-executed the tokenise/explode AND
-    # every upstream stage of the input (in the curation pipeline that is
-    # the whole quality/language gate — measured as the second-largest
-    # stage cost purely from re-execution).
+    # Persisted: the window table is read twice (frequent-set aggregate,
+    # the boilerplate-occurrence probe), and without the persist each
+    # read re-executed the tokenise/explode AND every upstream stage of
+    # the input (in the curation pipeline that is the whole quality/
+    # language gate). Round-9: the persisted stream is (doc_id, widx,
+    # whash) ONLY — window TEXT no longer needs to survive the scan (see
+    # the rebuild below), which shrinks the cached bytes to three int64s
+    # per window.
     from big_data_player_analysis_spark.operators.dedup import _scatter
 
     # scatter=False for composed callers whose input is already spread
     # (the curation pipeline scatters its train side once up front — the
     # file-list heuristic cannot see that through the intervening
     # projections and would re-exchange the text)
+    spread = _scatter(df) if scatter else df
     wins = (
-        _windows(_scatter(df) if scatter else df, id_col, text_col, window_tokens)
-        .withColumn("whash", F.xxhash64("wtext"))
+        _windows(spread, id_col, text_col, window_tokens)
+        .select("doc_id", "widx", F.xxhash64("wtext").alias("whash"))
         .transform(tracked_persist)
     )
-    per_doc = wins.select("doc_id", "n_windows").distinct()
     frequent = (
         wins.select("doc_id", "whash")
         .distinct()
@@ -131,22 +138,57 @@ def remove_repeated_windows(
     )
     if broadcast_max_rows > 0 and frequent.count() <= broadcast_max_rows:
         frequent = F.broadcast(frequent)
-    kept = wins.join(frequent, "whash", "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("widx", "wtext"))),
-                lambda s: s["wtext"],
-            ),
-            " ",
-        ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
+    # ROUND-9 REBUILD (guide §2.3 "shuffle keys, not payloads"): the old
+    # rebuild anti-joined the persisted window TEXT against the frequent
+    # set and re-assembled documents with a groupBy(doc_id) collect_list —
+    # shuffling every surviving window's text (~the whole corpus) just to
+    # bring rows that ALREADY sat on one partition back together. Instead,
+    # ship only the BOILERPLATE occurrences: semi-join the (doc_id, widx,
+    # whash) stream against the frequent set and collect each document's
+    # bad window indices (duplicated-occurrence-sized, tiny by the
+    # min_docs contract), then join that array back onto the corpus row
+    # (AQE broadcasts the bad side when small; a pathological bad set
+    # degrades to the keyed shuffle join the old shape always paid) and
+    # cut windows with a codegen'd index filter. Corpus text now moves
+    # through ZERO exchanges beyond the optional scatter.
+    bad = (
+        wins.join(frequent, "whash", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("widx").alias("_bad"))
     )
-    return per_doc.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-        "n_windows",
-        (F.col("n_windows") - F.coalesce("n_kept", F.lit(0))).alias("n_removed"),
+    toks = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n = F.ceil(F.size(toks) / F.lit(float(window_tokens))).cast("long")
+    base = spread.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("_toks"),
+        n.alias("n_windows"),
+    )
+    # array_except is hash-set based (O(n + |bad|), order-preserving over
+    # its first argument) — a per-element array_contains scan would be
+    # O(n * |bad|) on a boilerplate-heavy document
+    kept_idx = F.array_except(
+        F.sequence(F.lit(0).cast("long"), F.col("n_windows") - 1),
+        F.coalesce(F.col("_bad"), F.array().cast("array<long>")),
+    )
+    w = window_tokens
+    return (
+        base.join(bad, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    kept_idx,
+                    lambda i: F.array_join(
+                        F.slice(F.col("_toks"), i * w + 1, w), " "
+                    ),
+                ),
+                " ",
+            ).alias("clean_text"),
+            "n_windows",
+            (F.col("n_windows") - F.size(kept_idx).cast("long")).alias(
+                "n_removed"
+            ),
+        )
     )
 
 

@@ -96,11 +96,14 @@ class TestRemoveRepeatedWindows:
         }
         assert out[1] == "k1 k2 k3 k4"
 
-    def test_frequent_join_is_broadcast_anti(self, spark):
+    def test_frequent_join_is_broadcast_semi(self, spark):
+        # round-9 rebuild: the frequent probe is a broadcast LEFT SEMI
+        # onto the narrow (doc_id, widx, whash) stream; window text never
+        # joins or shuffles (the old broadcast LeftAnti regrouped text)
         df = self._df(spark, [(1, "a b"), (2, "a b")])
         out = remove_repeated_windows(df, "doc_id", "text", window_tokens=2)
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
 
     def test_sf_corpus_removal_monotone(self, spark, sf_small):
         docs = load_table(spark, sf_small, "documents")

@@ -461,13 +461,16 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
 
 
 def test_line_dedup_broadcast_gate_both_paths(spark):
-    """The frequent-window anti-join must take the broadcast hint ONLY when
+    """The frequent-window probe must take the broadcast hint ONLY when
     the counted frequent set sits under the gate (round-3 verdict: the
-    unconditional hint OOMs at min_docs=2 web scale). Under the gate the
-    plan shows a broadcast LeftAnti; with the gate closed
-    (broadcast_max_rows=0) it must NOT force a broadcast — the anti-join
-    plans as a shuffle join. autoBroadcastJoinThreshold is disabled so the
-    assertion sees only the hint's effect, not a stats-based conversion."""
+    unconditional hint OOMs at min_docs=2 web scale). Since the round-9
+    rebuild the probe is a LEFT SEMI join of the (doc_id, widx, whash)
+    stream against the frequent set (the old LeftAnti + text-regroup
+    rebuild is gone — window text no longer shuffles at all): under the
+    gate the semi join is a broadcast; with the gate closed
+    (broadcast_max_rows=0) it must NOT force a broadcast — it plans as a
+    shuffle join. autoBroadcastJoinThreshold is disabled so the assertion
+    sees only the hint's effect, not a stats-based conversion."""
     from big_data_player_analysis_spark.catalog import load_table
     from big_data_player_analysis_spark.operators.repetition import (
         remove_repeated_windows,
@@ -478,15 +481,19 @@ def test_line_dedup_broadcast_gate_both_paths(spark):
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         p_bc = plan_str(remove_repeated_windows(docs, "doc_id", "text"))
-        assert "LeftAnti" in p_bc
+        assert "LeftSemi" in p_bc
         assert "BroadcastHashJoin" in p_bc and "BuildRight" in p_bc
 
         p_sh = plan_str(
             remove_repeated_windows(docs, "doc_id", "text", broadcast_max_rows=0)
         )
-        assert "LeftAnti" in p_sh
-        assert "BroadcastHashJoin" not in p_sh  # no forced hint, no stats path
-        assert "SortMergeJoin" in p_sh or "ShuffledHashJoin" in p_sh
+        assert "LeftSemi" in p_sh
+        # the only broadcast allowed with the gate closed is the tiny
+        # per-doc bad-index table's join-back (LeftOuter, stats-free here
+        # because autoBroadcast is disabled) — the frequent-set probe
+        # itself must not force one
+        assert "BroadcastHashJoin LeftSemi" not in p_sh
+        assert "SortMergeJoin LeftSemi" in p_sh or "ShuffledHashJoin LeftSemi" in p_sh
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
