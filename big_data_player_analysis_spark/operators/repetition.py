@@ -122,6 +122,17 @@ def remove_repeated_windows(
     # file-list heuristic cannot see that through the intervening
     # projections and would re-exchange the text)
     spread = _scatter(df) if scatter else df
+    if spread is not df:
+        # the scatter actually fired (compact input): persist it, because
+        # TWO consumers read the text (the window-hash stream and the
+        # rebuild side) and each would otherwise re-run the round-robin
+        # exchange — measured at composed sf1 as a second 12 MB raw-text
+        # shuffle, MORE than the rebuild rewrite saved. A 100 TB input
+        # skips the scatter (and this persist) entirely; a compact input
+        # is by definition the case where caching its text is cheap, and
+        # the pre-r9 shape cached strictly more (the exploded window
+        # table, text included).
+        spread = tracked_persist(spread)
     wins = (
         _windows(spread, id_col, text_col, window_tokens)
         .select("doc_id", "widx", F.xxhash64("wtext").alias("whash"))

@@ -3157,10 +3157,11 @@ def curation_pipeline_q(spark: SparkSession, sf: str) -> DataFrame:
 
     Scale shape: the pipeline's exchange budget is the SUM of its
     stages' (SHUFFLE.md) — stages hand off narrow (id, text/count)
-    projections, the one text-sized exchange is the line-dedup window
-    aggregate, dedup moves ~0.02x of its input through the band
-    exchange, the eval shingle set broadcasts, and packing is one grp
-    exchange of (id, nt). The DAG fans out at three stage boundaries
+    projections, the line-dedup stage moves only (doc, widx, whash)
+    int64 triples plus per-doc bad-window indices (round-9: the rebuild
+    no longer regroups window text at all), dedup moves ~0.02x of its
+    input through the band exchange, the eval shingle set broadcasts,
+    and packing is one grp exchange of (id, nt). The DAG fans out at three stage boundaries
     (cleaned text feeds both sides of the dedup; survivors feed both
     decontamination and the final projection; the decontaminated
     `final` table feeds both the packer and the join-back), so those

@@ -761,9 +761,9 @@ def probe_set(docs, emb, events=None, factor=1, events_path=None, docs_path=None
         # constant and the row should read near-linear
         "llm_title_hamming_dedup": lambda: _title_hamming_probe(docs),
         "llm_curation_pipeline": lambda: _curation_pipeline_probe(docs),
-        # within-doc Gopher repetition (round-9): one (doc, n, gh) hash
-        # exchange of O(tokens) fixed-width rows — the row should read
-        # linear at every step
+        # within-doc Gopher repetition (round-9 optimization): pure
+        # per-document projection, ZERO exchanges (sorted-run-length scan
+        # per gram order) — the row should read linear at every step
         "llm_repetition_profile": lambda: _repetition_profile_probe(docs),
         "dedup_ngram_jaccard": lambda: dedup_ngram_jaccard(
             docs, "doc_id", "text", 8, 0.6, 20

@@ -72,6 +72,7 @@ AUDITED = [
     "olap_rolling_average",
     "olap_anomaly_zscore",
     "llm_bigram_surprisal",
+    "llm_repetition_profile",
     "llm_substring_dup_spans",
     "llm_cdc_chunks",
     "stream_near_dedup_ingest",
@@ -161,12 +162,25 @@ def _fmt_mb(b: int) -> str:
 # numbers never stand uninterpreted.
 NOTES = {
     "llm_repetition_profile": (
-        "within-doc Gopher repetition signals: all three gram orders "
-        "explode as fixed-width (doc, n, xxhash64) triples in one scan "
-        "and move through ONE hash exchange, partial-aggregated "
-        "map-side to per-doc distinct-gram counts — gram TEXT never "
-        "leaves its scan split, so shuffle is O(tokens) 8-byte keys "
-        "regardless of document length."
+        "within-doc Gopher repetition signals, round-9 optimization: a "
+        "pure per-document projection with ZERO exchanges — per gram "
+        "order the xxhash64 gram array is sorted and a run-length scan "
+        "yields max/duplicated/total counts in place. The pre-r9 form "
+        "exploded (doc, n, gh) triples through three hash exchanges "
+        "plus a join-back; nothing about this quantity ever needed to "
+        "leave its document."
+    ),
+    "llm_line_dedup": (
+        "C4 boilerplate-window removal, round-9 rebuild: the persisted "
+        "window stream is narrow (doc_id, widx, whash) int64 triples — "
+        "window TEXT never shuffles. Exchanges are the distinct "
+        "(doc, whash) document-frequency aggregate (partial-agged, "
+        "8-byte keys), the size-gated frequent-set broadcast, and a "
+        "tiny per-doc bad-window-index aggregate (bounded by duplicated "
+        "occurrences) that joins back onto the corpus row where a "
+        "hash-based array_except cuts windows in place. The pre-r9 "
+        "rebuild re-assembled documents with a groupBy over surviving "
+        "window text — a corpus-sized exchange this shape deletes."
     ),
     "llm_decontaminate": (
         "the eval shingle set broadcasts as int64 xxhash64 values (round "
