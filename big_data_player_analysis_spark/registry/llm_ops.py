@@ -2668,12 +2668,14 @@ def repetition_profile_q(spark: SparkSession, sf: str) -> DataFrame:
     its most frequent n-gram and the share of 6-gram positions whose
     gram repeats — the higher-order repetition gates the per-row
     unigram/bigram shares in QUALITY_FILTER_RULES cannot see (a document
-    looping one sentence passes both low-order shares). Distributed
-    shape: one scan explodes all three orders as fixed-width
-    (doc, n, xxhash64) triples, one hash exchange partial-aggregated
-    map-side; gram text never leaves its scan split — the form that
-    holds for book-length documents where the per-row higher-order-
-    function scan (functions/text.py:_top_share) would not."""
+    looping one sentence passes both low-order shares). Scale shape
+    (round-9 optimization): a pure per-document projection with ZERO
+    exchanges — per gram order the xxhash64 gram array is sorted in
+    place and a run-length scan yields max/duplicated/total counts
+    (operators/repetition.py:repetition_profile); O(m log m) per doc,
+    nothing leaves its scan split, which also beats the per-row
+    O(distinct*n) scan (functions/text.py:_top_share) on book-length
+    documents."""
     from big_data_player_analysis_spark.operators.repetition import (
         repetition_profile,
     )
