@@ -126,12 +126,17 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stays within int64 (122 * sum(31^0..31^7) < 2^45).
 
     Scale shape: one narrow Arrow pass computes each document's chunk-end
-    list (see the in-function note on the measured rejection of the
-    pure-expression forms); segment construction, substr, and md5 are
-    JVM expressions. NO shuffle anywhere: chunk rows stay on their
-    document's scan split like the other chunkers (plan-pinned)."""
-    from big_data_player_analysis_spark.functions.text import normalize_text
-
+    list AND each chunk's md5 (round-10: the former JVM tail paid one
+    md5(substr(norm, s, len)) per chunk, and UTF8String.substr walks the
+    string from position 0 — O(chunk_start) per chunk, quadratic per
+    document, measured as most of the operator's 5.8 s sf1 wall; hashing
+    the byte slices where the bytes already sit is O(len) per document
+    and drops the two JVM regex passes too, since normalization moved
+    into the same pass — dedup._np_norm_bytes' byte-level exact-twin
+    argument). hashlib.md5 over the identical bytes produces the identical
+    lowercase hex digest as the JVM md5. NO shuffle anywhere: chunk rows
+    stay on their document's scan split like the other chunkers
+    (plan-pinned)."""
     # The window-hash scan runs as ONE vectorized Arrow pass per row (the
     # minhash_signatures design): numpy's sliding_window_view over the
     # normalized text's single-byte codes gives the window matrix with
@@ -141,47 +146,70 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # multi-minute stall at 64x), and a Horner chain of zip_with's over
     # shifted slices of the code array, though linear, pays interpreted
     # higher-order-lambda cost per element (~8 ms/doc, 80x the Arrow
-    # pass). Segment construction and hashing stay JVM-side expressions.
+    # pass).
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from big_data_player_analysis_spark.operators.dedup import _np_norm_bytes
+
     w, p, div = CDC_WINDOW, CDC_PRIME, CDC_DIVISOR
 
-    def _ends_fn(norm):
+    def _chunks_fn(lt):
+        import hashlib
+
         import numpy as np
 
         pows = np.asarray(CDC_POW, dtype=np.int64)
-        out = []
-        for s in norm:
-            raw = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
+        ends_out, md5_out = [], []
+        for s in lt:
+            raw = _np_norm_bytes(s)
+            nb = raw.tobytes()
             if raw.size < w:
-                out.append([int(raw.size)])  # one (possibly empty) chunk
-                continue
-            win = np.lib.stride_tricks.sliding_window_view(raw, w).astype(np.int64)
-            h = ((win @ pows) % p) % div
-            # 0-based window index i -> 1-based chunk end i + w
-            ends = np.unique(np.append(np.nonzero(h == 0)[0] + w, raw.size))
-            out.append([int(x) for x in ends])
-        return pd.Series(out)
+                ends = [int(raw.size)]  # one (possibly empty) chunk
+            else:
+                win = np.lib.stride_tricks.sliding_window_view(raw, w).astype(
+                    np.int64
+                )
+                h = ((win @ pows) % p) % div
+                # 0-based window index i -> 1-based chunk end i + w
+                ends = [
+                    int(x)
+                    for x in np.unique(
+                        np.append(np.nonzero(h == 0)[0] + w, raw.size)
+                    )
+                ]
+            md5s, prev = [], 0
+            for e in ends:
+                md5s.append(hashlib.md5(nb[prev:e]).hexdigest())
+                prev = e
+            ends_out.append(ends)
+            md5_out.append(md5s)
+        return pd.DataFrame({"ends": ends_out, "md5s": md5_out})
 
     # `from __future__ import annotations` stringifies hints module-wide;
     # pandas_udf needs REAL annotation objects (same fix as pack_sequences)
-    _ends_fn.__annotations__ = {"norm": pd.Series, "return": pd.Series}
-    _chunk_ends = pandas_udf(_ends_fn, "array<int>")
+    _chunks_fn.__annotations__ = {"lt": pd.Series, "return": pd.DataFrame}
+    # asNondeterministic: the posexplode below lets InferFiltersFromGenerate
+    # push a derived filter under the projection and clone the whole Arrow
+    # pass (guide §4.4, the llm_substring_dup_spans lesson)
+    _chunks = pandas_udf(
+        _chunks_fn, "struct<ends:array<int>,md5s:array<string>>"
+    ).asNondeterministic()
 
     return (
-        # NULL text is treated as empty (normalize(NULL) is NULL, which
-        # would silently DROP the document — same pitfall as chunk_fixed)
+        # NULL text is treated as empty (lower(NULL) is NULL and the
+        # normalizer treats None as "", so the document is preserved —
+        # same pitfall class as chunk_fixed)
         df.select(
             F.col(id_col).alias("doc_id"),
-            normalize_text(F.coalesce(F.col(text_col), F.lit(""))).alias("norm"),
+            F.lower(F.coalesce(F.col(text_col), F.lit(""))).alias("lt"),
         )
-        .withColumn("ends", _chunk_ends("norm"))
+        .select("doc_id", _chunks("lt").alias("cm"))
+        .select("doc_id", F.col("cm.ends").alias("ends"), F.col("cm.md5s").alias("md5s"))
         .select(
             "doc_id",
-            "norm",
             "ends",
-            F.posexplode("ends").alias("chunk_id", "e"),
+            F.posexplode(F.arrays_zip("ends", "md5s")).alias("chunk_id", "z"),
         )
         .withColumn(
             "s",
@@ -189,13 +217,14 @@ def cdc_chunks(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 F.element_at("ends", F.col("chunk_id")) + 1
             ),
         )
+        .withColumn("e", F.col("z.ends"))
         .filter((F.col("e") >= F.col("s")) | ((F.col("chunk_id") == 0) & (F.col("e") == 0)))
         .selectExpr(
             "doc_id",
             "CAST(chunk_id AS BIGINT) AS chunk_id",
             "CAST(s AS BIGINT) AS start",
             "CAST(e - s + 1 AS BIGINT) AS chunk_len",
-            "md5(substr(norm, CAST(s AS INT), CAST(e - s + 1 AS INT))) AS chunk_md5",
+            "z.md5s AS chunk_md5",
         )
     )
 

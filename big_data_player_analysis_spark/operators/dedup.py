@@ -36,7 +36,6 @@ from pyspark.sql import functions as F
 from big_data_player_analysis_spark.functions.text import (
     char_shingles,
     md5_fingerprint,
-    normalize_text,
 )
 from big_data_player_analysis_spark.functions.vectors import cosine_similarity
 from big_data_player_analysis_spark.operators.similarity import (
@@ -145,6 +144,55 @@ def _scatter(df: DataFrame) -> DataFrame:
     return df.repartition(par)
 
 
+def _np_norm_bytes(lowered):
+    """uint8 byte array of ``normalize_text(text)``'s UTF-8 bytes, computed
+    from the JVM-LOWERCASED text inside the Python worker — an EXACT
+    byte-level twin of the two regexp_replace passes + trim (round-10:
+    the two Java-regex passes over the full corpus text were measured as
+    the single largest stage of every signature pass at sf1; byte ops
+    vectorize ~10x cheaper and drop the regex entirely).
+
+    Exactness argument (any input, not just this corpus): lowercasing
+    stays JVM-side, so Java/Python unicode-lowering differences never
+    arise. After lower(), `regexp_replace('[^a-z0-9 ]', '')` deletes every
+    char outside [a-z0-9 ] — all of which are single ASCII bytes, while
+    every non-ASCII char consists solely of bytes >= 0x80 — so keeping
+    exactly the bytes {32, 48-57, 97-122} is the same deletion.
+    `regexp_replace(' +', ' ')` keeps the first space of each run (byte
+    scan: drop a space whose predecessor is a space), and trim() strips
+    leading/trailing ASCII spaces (seed the scan as space-preceded, then
+    drop the at-most-one trailing space)."""
+    import numpy as np
+
+    raw = np.frombuffer((lowered or "").encode("utf-8"), dtype=np.uint8)
+    keep = raw[
+        (raw == 32) | ((raw >= 48) & (raw <= 57)) | ((raw >= 97) & (raw <= 122))
+    ]
+    if keep.size == 0:
+        return keep
+    is_sp = keep == 32
+    prev_sp = np.concatenate(([True], is_sp[:-1]))
+    keep = keep[~(is_sp & prev_sp)]
+    if keep.size and keep[-1] == 32:
+        keep = keep[:-1]
+    return keep
+
+
+def _np_mod_mersenne31(x):
+    """Exact ``x % (2^31 - 1)`` for int64 ``0 <= x < 2^62`` without integer
+    division (round-10: numpy's ``%`` is division-based, ~10x the cost of
+    two shift-folds; the signature pass spends most of its arithmetic
+    here). Since 2^31 = 1 (mod p), folding high bits onto low bits
+    preserves the value mod p: after two folds x <= p + 1, so one
+    conditional subtract lands in [0, p)."""
+    import numpy as np
+
+    p = np.int64(MINHASH_PRIME)
+    x = (x & p) + (x >> np.int64(31))
+    x = (x & p) + (x >> np.int64(31))
+    return np.where(x >= p, x - p, x)
+
+
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups by md5 fingerprint of normalized text: one
     surviving id per group + the duplicate count. Hash-groupBy: shuffle is
@@ -168,6 +216,66 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> Data
     )
 
 
+def _shingle_hash_udf(k: int):
+    """pandas_udf: lower(text) -> sorted DISTINCT 64-bit rolling-hash
+    values of the normalized text's character k-shingles (empty array when
+    the normalized text is shorter than k — the same doc-level semantics
+    as char_shingles' empty array).
+
+    Round-10 replacement for `transform(char_shingles(text, k), xxhash64)`
+    (guide §4.2): the expression form pays one UTF8String.substr PER
+    POSITION (each an O(position) byte walk — quadratic per document) plus
+    a per-shingle string allocation and an interpreted xxhash64 call;
+    measured as the bulk of the exact-verify stage at sf1 (6.9 s of a
+    13 s minhash run). This pass is O(len) per document: normalization is
+    the byte-level exact twin (_np_norm_bytes), window identity is the
+    same invertible-odd-base prefix-sum rolling hash the substring-dup
+    operators already use corpus-wide (repetition.py:_window_hashes), and
+    distinctness is one np.unique.
+
+    IDENTITY CONTRACT: the hash is internal to each operator — both sides
+    of every intersection/count use this same function, so outputs change
+    only under a 64-bit collision between distinct shingles
+    (P ~ n^2/2^65, the module-docstring equivalence argument that already
+    covers xxhash64 window/shingle identity; the SQL oracles join shingle
+    TEXT, which is exactly the cross-check that would surface one).
+    Marked non-deterministic at the call sites that explode or filter it
+    (guide §4.4) so the optimizer cannot clone the pass."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _sh(lt: pd.Series) -> pd.Series:
+        import numpy as np
+
+        B = np.uint64(0x9E3779B97F4A7C15)  # odd -> invertible mod 2^64
+        BINV = np.uint64(pow(int(B), -1, 1 << 64))
+        empty = np.array([], dtype=np.int64)
+        out = []
+        for s in lt:
+            bb = _np_norm_bytes(s)
+            m = int(bb.size)
+            if m < k:
+                out.append(empty)
+                continue
+            raw64 = bb.astype(np.uint64)
+            # wrapping power tables (uint64 overflow IS the mod-2^64 ring)
+            binv_pow = np.concatenate(
+                ([np.uint64(1)], np.cumprod(np.full(m - 1, BINV, dtype=np.uint64)))
+            )
+            b_pow = np.concatenate(
+                ([np.uint64(1)], np.cumprod(np.full(m - 1, B, dtype=np.uint64)))
+            )
+            S = np.cumsum(raw64 * binv_pow, dtype=np.uint64)
+            # hash of window [a, a+k) = B^(a+k-1) * (S[a+k-1] - S[a-1])
+            s_hi = S[k - 1:]
+            s_lo = np.concatenate(([np.uint64(0)], S[: m - k]))
+            h = (b_pow[k - 1:] * (s_hi - s_lo)).astype(np.int64)
+            out.append(np.unique(h))
+        return pd.Series(out)
+
+    return _sh.asNondeterministic()
+
+
 def _verify_jaccard(
     cand: DataFrame,
     df: DataFrame,
@@ -181,19 +289,22 @@ def _verify_jaccard(
     Scale shape (each step measured at sf0.1 with a 295k-pair candidate
     set; the original string-array form took 165 s, this form ~11 s):
       1. shingle sets are (re)computed ONLY for docs in at least one pair
-         and reduced to int64 xxhash64 values — 8 bytes/shingle instead of
+         and reduced to int64 hash values — 8 bytes/shingle instead of
          a k-char UTF8String (~6x smaller shuffle payload), and
          array_intersect over primitive longs skips per-element UTF8String
-         hashing/equality (measured 119 s -> 4.5 s on the same pairs; an
-         Arrow np.intersect1d UDF variant measured 3x slower than the
-         primitive JVM path purely on array transfer cost, so the verify
-         stays whole-stage-codegen JVM with no Python boundary);
+         hashing/equality (measured 119 s -> 4.5 s on the same pairs).
+         Round-10: the hash pass itself moved from the
+         transform(char_shingles)+xxhash64 expression (one O(position)
+         UTF8String.substr byte-walk PER POSITION — quadratic per doc,
+         measured as the bulk of this stage at sf1) to the O(len)
+         vectorized rolling-hash Arrow pass (_shingle_hash_udf; identity
+         contract documented there);
       2. a SIZE PRUNE runs before any array moves: jaccard(a,b) can never
          exceed min(|a|,|b|)/max(|a|,|b|), so pairs whose size ratio is
          below the threshold are dropped with two cheap (doc, n) long
          joins — the bound is exact, never discards a qualifying pair
          (dropped 34% of candidate pairs at sf0.1).
-    Exactness: distinct shingles map to distinct hashes barring xxhash64
+    Exactness: distinct shingles map to distinct hashes barring 64-bit
     collisions (P < 1e-10 at 1e4 distinct shingles/corpus partition scale);
     the final jaccard uses true distinct-set sizes, so output matches the
     string-set oracle. ``cand`` is expected to be persisted by the caller
@@ -204,14 +315,9 @@ def _verify_jaccard(
         .distinct()
     )
     docs = (
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("_text"))
+        df.select(F.col(id_col).alias("doc"), F.lower(F.col(text_col)).alias("_lt"))
         .join(needed, "doc")
-        .select(
-            "doc",
-            F.transform(
-                char_shingles(F.col("_text"), k), lambda s: F.xxhash64(s)
-            ).alias("h"),
-        )
+        .select("doc", _shingle_hash_udf(k)("_lt").alias("h"))
         .withColumn("n", F.size("h"))
         .transform(tracked_persist)
     )
@@ -291,11 +397,9 @@ def dedup_ngram_jaccard(
          broadcasts genuinely small sets). df <= max_df bounds the pair
          join's fan-out at max_df per shingle, so the self-join touches
          only the rare-occurrence slice."""
-    occ = _scatter(df).select(
-        F.col(id_col).alias("doc"),
-        F.explode(
-            F.transform(char_shingles(F.col(text_col), k), lambda s: F.xxhash64(s))
-        ).alias("h"),
+    occ = _lowered(df, id_col, text_col).select(
+        "doc",
+        F.explode(_shingle_hash_udf(k)("lt")).alias("h"),
     )
     rare_h = (
         occ.groupBy("h")
@@ -376,47 +480,74 @@ def dedup_ngram_jaccard_auto(
     return dedup_minhash_lsh(df, id_col, text_col, k=k, threshold=threshold)
 
 
-def minhash_signatures(with_norm: DataFrame, k: int = 8) -> DataFrame:
-    """(doc, sig array<long>) from (doc, norm string): slot_j = min over
-    k-shingle hashes h of (a_j * h + b_j) mod p.
+def _lowered(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc, lt): scatter + JVM lowercase — the shared input projection of
+    the signature operators. Normalization beyond lower() happens INSIDE
+    the Arrow pass (_np_norm_bytes): the two Java-regex replace passes it
+    replaces were measured as the largest single stage of every minhash/
+    simhash entry at sf1 (7.2 s of an 11 s end-to-end run, plans/r10)."""
+    return _scatter(df).select(
+        F.col(id_col).alias("doc"), F.lower(F.col(text_col)).alias("lt")
+    )
 
-    The whole shingle -> hash -> min pipeline runs inside ONE Arrow
-    pandas_udf per row (round 1 measured the explode + 64-min-aggregate
-    form as the bench's dominant cost, and the JVM char_shingles transform
-    alone at ~0.8 ms/doc): sliding_window_view over the normalized text's
-    bytes gives the k-gram matrix with zero copies, a base-31 polynomial
-    dot product hashes every position vectorized, and a single
-    (N_HASHES, n) broadcast computes every slot. MinHash over the position
-    multiset equals minhash over the distinct-shingle set (a duplicate
-    never wins a min), so no dedup pass is needed. The plan is a pure
-    narrow projection: no explode, no groupBy, NO shuffle — each scan
-    split signs its documents independently. int64 is safe throughout:
-    poly hash <= 122 * (31^8-1)/30 ~ 3.5e12, then reduced mod p < 2^31
-    before the (a*h+b) step, whose products stay < 2^62.
 
-    Exact verification downstream uses JVM char_shingles independently, so
-    the signature hash needs no cross-engine twin — only determinism."""
+def minhash_signatures(with_lower: DataFrame, k: int = 8) -> DataFrame:
+    """(doc, sig array<long>) from (doc, lt = lower(text)): slot_j = min
+    over k-shingle hashes h of (a_j * h + b_j) mod p. Documents whose
+    NORMALIZED text is shorter than k get a NULL signature and are
+    filtered out — the same doc set the old `length(norm) >= k` prefilter
+    kept.
+
+    The whole normalize -> shingle -> hash -> min pipeline runs inside ONE
+    Arrow pandas_udf per row (round 1 measured the explode +
+    64-min-aggregate form as the bench's dominant cost; round 10 moved the
+    normalization in here too — see _np_norm_bytes): sliding_window_view
+    over the normalized bytes gives the k-gram matrix with zero copies, a
+    base-31 polynomial dot product hashes every position vectorized, the
+    positions reduce to their DISTINCT hash set (min over duplicates is
+    the min over the set, and on a shared-vocabulary corpus the distinct
+    set is markedly smaller than the position multiset), and a single
+    (N_HASHES, u) broadcast computes every slot. Both mod-p reductions use
+    the Mersenne shift-fold (_np_mod_mersenne31 — exact, no division).
+    The plan is a pure narrow projection: no explode, no groupBy, NO
+    shuffle — each scan split signs its documents independently. int64 is
+    safe throughout: poly hash <= 122 * (31^8-1)/30 ~ 3.5e12 < 2^62, then
+    reduced mod p < 2^31 before the (a*h+b) step, whose products stay
+    < 2^62. Signature VALUES are bit-identical to the round-9 form (same
+    arithmetic, division-free), so band candidates — and therefore the
+    verified output — are unchanged.
+
+    Exact verification downstream hashes shingles independently, so the
+    signature hash needs no cross-engine twin — only determinism."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("array<long>")
-    def _sigs(norm: pd.Series) -> pd.Series:
+    def _sigs(lt: pd.Series) -> pd.Series:
         import numpy as np
 
         A = np.asarray(MINHASH_A, dtype=np.int64)[:, None]
         B = np.asarray(MINHASH_B, dtype=np.int64)[:, None]
         powers = MINHASH_SHINGLE_BASE ** np.arange(k, dtype=np.int64)
         out = []
-        for s in norm:
-            raw = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
-            if raw.size < k:  # upstream filter excludes these; defensive
+        for s in lt:
+            bb = _np_norm_bytes(s)
+            if bb.size < k:
                 out.append(None)
                 continue
-            win = np.lib.stride_tricks.sliding_window_view(raw, k).astype(np.int64)
-            h = (win @ powers) % MINHASH_PRIME
-            out.append(((A * h[None, :] + B) % MINHASH_PRIME).min(axis=1))
+            win = np.lib.stride_tricks.sliding_window_view(bb, k).astype(np.int64)
+            h = np.unique(_np_mod_mersenne31(win @ powers))
+            out.append(_np_mod_mersenne31(A * h[None, :] + B).min(axis=1))
         return pd.Series(out)
 
-    return with_norm.select("doc", _sigs("norm").alias("sig"))
+    # asNondeterministic (guide §4.4, the llm_substring_dup_spans lesson):
+    # the isNotNull filter below references the UDF column, and the
+    # optimizer would otherwise clone the whole signature evaluation below
+    # a pushed-down filter — the value is deterministic; the mark only
+    # forbids duplicating it.
+    sigs_nd = _sigs.asNondeterministic()
+    return with_lower.select("doc", sigs_nd("lt").alias("sig")).filter(
+        F.col("sig").isNotNull()
+    )
 
 
 def dedup_minhash_lsh(
@@ -430,9 +561,6 @@ def dedup_minhash_lsh(
     verification. Same output contract as dedup_ngram_jaccard; recall is
     the LSH band-collision probability (>= 1 - (1-t^4)^16, ~0.9998 at
     t=0.8), precision 1.0 because candidates are verified exactly."""
-    with_norm = _scatter(df).select(
-        F.col(id_col).alias("doc"), normalize_text(F.col(text_col)).alias("norm")
-    ).filter(F.length("norm") >= k)  # same docs as size(shingles) > 0
     # Materialized (lazy localCheckpoint): the signature table (one 64-long
     # array per doc, ~0.5 KB) is read by both sides of the band self-join;
     # recomputing it would re-shingle + re-hash the whole corpus twice.
@@ -441,7 +569,9 @@ def dedup_minhash_lsh(
     # the curation pipeline) otherwise pay Catalyst re-analysis of this
     # whole subplan once per downstream branch — measured as a multi-second
     # driver-only gap in the mega-pipeline's job timeline.
-    sig = minhash_signatures(with_norm, k).transform(_materialize)
+    sig = minhash_signatures(_lowered(df, id_col, text_col), k).transform(
+        _materialize
+    )
     bands = sig.select(
         "doc",
         F.explode(
@@ -481,10 +611,7 @@ INCREMENTAL_BROADCAST_MAX_ROWS = 4_000_000
 def _minhash_bands(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
     """(doc, band, bucket) banded MinHash signatures — the shared candidate
     index of dedup_minhash_lsh and dedup_incremental."""
-    with_norm = _scatter(df).select(
-        F.col(id_col).alias("doc"), normalize_text(F.col(text_col)).alias("norm")
-    ).filter(F.length("norm") >= k)
-    sig = minhash_signatures(with_norm, k)
+    sig = minhash_signatures(_lowered(df, id_col, text_col), k)
     return sig.select(
         "doc",
         F.explode(
@@ -578,12 +705,8 @@ def simhash_signatures(
     property the parity tests pin."""
     from pyspark.sql.functions import pandas_udf
 
-    with_norm = _scatter(df).select(
-        F.col(id_col).alias("doc"), normalize_text(F.col(text_col)).alias("norm")
-    ).filter(F.length("norm") >= k)  # same docs as size(shingles) > 0
-
     @pandas_udf("long")
-    def _sig(norm: pd.Series) -> pd.Series:
+    def _sig(lt: pd.Series) -> pd.Series:
         import numpy as np
 
         powers = MINHASH_SHINGLE_BASE ** np.arange(k, dtype=np.int64)
@@ -591,22 +714,39 @@ def simhash_signatures(
         c1 = np.uint64(0x9E3779B97F4A7C15)
         c2 = np.uint64(0xBF58476D1CE4E5B9)
         c3 = np.uint64(0x94D049BB133111EB)
-        out = np.empty(len(norm), dtype=np.int64)
-        for j, s in enumerate(norm):
-            raw = np.frombuffer(s.encode("utf-8"), dtype=np.uint8)
-            win = np.lib.stride_tricks.sliding_window_view(raw, k).astype(np.int64)
+        out = []
+        for s in lt:
+            bb = _np_norm_bytes(s)
+            if bb.size < k:  # same docs as the old length(norm) >= k gate
+                out.append(None)
+                continue
+            win = np.lib.stride_tricks.sliding_window_view(bb, k).astype(np.int64)
             h = np.unique(win @ powers)  # distinct shingles, like char_shingles
             z = h.astype(np.uint64) + c1  # splitmix64 avalanche
             z = (z ^ (z >> np.uint64(30))) * c2
             z = (z ^ (z >> np.uint64(27))) * c3
             z ^= z >> np.uint64(31)
-            bits = (z[:, None] >> bit_idx) & np.uint64(1)
-            counters = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            # per-bit set counts via one C-level unpackbits over the
+            # little-endian byte view (round-10: the (u, 64) shift-and-mask
+            # broadcast this replaces was the signature pass's hottest
+            # allocation; counters and therefore sig values are unchanged
+            # integer math: counters_j = 2 * count_set_j - u)
+            bits = np.unpackbits(
+                z.view(np.uint8), bitorder="little"
+            ).reshape(-1, SIMHASH_BITS)
+            counters = 2 * bits.sum(axis=0, dtype=np.int64) - np.int64(h.size)
             sig = ((counters > 0).astype(np.uint64) << bit_idx).sum(dtype=np.uint64)
-            out[j] = sig.astype(np.int64)
-        return pd.Series(out)
+            out.append(int(sig.astype(np.int64)))
+        return pd.Series(out, dtype="object")
 
-    return with_norm.select("doc", _sig("norm").alias("sig"))
+    # asNondeterministic: the isNotNull filter below references the UDF
+    # column; the mark forbids the optimizer cloning the pass (guide §4.4)
+    sig_nd = _sig.asNondeterministic()
+    return (
+        _lowered(df, id_col, text_col)
+        .select("doc", sig_nd("lt").alias("sig"))
+        .filter(F.col("sig").isNotNull())
+    )
 
 
 def dedup_simhash(
@@ -958,18 +1098,29 @@ def decontaminate(
     frame is spread so the CPU-bound shingle pass isn't pinned to a
     few cores (same contract as remove_repeated_windows' flag).
     """
-    # Shingles are reduced to int64 xxhash64 values BEFORE the exchange /
+    # Shingles are reduced to int64 hash values BEFORE the exchange /
     # broadcast: a k=32 char shingle is a ~36-byte UTF8String, its hash 8
     # bytes — the broadcast table shrinks ~4x and the corpus-side stream,
     # per-doc hash-aggregate and join keys all move fixed-width longs
-    # (same measured technique as _verify_jaccard step 1). Distinct
-    # shingles collide with P ~ n^2/2^65 (module equivalence argument);
-    # the SQL oracle joins the shingle text itself, which is exactly the
-    # cross-check that would surface a collision.
-    tr = shingle_table(_scatter(train) if scatter else train, id_col, text_col, k
-                       ).select("doc", F.xxhash64("shingle").alias("sh"))
-    ev = (shingle_table(eval_df, id_col, text_col, k)
-          .select(F.xxhash64("shingle").alias("sh")).distinct())
+    # (same measured technique as _verify_jaccard step 1). Round-10: the
+    # hashes come from the O(len) vectorized rolling-hash Arrow pass
+    # (_shingle_hash_udf — the char_shingles expression walked the string
+    # once per position, quadratic per document, measured as most of this
+    # operator's wall at sf1). Both sides use the same function, so the
+    # shared-count output changes only under a 64-bit collision between
+    # distinct shingles (P ~ n^2/2^65, module equivalence argument); the
+    # SQL oracle joins the shingle text itself, which is exactly the
+    # cross-check that would surface one.
+    sh = _shingle_hash_udf(k)
+    tr_in = _scatter(train) if scatter else train
+    tr = tr_in.select(
+        F.col(id_col).alias("doc"), F.lower(F.col(text_col)).alias("lt")
+    ).select("doc", F.explode(sh("lt")).alias("sh"))
+    ev = (
+        eval_df.select(F.lower(F.col(text_col)).alias("lt"))
+        .select(F.explode(sh("lt")).alias("sh"))
+        .distinct()
+    )
     return (
         tr.join(F.broadcast(ev), "sh")
         .groupBy("doc")
@@ -1060,9 +1211,14 @@ def dedup_embedding_cosine(
         shuffle volume O(n * (B+1)) rows, never n^2;
       * each of the B(B+1)/2 block-pair groups computes its cosine matrix
         as ONE numpy/BLAS matmul (applyInPandas, Arrow-batched);
-      * groups emit only candidate id pairs at threshold - margin; the few
-        candidates are re-verified JVM-side with the exact expression, so
-        results match the brute-force baseline bit-for-bit.
+      * groups detect candidates at threshold - margin on the normalized
+        GEMM, then compute each candidate's EXACT cosine in-place with a
+        left-to-right double fold replicating the JVM expression op for op
+        (round-10: the former id-join re-verification moved 4.1 M
+        candidate pairs at sf1 through two joins and an interpreted
+        64-dim fold — 25.8 s of the operator's 32 s; see the in-function
+        exactness note), so results match the brute-force baseline
+        bit-for-bit.
 
     B tunes task granularity: one block is n/B vectors * dim * 8 bytes and
     one task's cosine matrix is (n/B)^2 * 8 bytes; flops per task are
@@ -1106,6 +1262,34 @@ def dedup_embedding_cosine(
 
     margin = threshold - _GEMM_MARGIN
 
+    # ROUND-10 (guide §4.2 / §1.2 step 2 — measured at sf1: the candidate
+    # re-verification join was 25.8 s of the operator's 32 s wall, 4.1 M
+    # candidate pairs each paying two id joins plus an INTERPRETED 64-dim
+    # zip_with/aggregate fold): each block-pair group already holds BOTH
+    # candidate vectors, so the group computes the exact cosine itself and
+    # the join-back disappears. Bit-exactness is preserved by replicating
+    # the JVM expression's float semantics operation for operation —
+    # functions/vectors.py builds cosine as
+    #   fold(acc + double(a_d)*double(b_d)) / (sqrt(fold(a)) * sqrt(fold(b)))
+    # a strictly LEFT-TO-RIGHT double fold; the loop below runs the same
+    # per-lane sequence (one fused dim-step at a time, vectorized ACROSS
+    # pairs, never pairwise/SIMD re-associated within a pair), float32 ->
+    # float64 widening is exact, np.sqrt and '/' are the same
+    # correctly-rounded IEEE ops as Math.sqrt and Java '/'. The margin
+    # still exists for the DETECTION product only (normalized float64
+    # GEMM, ulps away from the fold); the final round(6) + threshold
+    # filter stay JVM-side on the returned doubles, so the output is
+    # bit-identical to the former join (pinned against the brute-force
+    # twin in tests).
+
+    def _fold_dot(X, Y):
+        import numpy as np
+
+        acc = np.zeros(len(X), dtype=np.float64)
+        for d in range(X.shape[1]):
+            acc = acc + X[:, d] * Y[:, d]
+        return acc
+
     def block_pair_candidates(key, pdf):
         import numpy as np
 
@@ -1113,33 +1297,40 @@ def dedup_embedding_cosine(
         a = pdf[pdf["role"] == "a"]
         b = pdf[pdf["role"] == "b"]
         if a.empty or b.empty:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype="int64"),
+                 "id_b": pd.Series(dtype="int64"),
+                 "cosine": pd.Series(dtype="float64")}
+            )
         ida = a["id"].to_numpy(dtype=np.int64)
         idb = b["id"].to_numpy(dtype=np.int64)
-        Va = np.array([np.asarray(x, dtype=np.float64) for x in a["v"]])
-        Vb = np.array([np.asarray(x, dtype=np.float64) for x in b["v"]])
-        Va /= np.linalg.norm(Va, axis=1, keepdims=True)
-        Vb /= np.linalg.norm(Vb, axis=1, keepdims=True)
-        S = Va @ Vb.T
-        ii, jj = np.nonzero(S >= margin)
+        RawA = np.array([np.asarray(x, dtype=np.float64) for x in a["v"]])
+        RawB = np.array([np.asarray(x, dtype=np.float64) for x in b["v"]])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Va = RawA / np.linalg.norm(RawA, axis=1, keepdims=True)
+            Vb = RawB / np.linalg.norm(RawB, axis=1, keepdims=True)
+            S = Va @ Vb.T
+            ii, jj = np.nonzero(S >= margin)
+            if bi == bj:
+                keep = ida[ii] < idb[jj]  # diagonal holds both roles
+                ii, jj = ii[keep], jj[keep]
+            # exact JVM-twin cosine for the candidates (fold-order dot and
+            # norms over the raw doubles; zero-norm rows yield the same
+            # inf/nan the JVM division does and fail the filter either way)
+            na = np.sqrt(_fold_dot(RawA[ii], RawA[ii]))
+            nb = np.sqrt(_fold_dot(RawB[jj], RawB[jj]))
+            cos = _fold_dot(RawA[ii], RawB[jj]) / (na * nb)
         pa, pb = ida[ii], idb[jj]
-        if bi == bj:
-            keep = pa < pb  # diagonal group holds both roles of every row
-        else:
-            keep = np.ones(len(pa), dtype=bool)
-        lo = np.minimum(pa[keep], pb[keep])
-        hi = np.maximum(pa[keep], pb[keep])
-        return pd.DataFrame({"id_a": lo, "id_b": hi})
+        swap = pa > pb
+        lo = np.where(swap, pb, pa)
+        hi = np.where(swap, pa, pb)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos})
 
     cand = routed.groupBy("bi", "bj").applyInPandas(
-        block_pair_candidates, "id_a long, id_b long"
+        block_pair_candidates, "id_a long, id_b long, cosine double"
     )
-    a_side = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b_side = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
-        cand.join(a_side, "id_a")
-        .join(b_side, "id_b")
-        .withColumn("cosine", F.round(cosine_similarity(F.col("va"), F.col("vb")), 6))
+        cand.withColumn("cosine", F.round(F.col("cosine"), 6))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )

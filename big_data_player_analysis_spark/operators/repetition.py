@@ -104,7 +104,18 @@ def remove_repeated_windows(
     reuses the cache), and the broadcast hint is applied only under
     ``broadcast_max_rows``. min_docs=2 on a web corpus makes the set
     unbounded (round-3 verdict); pass broadcast_max_rows=0 to force the
-    shuffle anti-join unconditionally."""
+    shuffle anti-join unconditionally.
+
+    CALLER CONTRACT for ``scatter=False`` (round-9 ADVICE): the input is
+    read by TWO subtrees (the window-hash stream and the rebuild side),
+    and this function only persists the input when ITS OWN scatter
+    exchange fired. With scatter=False — or when the heuristic sees an
+    already-wide input and skips — the caller must hand in a persisted /
+    checkpointed frame, or the input's entire upstream lineage executes
+    twice. The in-repo composed caller (llm_curation_pipeline) lazily
+    localCheckpoints its gated frame for exactly this reason; a raw
+    file-backed scan is also fine (two scans of the same parquet, no
+    recomputation)."""
     if window_tokens <= 0 or min_docs < 2:
         raise ValueError("need window_tokens > 0 and min_docs >= 2")
     # Persisted: the window table is read twice (frequent-set aggregate,
@@ -541,10 +552,14 @@ def repetition_profile(
             tot = F.size(srt)
             starts = F.filter(
                 F.sequence(F.lit(1), tot),
-                # try_element_at: NULL at i=1 (index 0), which the OR's
-                # left arm absorbs — never an ANSI index error
-                lambda i: (i == F.lit(1))
-                | (F.element_at(srt, i) != F.try_element_at(srt, i - 1)),
+                # STRUCTURAL guard (round-9 ADVICE): CaseWhen only
+                # evaluates the otherwise-branch when i > 1, so the
+                # element_at(srt, i - 1) index is always >= 1 — the
+                # previous Or form relied on undocumented short-circuit
+                # order to dodge try_element_at's INVALID_INDEX_OF_ZERO
+                lambda i: F.when(i == F.lit(1), F.lit(True)).otherwise(
+                    F.element_at(srt, i) != F.element_at(srt, i - 1)
+                ),
             )
 
             def with_starts(st: F.Column) -> F.Column:

@@ -41,9 +41,11 @@ def test_jaccard_dispatch_exact_below_ceiling(spark):
     auto = dedup_ngram_jaccard_auto(docs, "doc_id", "text")
     exact = dedup_ngram_jaccard(docs, "doc_id", "text")
     # the minhash path materializes its signature/candidate tables via
-    # lazy checkpoints (ExistingRDD scans); the exact path has none
+    # lazy checkpoints (ExistingRDD scans); the exact path has none (its
+    # shingle hashing is the r10 Arrow rolling-hash pass, so xxhash64 is
+    # no longer the exact-path marker)
     p = plan_str(auto)
-    assert "xxhash64" in p and "ExistingRDD" not in p
+    assert "array_intersect" in p and "ExistingRDD" not in p
     assert rows(auto) == rows(exact)
 
 

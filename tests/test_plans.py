@@ -291,12 +291,15 @@ def test_url_canonical_dedup_single_exchange(spark, specs):
 
 def test_jaccard_verify_no_nested_loop_and_primitive_intersect(spark, specs):
     """The rewritten verification: every join is hash/sort-merge (no
-    nested-loop fallback), and the intersect runs on int64 hash arrays
-    (xxhash64 feeds array_intersect), not on k-char string arrays."""
+    nested-loop fallback), and the intersect runs on int64 hash arrays —
+    produced since round 10 by the vectorized rolling-hash Arrow pass
+    (_shingle_hash_udf; the transform(char_shingles)+xxhash64 expression
+    it replaced paid one O(position) substr byte-walk per shingle) — not
+    on k-char string arrays."""
     for name in ("dedup_ngram_jaccard", "dedup_minhash_lsh"):
         p = plan_str(specs[name].fn(spark, SF))
         assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, name
-        assert "array_intersect" in p and "xxhash64" in p, name
+        assert "array_intersect" in p and "ArrowEvalPython" in p, name
 
 
 

@@ -29,12 +29,7 @@ def main() -> None:
     k, threshold = 8, 0.6
 
     t0 = time.time()
-    with_norm = (
-        D._scatter(docs)
-        .select(F.col("doc_id").alias("doc"), D.normalize_text(F.col("text")).alias("norm"))
-        .filter(F.length("norm") >= k)
-    )
-    sig = D.minhash_signatures(with_norm, k).persist()
+    sig = D.minhash_signatures(D._lowered(docs, "doc_id", "text"), k).persist()
     n_sig = sig.count()
     t1 = time.time()
     print(f"stage1 signatures+persist: {t1-t0:.2f}s  ({n_sig} docs)")
