@@ -33,10 +33,7 @@ from big_data_player_analysis_spark.caching import (
 )
 from pyspark.sql import functions as F
 
-from big_data_player_analysis_spark.functions.text import (
-    char_shingles,
-    md5_fingerprint,
-)
+from big_data_player_analysis_spark.functions.text import char_shingles
 from big_data_player_analysis_spark.functions.vectors import cosine_similarity
 from big_data_player_analysis_spark.operators.similarity import (
     ann_lsh_buckets,
@@ -196,9 +193,30 @@ def _np_mod_mersenne31(x):
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups by md5 fingerprint of normalized text: one
     surviving id per group + the duplicate count. Hash-groupBy: shuffle is
-    O(distinct fingerprints)."""
+    O(distinct fingerprints).
+
+    Round-10: the fingerprint is hashlib.md5 over _np_norm_bytes inside
+    one Arrow pass — the byte-identical twin of
+    md5(encode(normalize_text(text), 'UTF-8')) (same hex digest over the
+    same bytes; NULL text stays NULL), dropping the two corpus-wide Java
+    regex passes the JVM expression paid. The SQL oracle still computes
+    md5 over its own normalization, so the twin is cross-checked on every
+    gate run."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _fp(lt: pd.Series) -> pd.Series:
+        import hashlib
+
+        return lt.map(
+            lambda s: None
+            if s is None
+            else hashlib.md5(_np_norm_bytes(s).tobytes()).hexdigest()
+        )
+
     return (
-        df.select(F.col(id_col), md5_fingerprint(F.col(text_col)).alias("fp"))
+        df.select(F.col(id_col), F.lower(F.col(text_col)).alias("_lt"))
+        .select(id_col, _fp("_lt").alias("fp"))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keep_id"),

@@ -280,49 +280,73 @@ def profile_pipeline(spark, sf_dir):
     eval_docs = _scatter(docs.filter(pfx == "f").select("doc_id", "text"))
     _stage = lambda df: tracked_local_checkpoint(df, eager=False)  # noqa: E731
 
-    scored = train.select(
-        "doc_id", "text",
-        quality_score(F.col("text")).alias("_q"),
-        predict_language(F.col("text")).alias("_lang"),
-    )
-    gated = scored.filter(
-        (F.col("_q") >= CURATION_MIN_QUALITY) & (F.col("_lang") == "en")
-    ).select("doc_id", "text")
-    gated = _stage(gated)
-    step(spark, "stage1 gate (count)", lambda: gated.count())
+    # Stage CONSTRUCTION runs Spark jobs (frequent-set count gates, the
+    # components closure) — so each step builds AND consumes its stage
+    # inside the timer (the first cut of this profiler timed only the
+    # residual count and read near-zero for every stage).
+    box = {}
 
-    cleaned = remove_repeated_windows(
-        gated, "doc_id", "text",
-        window_tokens=REPEAT_WINDOW_TOKENS, min_docs=REPEAT_MIN_DOCS,
-        scatter=False,
-    ).select("doc_id", F.col("clean_text").alias("text")).transform(_stage)
-    step(spark, "stage2 line dedup (count)", lambda: cleaned.count())
+    def s1():
+        scored = train.select(
+            "doc_id", "text",
+            quality_score(F.col("text")).alias("_q"),
+            predict_language(F.col("text")).alias("_lang"),
+        )
+        gated = scored.filter(
+            (F.col("_q") >= CURATION_MIN_QUALITY) & (F.col("_lang") == "en")
+        ).select("doc_id", "text")
+        box["gated"] = _stage(gated)
+        return box["gated"].count()
 
-    surv = near_dedup_survivors(
-        cleaned, "doc_id", "text", k=SHINGLE_K, threshold=JACCARD_THRESHOLD
-    ).transform(_stage)
-    step(spark, "stage3 survivors (count)", lambda: surv.count())
+    step(spark, "stage1 gate (build+count)", s1)
 
-    contaminated = decontaminate(
-        surv.select("doc_id", "text"), eval_docs, "doc_id", "text",
-        k=PIPE_DECONTAM_K, min_shared=PIPE_DECONTAM_MIN_SHARED,
-    ).select(F.col("train_id").alias("doc_id"))
-    final = surv.join(contaminated, "doc_id", "left_anti").select(
-        "doc_id",
-        "group_size",
-        F.size(
-            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
-        ).cast("long").alias("n_tokens"),
-    ).transform(_stage)
-    step(spark, "stage4 decontaminate+final (count)", lambda: final.count())
+    def s2():
+        box["cleaned"] = remove_repeated_windows(
+            box["gated"], "doc_id", "text",
+            window_tokens=REPEAT_WINDOW_TOKENS, min_docs=REPEAT_MIN_DOCS,
+            scatter=False,
+        ).select("doc_id", F.col("clean_text").alias("text")).transform(_stage)
+        return box["cleaned"].count()
 
-    packed = pack_sequences(
-        final, "doc_id", "n_tokens", budget=PACK_BUDGET, n_groups=PACK_GROUPS
-    )
-    out = packed.join(final, "doc_id").select(
-        "doc_id", "grp", "pack_id", "off", "n_tokens", "group_size"
-    )
-    step(spark, "stage5 pack+join (noop)", lambda: noop(out))
+    step(spark, "stage2 line dedup (build+count)", s2)
+
+    def s3():
+        box["surv"] = near_dedup_survivors(
+            box["cleaned"], "doc_id", "text",
+            k=SHINGLE_K, threshold=JACCARD_THRESHOLD,
+        ).transform(_stage)
+        return box["surv"].count()
+
+    step(spark, "stage3 survivors (build+count)", s3)
+
+    def s4():
+        surv = box["surv"]
+        contaminated = decontaminate(
+            surv.select("doc_id", "text"), eval_docs, "doc_id", "text",
+            k=PIPE_DECONTAM_K, min_shared=PIPE_DECONTAM_MIN_SHARED,
+        ).select(F.col("train_id").alias("doc_id"))
+        box["final"] = surv.join(contaminated, "doc_id", "left_anti").select(
+            "doc_id",
+            "group_size",
+            F.size(
+                F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
+            ).cast("long").alias("n_tokens"),
+        ).transform(_stage)
+        return box["final"].count()
+
+    step(spark, "stage4 decontaminate+final (build+count)", s4)
+
+    def s5():
+        packed = pack_sequences(
+            box["final"], "doc_id", "n_tokens",
+            budget=PACK_BUDGET, n_groups=PACK_GROUPS,
+        )
+        out = packed.join(box["final"], "doc_id").select(
+            "doc_id", "grp", "pack_id", "off", "n_tokens", "group_size"
+        )
+        noop(out)
+
+    step(spark, "stage5 pack+join (build+noop)", s5)
     release_tracked()
     reset_runtime_memos()
     from big_data_player_analysis_spark.registry import all_queries
@@ -332,6 +356,62 @@ def profile_pipeline(spark, sf_dir):
     spark.sparkContext.setJobDescription("pipeline end-to-end")
     noop(spec.fn(spark, sf_dir))
     print(f"  end-to-end clean: {time.time()-t0:.2f}s")
+    release_tracked()
+    reset_runtime_memos()
+
+
+def profile_q16(spark, sf_dir):
+    print("== q16_heroic_iterative per-iteration ==")
+    from big_data_player_analysis_spark.plans.heroic import (
+        edges_with_avgs,
+        heroic_score,
+        iteration_step,
+    )
+    from big_data_player_analysis_spark.registry.common import duel_edges
+    from pyspark.storagelevel import StorageLevel
+    from big_data_player_analysis_spark.caching import tracked_local_checkpoint
+
+    duels = duel_edges(spark, sf_dir)
+    t0 = time.time()
+    edges = edges_with_avgs(duels, num_partitions=4)
+    edges.persist(StorageLevel.MEMORY_AND_DISK)
+    hs = (
+        edges.select(F.col("challenger_id").alias("player_id"))
+        .distinct()
+        .withColumn("hs", F.lit(1.0))
+        .transform(tracked_local_checkpoint)
+    )
+    n0 = hs.count()
+    print(f"  setup edges+init: {time.time()-t0:.2f}s  (players={n0})")
+    from big_data_player_analysis_spark.operators.joins import (
+        keyed_squared_difference,
+    )
+
+    for it in range(6):
+        t0 = time.time()
+        new_hs = iteration_step(edges, hs, 0.1, True).transform(
+            lambda d: tracked_local_checkpoint(d, eager=False)
+        )
+        msd = (
+            keyed_squared_difference(hs, new_hs, "player_id", "hs")
+            .agg(F.avg("sq_diff"))
+            .first()[0]
+        )
+        print(f"  iteration {it}: {time.time()-t0:.2f}s  msd={msd:.4f}")
+        hs = new_hs
+    edges.unpersist()
+    release_tracked()
+    reset_runtime_memos()
+    t0 = time.time()
+    res = heroic_score(
+        duels, alpha=0.1, tol=0.1, max_iter=8,
+        num_partitions=4, vector_partitions=2,
+    )
+    res.scores.write.format("noop").mode("overwrite").save()
+    print(
+        f"  heroic_score end-to-end: {time.time()-t0:.2f}s "
+        f"({res.iterations} iterations, converged={res.converged})"
+    )
     release_tracked()
     reset_runtime_memos()
 
@@ -354,6 +434,8 @@ def main():
         profile_gemm(spark, SF_DIR)
     if "pipeline" in targets:
         profile_pipeline(spark, SF_DIR)
+    if "q16" in targets:
+        profile_q16(spark, SF_DIR)
 
 
 if __name__ == "__main__":
