@@ -46,509 +46,45 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # window — and is still covered by the local DuckDB oracle gate in
 # tests/test_registry.py.
 #
-# Rotation policy (round-2 verdict): any entry whose implementation changed
-# since its last driver row — or that never had one — is promoted into the
-# next window, displacing entries that (a) already hold a green driver row
-# on unchanged code and (b) most overlap another windowed entry. Round 3
-# promoted dedup_components + olap_sessionization (code changed in r2 on
-# stale r01 evidence) and the newly wired llm_chunk_fixed +
-# llm_url_canonical_dedup, displacing q07_projection_reversal (column-order
-# twin of q06), sim_ivf_topk (overlaps sim_bruteforce_topk),
-# text_fingerprint (md5 path equally exercised by dedup_exact) and
-# stream_sliding_avg (parameter twin of stream_tumbling_counts) — all four
-# keep green r01/r02 rows on byte-identical code, plus the local oracle gate.
+# Rotation policy (round-2 verdict): any entry whose implementation closure
+# changed since its last green driver row — or that never had one — is
+# promoted into the next window, displacing entries that (a) hold a green
+# driver row on unchanged code and (b) have their family covered by another
+# windowed entry. Mechanically enforced by tools/entry_hashes.py +
+# tests/test_rotation_hygiene.py (the baseline tools/entry_hashes.json is
+# refreshed only together with a rotation). The per-rotation ledger —
+# formerly ~400 comment lines here — lives in ROTATION.md (round-9 verdict
+# item #9), one line per rotation; full historical rationale is in git
+# history of this file.
 #
-# Round-3 continuation: six entries shipped mid-round had no driver row at
-# all (llm_pii_redact, llm_chunk_tokens, llm_unigram_logprob,
-# llm_embed_quantize_int8, multimodal_audio_decode, stream_late_data_drop)
-# — promoted, displacing six green-r02 rows on per-entry-unchanged code
-# that overlap a remaining windowed entry: q02 (agg twin of q01), q09
-# (subsumed by q10's join chain), q11 (left-join+coalesce shape inside
-# q05), q12 (scalar arithmetic inside q13's affine), text_token_counts
-# (text built-ins overlapped by text_quality_score), and
-# multimodal_frame_sample (mapInPandas plumbing shared with
-# multimodal_features).
-#
-# Second round-3 rotation: the curation/OLAP batch shipped late in the
-# round (llm_line_dedup, llm_pack_sequences, llm_shard_assign,
-# llm_mix_weights, llm_embed_dim_stats, olap_window_time_range) also had
-# no driver row — promoted, displacing six more green-r02 rows on
-# unchanged code: q03 (argmax = q17's top-k at k=1), q13 (affine over
-# aggregates, same shape as q04's smoothed avg), q15 (global sum/count
-# inside q04), q18 (distinct-union init, overlaps q06's distinct pairs),
-# olap_descriptive_stats (same stats battery as the incoming
-# llm_embed_dim_stats), and text_language_id (text built-in family
-# covered by text_quality_score + llm_quality_filters).
-#
-# Third round-3 rotation (same policy): llm_apply_mix,
-# multimodal_image_decode, and olap_table_profile shipped after the
-# second rotation with no driver row — promoted, displacing olap_pivot
-# (Expand-based wide agg, same shape as the windowed
-# olap_grouping_sets), multimodal_features (pseudo-feature mapInPandas
-# plumbing, superseded in-window by the two REAL decode paths audio +
-# image), and q14_keyed_sqdiff (keyed self-join arithmetic, join shape
-# covered by q05/q10) — all three hold green r02 rows on
-# per-entry-unchanged code.
-#
-# Round-4 rotation: two new entries need rows —
-#   * llm_near_dedup_survivors (the end-to-end pairs -> components ->
-#     keep-one composition, round-3 verdict gap #1) displaces
-#     dedup_ngram_jaccard: green r03 on unchanged code, and it overlaps
-#     dedup_minhash_lsh maximally (identical oracle SQL_JACCARD and the
-#     shared _verify_jaccard stage — minhash keeps both exercised);
-#   * multimodal_png_decode (REAL zlib inflate + per-scanline unfilter —
-#     the compressed-format image path) displaces multimodal_image_decode
-#     (BMP): green r03 on unchanged code, same decode-pipeline shape
-#     (synth pandas_udf -> mapInPandas parse), PNG strictly supersets the
-#     plumbing it pins while BMP keeps the local oracle gate.
-# Changed-in-round-4 entries already in-window (gate/annotation fixes):
-# llm_line_dedup (min_docs 2->3 + size-gated broadcast) and
-# llm_pack_sequences (explicit n_groups pin + real annotations).
-#
-# Second round-4 rotation: llm_dedup_incremental (new-batch-vs-corpus
-# near-dedup, corpus never exchanged on the band key) is new with no
-# driver row — promoted, displacing llm_chunk_fixed: green r03 on
-# unchanged code, and llm_chunk_tokens keeps the identical narrow
-# sequence+explode+slice chunking shape (and its shuffle-free plan pin)
-# in-window.
-#
-# Third round-4 rotation: multimodal_image_resize (real nearest-neighbor
-# downscale, the resize step the extension mandate names explicitly) is
-# new with no driver row — promoted, displacing llm_embed_quantize_int8:
-# green r03 on unchanged code, and llm_embed_dim_stats keeps the narrow
-# embedding-array-expression family in-window.
-#
-# Fourth round-4 rotation: the dedup_components edge-checkpoint fix (the
-# 64x probe caught per-sweep re-verification) changes the closure of
-# llm_corpus_curation (last green r01), so the policy promotes it —
-# displacing olap_window_time_range: green r03 on unchanged code, with
-# the window-function family still represented in-window by
-# olap_window_topk_per_group and the applyInPandas secondary sort.
-#
-# Fifth round-4 rotation: the 64x probe showed dedup_ngram_jaccard's
-# count-over-window df stage spilling (9.5x time for 4x data); its
-# candidate generation was rebuilt (partial-agg df + gated broadcast of
-# the rare-hash set, occurrence stream never exchanged), so it re-enters
-# the window — displacing olap_semi_join: green r03 on unchanged code,
-# and olap_exists_correlated keeps the semi-join physical shape
-# in-window (EXISTS plans as a semi join with a residual).
-#
-# Sixth round-4 rotation: llm_cdc_chunks (rolling-hash content-defined
-# chunking, the brief's named fingerprinting primitive) is new with no
-# driver row — promoted, displacing llm_chunk_tokens: green r03 on
-# unchanged code, with the chunking family still in-window via
-# llm_cdc_chunks + llm_pack_sequences and both fixed chunkers holding
-# green rows + the shuffle-free plan pin in tests.
-#
-# Seventh round-4 rotation: llm_semantic_dedup (SemDeDup-style sign-bucket
-# clustering + within-bucket cosine prune, fully SQL-replayed) is new
-# with no driver row — promoted, displacing multimodal_audio_decode:
-# green r03 on unchanged code, and the real-decode mapInPandas pipeline
-# shape stays in-window via multimodal_png_decode (zlib inflate +
-# unfilter strictly supersets the wave parse's plumbing).
-#
-# Eighth round-4 rotation: llm_near_dedup_best_quality (the production
-# survivor policy — per-cluster argmax over a quality column instead of
-# min id; also changes near_dedup_survivors' closure, which is already
-# in-window) is new with no driver row — promoted, displacing
-# llm_mix_weights: green r03 on unchanged code, and llm_apply_mix keeps
-# the identical per-source weights computation in-window (apply_mix
-# composes source_mix_weights internally).
-#
-# Ninth round-4 rotation: multimodal_video_decode (REAL RIFF/AVI container
-# walk + per-frame DIB decode — closes the round-3 verdict's last stubbed
-# modality) is new with no driver row — promoted, displacing
-# llm_pii_redact: green r03 on unchanged code, and the narrow
-# regex-built-in projection shape it pins stays in-window via
-# llm_url_canonical_dedup (same regexp_replace family over text).
-#
-# Tenth round-4 rotation: llm_bpe_train (distributed BPE merge learning —
-# iterative vocab-table driver loop, exact parity vs the published
-# algorithm pinned in tests/test_bpe.py) is new with no driver row —
-# promoted, displacing llm_unigram_logprob: green r03 on unchanged code,
-# and the corpus-term-aggregate + exchange-reuse shape it pins stays
-# in-window via llm_top_ngrams.
-#
-# Sixteenth round-4 rotation: olap_funnel_conversion (ordered three-step
-# funnel with exchange-reuse across stages) and olap_retention_cohorts
-# (weekly cohort retention matrix) are new with no driver rows — the
-# product-analytics pair native to the reference's player-events domain.
-# Promoted, displacing olap_month_json (green r03 on unchanged code; its
-# date_trunc bucketing shape is the same family as the incoming
-# retention's week truncation, and JSON extraction keeps its
-# local-oracle-gated twin olap_json_extract with a green r01 row) and
-# olap_grouping_sets (green r03 on unchanged code; the Expand-based
-# multi-grouping family keeps green r01/r02 rows on rollup/cube/pivot
-# plus the local oracle gate).
-#
-# Fifteenth round-4 rotation: olap_scd2_history (slowly-changing-dimension
-# type 2 — change log to validity-ranged history via lead() over (key,
-# time, tiebreak)) is new with no driver row — promoted, displacing
-# olap_sessionization: green r03 on unchanged code, sessionization
-# semantics stay in-window via the streaming olap_session_window and the
-# keyed lag/lead window shape via the incoming SCD2 entry itself.
-#
-# Fourteenth round-4 rotation: olap_cdc_upsert (MERGE INTO semantics as
-# one keyed full-outer join with up-front contract validation) and
-# olap_dq_audit (dbt/Deequ-style constraint audit, rules fused into one
-# conditional aggregate per scan) are new with no driver rows — promoted,
-# displacing olap_exists_correlated (green r03 on unchanged code; the
-# decorrelated semi-join-with-residual shape stays via the upsert's
-# validation semi-join and tpch_q5's join stack) and olap_table_profile
-# (green r03 on unchanged code; the same fused one-scan conditional
-# aggregate family the audit now pins, with the long-form unpivot kept
-# under the local oracle gate).
-#
-# Thirteenth round-4 rotation: stream_near_dedup_ingest (foreachBatch
-# near-dedup ingestion with an idempotent batch-partition sink — the
-# streaming composition of the fuzzy-dedup tier; single-batch driver
-# shape hash-checks against the survivor closure oracle) is new with no
-# driver row — promoted, displacing stream_static_enrich: green r03 on
-# unchanged code, the stream-join family stays in-window via
-# stream_stream_interval_join (the stateful, harder case) and the
-# broadcast-dim enrichment shape via q10's batch join chain.
-#
-# Twelfth round-4 rotation: llm_bpe_encode (tokenizer application — the
-# distinct-word Arrow encode + join-back that completes the train->encode
-# tokenizer story; exact token-count parity pinned in tests/test_bpe.py)
-# is new with no driver row — promoted, displacing llm_embed_dim_stats:
-# green r03 on unchanged code, with the partial-agg moments family still
-# pinned in-window by olap_table_profile and embedding-array expressions
-# by llm_semantic_dedup / dedup_embedding_cosine / sim_bruteforce_topk.
-#
-# Eleventh round-4 rotation: olap_zorder_key (Morton interleave behind the
-# z-order data-skipping layout; row-group pruning pinned with real parquet
-# metadata in tests/test_layout.py) is new with no driver row — promoted,
-# displacing olap_window_topk_per_group: green r03 on unchanged code, with
-# per-group ordered processing still pinned in-window by
-# olap_apply_in_pandas_longest_run (same partitionBy + secondary-sort
-# shape) and ordered-limit physical plans by llm_top_ngrams'
-# TakeOrderedAndProject pin.
-# Eighteenth round-4 rotation: stream_incremental_mv (incremental
-# materialized-view maintenance — foreachBatch merge of mergeable
-# partials into a versioned snapshot, the lakehouse refresh pattern;
-# full SQL twin, so its hash row doubles as exactly-once evidence) is
-# new with no driver row — promoted, displacing stream_dedup_by_id:
-# green r03 on unchanged code, and the streaming-dedup shape stays
-# in-window via stream_near_dedup_ingest (the harder fuzzy ingestion
-# case) with the watermark-bounded exact-id variant pinned by
-# tests/test_streaming.py and the local oracle gate.
-#
-# Seventeenth round-4 rotation: olap_key_skew_profile (exact-percentile
-# skew diagnostics via a count-of-counts histogram — the pre-shuffle
-# check that decides salting/AQE-skew handling at 100 TB) and
-# olap_hll_shard_merge (two-phase mergeable Datasketches HLL — the
-# O(shards * sketch) replacement for a global count-distinct exchange;
-# rows-only, with merged==single-pass parity pinned in
-# tests/test_operators.py) are new with no driver rows — promoted,
-# displacing olap_salted_join (green r03 on unchanged code; skew
-# handling stays represented in-window by the incoming profiler plus the
-# session's AQE skew-join config, and the salting rewrite keeps its
-# equivalence test + local oracle gate) and llm_shard_assign (green r03
-# on unchanged code; deterministic hash-bucket routing stays in-window
-# via llm_apply_mix's bucket predicates, and the sampling family keeps
-# green rows + the local oracle gate).
-# Nineteenth round-4 rotation: four new entries need rows —
-#   * olap_gap_fill (time-series densification + forward fill; per-key
-#     sequence()+explode spine, window fill on the reused exchange)
-#     displaces q04_smoothed_avg: green r03 on unchanged code, and its
-#     add-one smoothed average is computed verbatim inside
-#     q05_domain_completion, which stays in-window;
-#   * olap_window_distribution (ntile/percent_rank/cume_dist — the
-#     distribution window family, previously unrepresented) displaces
-#     sim_bruteforce_topk: green r03 on unchanged code, exact-cosine math
-#     stays in-window via dedup_embedding_cosine + llm_semantic_dedup and
-#     the sim family keeps green r01/r03 rows + the local oracle gate;
-#   * olap_triangle_count (degree-oriented exact triangle counting,
-#     O(E^1.5) wedge bound) displaces q06_distinct_pairs: green r03 on
-#     unchanged code, and the distinct canonical-pair derivation IS the
-#     triangle entry's first stage (distinct semantics also held by the
-#     set-op entries' green rows + local gate);
-#   * llm_title_hamming_dedup (segment-pigeonhole string-similarity join,
-#     brute-force oracle proves blocking completeness) displaces
-#     dedup_exact: green r03 on unchanged code, hash-groupBy exact dedup
-#     stays in-window via llm_url_canonical_dedup and as
-#     llm_corpus_curation's first stage.
-# Twentieth round-4 rotation: llm_weighted_sample (Efraimidis-Spirakis
-# weighted sampling without replacement, hash-uniform priorities, bounded
-# top-k selection) is new with no driver row — promoted, displacing
-# llm_apply_mix: green r03 on unchanged code, and the md5-hex-bucket
-# deterministic-routing family it pins stays in-window via the incoming
-# weighted_sample's identical portable-uniform construction (mix
-# semantics keep llm_mix_weights/llm_apply_mix green rows + the local
-# oracle gate).
-# Twenty-first round-4 rotation: olap_tpch_q18_large_orders (HAVING-
-# filtered aggregate driving the join — the agg-before-join scale shape)
-# and olap_unpivot (native Expand melt, one scan vs the oracle's 4-way
-# union) are new with no driver rows — promoted, displacing
-# q10_join_chain (green r03 on unchanged code; the chained-equi-join
-# shape stays in-window via olap_tpch_q5's six-table stack and the
-# incoming q18's two-join tail) and llm_top_ngrams (green r03 on
-# unchanged code; the ordered-limit TakeOrderedAndProject physical shape
-# stays in-window via llm_weighted_sample, and heavy-hitters semantics
-# keep the green rows + local oracle gate).
-# Twenty-fourth round-4 rotation: llm_quality_percentile_filter
-# (FineWeb/CCNet-style RELATIVE quality thresholding — drop the worst
-# decile of the corpus's own score distribution, threshold from the
-# deterministic-sample percentile) is new with no driver row — promoted,
-# displacing llm_quality_filters: green r01-r03 on unchanged code, and
-# the quality-scoring family stays in-window via the incoming filter
-# (which composes the same quality_score expression) while the absolute
-# Gopher/C4 rule battery keeps its green rows + the local oracle gate.
-#
-# Twenty-third round-4 rotation: llm_bigram_surprisal (conditional
-# bigram-LM quality scoring, the CCNet-style perplexity filter upgrade
-# of the unigram entry) and olap_anomaly_zscore (trailing-window z-score
-# outlier flags on the gap-filled axis) are new with no driver rows —
-# promoted, displacing llm_url_canonical_dedup (green r03 on unchanged
-# code; canonical-URL dedup stays in-window as llm_corpus_curation's
-# first stage, plus the local oracle gate) and dedup_simhash (its driver
-# row is rows-only by design — hash-seeded signatures — so the local
-# parity tests carry the real evidence; the banded-signature dedup
-# family stays in-window via dedup_minhash_lsh).
-#
-# Twenty-second round-4 rotation: olap_quantile_binning (equi-depth
-# bucketize via deterministic-sample boundaries — the RangePartitioner
-# strategy replacing a global ntile sort) and olap_rolling_average
-# (7-day trailing frame over the gap-filled daily axis — the payoff
-# composition of olap_gap_fill) are new with no driver rows — promoted,
-# displacing q08_having_count_distinct (green r01/r03 on unchanged code;
-# the HAVING-filtered-aggregate shape stays in-window via
-# olap_tpch_q18_large_orders' agg-driven join and q08 keeps the local
-# oracle gate) and olap_asof_join (green r03 on unchanged code;
-# time-conditioned join semantics stay in-window via
-# stream_stream_interval_join and asof keeps its dedicated unit tests +
-# local oracle gate).
-# Twenty-fifth round-4 rotation: three new entries need rows —
-#   * llm_substring_dup_spans (Lee et al. EXACTSUBSTR profile over
-#     OVERLAPPING windows — catches duplicated substrings at any
-#     alignment) displaces dedup_minhash_lsh: green r01/r02/r03 on
-#     per-entry-unchanged code (round-4 dedup.py changes are additions
-#     after it), and the banded-MinHash candidate shape stays in-window
-#     via llm_near_dedup_survivors + llm_dedup_incremental, which compose
-#     the identical signature/band/verify stages;
-#   * olap_event_transitions (Markov next-event matrix — lead() window +
-#     tiny normalized aggregate) displaces olap_apply_in_pandas_longest_run:
-#     green r02/r03 on unchanged code, and the groupBy().applyInPandas
-#     sorted-group reducer shape (SURVEY F5/F6) stays in-window via
-#     llm_pack_sequences (same partitionBy + in-group order + imperative
-#     scan) and stream_stateful_user_stats (the stateful variant);
-#   * olap_min_cost_supplier (TPC-H Q2 shape — correlated min decorrelated
-#     into a window over the (part,supplier) aggregate, exact DECIMAL
-#     argmin) displaces olap_tpch_q5_region_volume: green r02/r03 on
-#     unchanged code, and the multi-dim TPC-H join-stack family stays
-#     in-window via olap_tpch_q18_large_orders plus the incoming Q2's
-#     supplier/nation decoration joins.
-# Twenty-sixth round-4 rotation: stream_outer_interval_join (watermarked
-# LEFT OUTER stream-stream join — matches emit eagerly, unmatched left
-# rows emit NULLs only after state eviction, with the watermark cutoff
-# replicated exactly in the SQL twin) is new with no driver row —
-# promoted, displacing stream_late_data_drop: green r03 on unchanged
-# code, and the watermark-withholding-replicated-in-SQL family it pins
-# stays in-window via the incoming outer join (the harder case: join
-# state eviction, not window finalization), with late-row dropping still
-# pinned by tests/test_streaming.py and the local oracle gate.
-# Twenty-seventh round-4 rotation: llm_heavy_ngrams_sketch (exact
-# phi-heavy hitters via per-partition Misra-Gries candidate summaries +
-# exact verification — the bounded-exchange heavy-hitter path for
-# corpus-sized item spaces) is new with no driver row — promoted,
-# displacing q01_count_per_key: green r01/r02/r03 on unchanged code, and
-# the count-per-key aggregate shape stays in-window via
-# olap_retention_cohorts, olap_funnel_conversion and
-# olap_event_transitions (all count aggregates over derived keys), with
-# q01 keeping its three green rows + the local oracle gate.
-# Twenty-eighth round-4 rotation: olap_quantile_shard_merge (mergeable
-# deterministic bottom-k quantile sample — completes the mergeable-sketch
-# trio with the HLL distinct shards and the Misra-Gries heavy hitters;
-# the sample is a pure function of the keys, so the SQL twin replays it
-# and the approximation hash-matches) is new with no driver row —
-# promoted, displacing q05_domain_completion: green r01/r02/r03 on
-# unchanged code, and its shape stays in-window twice over — the add-one
-# smoothed average is computed inside the q16 heroic flagship's
-# edges_with_avgs stage, and the left-join-with-default completion is
-# the same coalesce pattern olap_cdc_upsert pins — with q05 keeping its
-# three green rows + the local oracle gate.
-# Twenty-ninth round-4 rotation: olap_ks_drift (per-source two-sample KS
-# drift from binned ECDFs — O(bins) exchange replacing the textbook
-# global sort) and olap_cogroup_order_lag (two grouped inputs reconciled
-# per key in one FlatMapCoGroupsInPandas merge-scan — the cogrouped
-# flavor of SURVEY F8's multi-input reduce) are new with no driver rows —
-# promoted, displacing two streaming rows on the strongest union
-# evidence in the registry: stream_tumbling_counts (green r01+r02+r03 on
-# unchanged code — windowed-agg-with-watermark semantics stay pinned
-# in-window by stream_incremental_mv's windowed merge and the outer
-# join's watermark cutoff, plus stream==batch parity tests) and
-# olap_session_window (green r03 on unchanged code — session semantics
-# keep the olap_sessionization lag/cumsum twin's green rows and the
-# streaming session parity test). The streaming tier keeps five
-# in-window entries (incremental_mv, stateful_user_stats,
-# near_dedup_ingest, stream_stream_interval_join, outer_interval_join).
-# Thirtieth round-4 rotation: olap_top_paths (session path mining — the
-# lag-gap sessionization composed with an order-preserving path fold;
-# one user_id exchange serves both windows AND the per-session groupBy
-# via the subset-clustering property, plan-pinned at exactly two
-# exchanges) is new with no driver row — promoted, displacing
-# stream_stateful_user_stats: green r01/r02/r03 on hash-unchanged code
-# (the round-4 edit is a module docstring documenting the
-# transformWithState environment gate — no function source changed),
-# with applyInPandasWithState semantics still pinned by the
-# cross-micro-batch state and stream==batch parity tests. The streaming
-# tier keeps four in-window rows (incremental_mv, near_dedup_ingest,
-# stream_stream_interval_join, outer_interval_join) — every one of the
-# seven r03-green streaming entries retains union driver evidence.
-# Third round-5 rotation: olap_variant_metrics (semi-structured metrics
-# through Spark 4's VARIANT type — parse-once binary encoding +
-# try_variant_get null-on-malformed extraction, the engine-native
-# schema-on-read path) is new with no driver row — promoted, displacing
-# olap_event_transitions: green r4 on unchanged code, and the
-# event-sequence family stays in-window via olap_funnel_conversion
-# (green r4) and olap_top_paths.
-#
-# Second round-5 rotation: llm_curation_pipeline (the end-to-end
-# quality -> line-dedup -> near-dedup-survivors -> decontaminate -> pack
-# mega-pipeline, the round-4 verdict's stretch ask) is new with no
-# driver row — promoted, displacing olap_quantile_binning: green r4 on
-# unchanged code, and the quantile family keeps olap_quantile_shard_merge
-# (green r4) in-window.
-#
-# Round-5 rotation: the round-4 verdict asked for the simhash web-scale
-# operating point as a first-class entry — dedup_simhash_web (4 bands x
-# 16 bits, Manku-style, 1.68 s at 64x vs 49.6 s strict) is new with no
-# driver row, and dedup_simhash's docstring/contract changed to name it
-# as the scale default — both promoted. Displaced: olap_gap_fill (green
-# r4 on unchanged code; the time-series family stays in-window via
-# olap_rolling_average green r4 + olap_anomaly_zscore) and
-# olap_zorder_key (green r4 on unchanged code; the data-layout /
-# partition-skipping family stays via olap_partition_pruned_scan green
-# r4).
-# Round-7 rotation: eight entries enter on the changed-code / new-entry
-# rule — ann_lsh_pairs (candidate plumbing restructured to ids-only +
-# Arrow GEMM cosine, and its oracle upgraded from rows-only to an exact
-# hyperplane-replay hash match), multimodal_jpeg_decode (NEW — real
-# baseline-JFIF huffman+IDCT decode, the r6 stretch item), and the
-# bench-tag additions whose closures therefore changed
-# (llm_decontaminate, llm_url_canonical_dedup, multimodal_audio_decode,
-# multimodal_features, multimodal_frame_sample, multimodal_image_decode).
-# Displaced, all hash-match-green r06 on round-7-unchanged code, with
-# family coverage retained in-window: olap_triangle_count (graph family
-# stays via dedup_components), olap_tpch_q18_large_orders (TPC-H keeps
-# r01-r06 green rows + the local gate), olap_unpivot,
-# llm_quality_percentile_filter (quality gating exercised inside
-# llm_corpus_curation + llm_curation_pipeline, both in-window),
-# olap_dq_audit, olap_cdc_upsert (CDC/SCD family stays via
-# olap_scd2_history), llm_weighted_sample (sampling family stays via
-# the weighted mix inside llm_corpus_curation; llm_pack_sequences
-# cannot rotate out — its closure changed since the r03 snapshot and
-# carries no output-neutrality exemption, so it stays in-window),
-# llm_title_hamming_dedup
-# (hamming-blocked string dedup stays via dedup_simhash/_web). A late
-# round-7 promotion adds multimodal_mjpeg_decode (NEW — real compressed
-# video: MJPEG-AVI container walk + per-frame baseline-JPEG decode),
-# displacing llm_cdc_chunks (hash-match green r06 on round-7-unchanged
-# code; chunking family stays via llm_pack_sequences and the packing
-# stage inside llm_curation_pipeline, both in-window). And
-# llm_substring_dedup (NEW — the EXACTSUBSTR rewrite pass completing the
-# in-window llm_substring_dup_spans report) displaces
-# olap_window_distribution (hash-match green r06 on round-7-unchanged
-# code; window-function evidence stays via olap_anomaly_zscore's rolling
-# windows and the r01-r06 green rows + local gate for the distribution
-# family).
+# Round-10 rotation (changed-code rule; see ROTATION.md r10 entry): IN
+# dedup_exact, llm_bigram_surprisal, llm_cdc_chunks — the three round-10
+# changed closures that sat outside the window (the other 20 changed
+# entries were already in-window) — displacing multimodal_image_decode,
+# multimodal_video_decode and q18_rank_vector_init: all three hash-green
+# r09 on round-10-unchanged code, with family coverage retained in-window
+# (still-image decode via png/jpeg/mjpeg; the RIFF-AVI container walk runs
+# verbatim inside mjpeg/ipframe/mcframe; the distinct-challenger rank init
+# runs verbatim inside q16's heroic_score).
 PRIMARY_ORDER: tuple[str, ...] = (
-    # §2.2 reference surface (q02/q03/q07/q09/q11/q12/q13/
-    # q14/q15 rotated out on green union rows, all code-unchanged;
-    # q17_top_k rotated out late in r3 — green r01+r02 on unchanged code,
-    # TakeOrderedAndProject plan-pinned, overlaps olap_window_topk_per_group
-    # — displaced by the new olap_partition_pruned_scan, which has no
-    # driver row yet).
-    # Round-8 promotions (changed-code rule): the duels derivation was
-    # rewritten bucket-parallel (registry/common.py), so the NEW
-    # q00_duel_edges entry that gates the derivation itself plus the two
-    # out-of-window consumers whose closures changed with it —
-    # q18_rank_vector_init and olap_triangle_count — enter the window
-    # (q16_heroic_iterative, the third consumer, never left). Displaced:
-    # multimodal_image_decode, multimodal_frame_sample,
-    # multimodal_features — all hash-green r07 on round-8-UNCHANGED code,
-    # with family coverage retained in-window (still-image decode via
-    # png/jpeg/mjpeg, frame walks via multimodal_video_decode, feature
-    # extraction via the decode entries' mean columns).
-    # A second round-8 promotion: multimodal_ipframe_decode (NEW — real
-    # inter-frame video: I-frame + sequentially reconstructed JPEG-coded
-    # prediction residuals) displaces olap_variant_metrics (hash-green
-    # r07 on round-8-unchanged code; the two-sample experiment-stats
-    # family stays in-window via olap_ks_drift).
-    # Third round-8 promotion (changed-code rule): the window-function
-    # sweep rewrote olap_window_distribution bucket-parallel (25-value
-    # nation key was a 25-task corpus sort) and annotated
-    # olap_window_topk_per_group's WindowGroupLimit contract — both enter;
-    # displaced: olap_anomaly_zscore (hash-green r07 on round-8-unchanged
-    # code; rolling-window evidence stays via the two incoming window
-    # entries + olap_cogroup_order_lag) and llm_decontaminate (hash-green
-    # r07 unchanged; the decontamination stage runs verbatim inside the
-    # in-window llm_curation_pipeline).
-    # Fourth round-9 rotation (changed-code rule): the _scatter heuristic
-    # became partition-aware for non-file inputs (operators/dedup.py —
-    # a checkpointed 100 TB stage no longer gets a pointless full-text
-    # re-exchange) and decontaminate's eval join moved to int64 shingle
-    # hashes; the four out-of-window entries whose closures changed with
-    # them enter the window: llm_decontaminate (the semantic change),
-    # llm_substring_dedup, multimodal_image_decode,
-    # multimodal_video_decode (scatter-closure ripple; output-neutral
-    # partitioning, promoted per the no-stale-evidence rule regardless).
-    # Displaced — the ONLY entries whose hash equals the round-8-final
-    # baseline (code unchanged since their green r8 row; everything else
-    # in-window carries round-9 changes and must collect a fresh row) and
-    # whose family stays covered in-window:
-    #   * olap_funnel_conversion — event-sequence mining stays via
-    #     olap_top_paths (in-window; its round-9 ripple keeps it there);
-    #   * llm_semantic_dedup — the embedding-dedup family stays via
-    #     dedup_embedding_cosine and the sign-bucket machinery via
-    #     ann_lsh_pairs (both in-window);
-    #   * olap_scd2_history — ordered per-key change-interval windowing
-    #     stays via olap_cogroup_order_lag (in-window);
-    #   * llm_bigram_surprisal — corpus n-gram statistics stay via
-    #     llm_heavy_ngrams_sketch (in-window; surprisal adds only a
-    #     log-ratio projection over the same count tables).
     "q00_duel_edges",
     "llm_decontaminate",
     "llm_substring_dedup",
-    "multimodal_image_decode",
-    "multimodal_video_decode",
-    "q18_rank_vector_init",
+    "dedup_exact",
+    "llm_bigram_surprisal",
+    "llm_cdc_chunks",
     "olap_triangle_count",
     "multimodal_ipframe_decode",
     "olap_window_distribution",
     "olap_window_topk_per_group",
-    # Fifth round-9 rotation: llm_repetition_profile is NEW (the Gopher
-    # within-doc repetition signals — top 3/4-gram position shares +
-    # duplicated 6-gram fraction — in the distributed explode/aggregate
-    # form, hash-keyed exchange, oracle-exact), so it enters with no
-    # driver row; displaced: llm_heavy_ngrams_sketch — hash-green r08
-    # on round-9-unchanged code, and the corpus n-gram counting family
-    # it represents stays in-window via the incoming per-doc profile
-    # (same explode + partial-agg machinery) while its Misra-Gries
-    # merge semantics remain pinned by dedicated property tests and the
-    # local gate (the precedent: llm_top_ngrams displaced
-    # text_quality_score the same way in round 3).
     "llm_repetition_profile",
     "olap_quantile_shard_merge",
     "llm_curation_pipeline",
     "q16_heroic_iterative",
-    # §2.4 engine-scope representatives (10; round-6 rotation displaced
-    # olap_rolling_average, olap_retention_cohorts and
-    # olap_min_cost_supplier — all green r05 on round-6-unchanged code,
-    # with their families still in-window: time-series windows via
-    # olap_window_distribution + olap_anomaly_zscore's rolling z-score,
-    # product analytics via olap_funnel_conversion, TPC-H via
-    # olap_tpch_q18 (q1/q5 keep green r01-r03 rows + the local gate) —
-    # for the three round-6 promotions listed in the LLM/streaming tiers)
     "olap_partition_pruned_scan",
     "dedup_ngram_jaccard",
     "llm_corpus_curation",
     "olap_key_skew_profile",
-    # LLM-data-pipeline tier (23; text_quality_score rotated out late in
-    # r3 — green r01+r02 on unchanged code, overlaps llm_quality_filters'
-    # text-quality built-ins — displaced by the new llm_top_ngrams, which
-    # has no driver row yet)
     "dedup_simhash",
     "dedup_simhash_web",
     "llm_line_dedup",
@@ -560,40 +96,19 @@ PRIMARY_ORDER: tuple[str, ...] = (
     "llm_substring_dup_spans",
     "dedup_embedding_cosine",
     "dedup_components",
-    # round-6 promotions: dedup_minhash_lsh re-enters (its persisted
-    # intermediates moved to the tracked-persist contract — code changed
-    # on a stale green row); multimodal_phash_dedup is new (dHash over
-    # real BMP decodes + segment-pigeonhole hamming join)
     "dedup_minhash_lsh",
     "multimodal_phash_dedup",
     "llm_dedup_incremental",
-    # Round-9 promotion: multimodal_mcframe_decode is NEW (MPEG-1-style
-    # motion-compensated P-frames: per-block MV01 vector tables +
-    # JFIF-coded residuals, pixel-window prediction, fail-closed), so it
-    # enters with no driver row; displaced: multimodal_video_decode —
-    # hash-green r08 on round-9-unchanged code, and its RIFF-AVI
-    # container walk runs verbatim inside the three in-window compressed
-    # paths (mjpeg/ipframe/mcframe all share the same chunk scanner).
     "multimodal_mcframe_decode",
     "llm_bpe_train",
     "multimodal_image_resize",
     "multimodal_png_decode",
-    # round-7 promotions (changed-code rule + the new JPEG decode)
     "ann_lsh_pairs",
     "multimodal_jpeg_decode",
     "multimodal_mjpeg_decode",
-    # Round-9 promotion (changed-code rule): llm_shard_assign's pos is
-    # now bucket-parallel (operators/sampling.py bucket-offset rewrite),
-    # so it enters the window; displaced: llm_substring_dedup — hash-green
-    # r08 on round-9-unchanged code, and its EXACTSUBSTR cut machinery
-    # runs verbatim inside the in-window llm_substring_dup_spans (same
-    # operator module, same span derivation; removal is the final
-    # index-lambda projection).
     "llm_shard_assign",
     "llm_url_canonical_dedup",
     "multimodal_audio_decode",
-    # streaming tier (8; round-6 promotion: stream_curation_ingest is new
-    # — the mega-pipeline's stage chain as a foreachBatch ingest)
     "olap_ks_drift",
     "stream_incremental_mv",
     "olap_top_paths",
@@ -609,12 +124,15 @@ PRIMARY_ORDER: tuple[str, ...] = (
 # registration order. The rotated-out entries lead: they hold green
 # r01/r02 driver rows on unchanged code.
 EXTENDED_ORDER: tuple[str, ...] = (
-    # round-9 displacements (hash-green r08 rows on round-9-unchanged
-    # code; see the fourth round-9 rotation note above PRIMARY_ORDER)
+    # round-10 displacements (hash-green r09 rows on round-10-unchanged
+    # code; ROTATION.md r10 entry)
+    "multimodal_image_decode",
+    "multimodal_video_decode",
+    "q18_rank_vector_init",
+    # round-9 displacements (hash-green r08 rows on round-9-unchanged code)
     "olap_funnel_conversion",
     "llm_semantic_dedup",
     "olap_scd2_history",
-    "llm_bigram_surprisal",
     "llm_heavy_ngrams_sketch",
     # round-6 displacements (green r05 rows on round-6-unchanged code)
     "olap_rolling_average",
@@ -639,7 +157,6 @@ EXTENDED_ORDER: tuple[str, ...] = (
     "q04_smoothed_avg",
     "q06_distinct_pairs",
     "sim_bruteforce_topk",
-    "dedup_exact",
     "stream_dedup_by_id",
     "olap_salted_join",
     "llm_shard_assign",

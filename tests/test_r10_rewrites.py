@@ -145,6 +145,36 @@ def test_shingle_hash_udf_distinct_counts_match_char_shingles(spark):
             assert r.n_new == max(r.n_ref, 0), (r.i, k, r.n_ref, r.n_new)
 
 
+def test_bpe_token_ids_zero_exchange_beyond_scatter(spark):
+    """The r10 per-document encode must stay narrow: the only allowed
+    exchange is the optional round-robin scatter — the former
+    explode + vocab join + per-doc regroup shape exchanged the whole
+    tokenized corpus (105.6 MB sf1 shuffle-write, SHUFFLE.md)."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from big_data_player_analysis_spark.plans.bpe import bpe_token_ids
+
+    df = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "a dog ran far"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = bpe_token_ids(df, "doc_id", "text", [("t", "h"), ("th", "e")])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    p = buf.getvalue()
+    nodes = set(re.findall(r"\(\d+\) Exchange", p))
+    assert len(nodes) <= 1, f"bpe encode grew exchanges: {nodes}"
+    if nodes:
+        assert "RoundRobinPartitioning" in p  # only the scatter
+    rows = {r.doc_id: (list(r.token_ids), r.n_words, r.n_tokens)
+            for r in out.collect()}
+    assert set(rows) == {1, 2}  # zero-word doc 3 absent, like the old shape
+    assert rows[1][1] == 3 and rows[1][2] == len(rows[1][0])
+
+
 def test_cdc_chunk_md5_matches_jvm_md5(spark):
     """cdc_chunks' Python-side hashlib md5 must equal the JVM
     md5(substr(normalize_text(text), start, len)) it replaced, chunk for

@@ -160,9 +160,16 @@ def test_primary_window():
         "ann_lsh_pairs", "multimodal_jpeg_decode",
         "olap_window_distribution", "olap_window_topk_per_group",
         "llm_url_canonical_dedup", "multimodal_audio_decode",
-        "q00_duel_edges", "q18_rank_vector_init", "olap_triangle_count",
+        "q00_duel_edges", "olap_triangle_count",
         "llm_decontaminate", "llm_substring_dedup",
-        "multimodal_image_decode", "multimodal_video_decode",
+        # round-10 rotation (ROTATION.md r10): dedup_exact,
+        # llm_bigram_surprisal and llm_cdc_chunks in on the changed-code
+        # rule; q18_rank_vector_init, multimodal_image_decode and
+        # multimodal_video_decode out (hash-green r09 on round-10-unchanged
+        # code, families covered in-window — q16 runs the rank init
+        # verbatim, png/jpeg/mjpeg cover still-image decode, and the AVI
+        # container walk runs inside mjpeg/ipframe/mcframe)
+        "dedup_exact", "llm_bigram_surprisal", "llm_cdc_chunks",
         "q16_heroic_iterative",
     } <= window
 

@@ -99,6 +99,15 @@ CROSS_ROUND_EXEMPT = {
     # (CORRECTNESS_r07.json), untouched in round 8 — the driver evidence
     # post-dates every code change.
     "llm_decontaminate",
+    # Round-10 displacements, same shape: all three changed vs the r03
+    # snapshot by earlier-round rebuilds (q18/image/video rode the r8
+    # duels-derivation and r7/r9 decode/scatter rebuilds), were in the
+    # round-9 window for exactly that reason and earned hash-green r09
+    # rows ON the current closures (CORRECTNESS_r09.json), and are
+    # untouched in round 10 (not in tools/entry_hashes.json's r10 diff) —
+    # the driver evidence post-dates every code change.
+    "q18_rank_vector_init",
+    "multimodal_video_decode",
 }
 
 

@@ -41,7 +41,10 @@ def main():
     if len(sys.argv) > 2:
         base_path = sys.argv[2]
     else:
-        cands = sorted(glob.glob("/root/repo/BENCH_r*.json"))
+        cands = sorted(
+            p for p in glob.glob("/root/repo/BENCH_r*.json")
+            if os.path.basename(p)[len("BENCH_r"):-len(".json")].isdigit()
+        )
         base_path = cands[-1] if cands else None
     if base_path:
         with open(base_path) as f:
@@ -76,7 +79,11 @@ def main():
     # round-over-round tracking next to BENCH_r{N}.json.  N = the round
     # in flight = latest driver-recorded BENCH_r* + 1 (the driver writes
     # its record at round END, after this script runs).
-    cands = sorted(glob.glob("/root/repo/BENCH_r*.json"))
+    # core-count sidecars (BENCH_r09_c8.json) are not round records
+    cands = sorted(
+        p for p in glob.glob("/root/repo/BENCH_r*.json")
+        if os.path.basename(p)[len("BENCH_r"):-len(".json")].isdigit()
+    )
     if cands:
         last_n = int(os.path.basename(cands[-1])[len("BENCH_r"):-len(".json")])
         rr = os.path.join("/root/repo", f"BENCH_SF1_r{last_n + 1:02d}.json")
